@@ -1,0 +1,440 @@
+"""Category D — aggregations (SURVEY.md §2.D).
+
+All money aggregates follow the §2.0 determinism rules: DECIMAL(18,2) sums
+(exact, order-independent) cast to DOUBLE, averages as exact-sum/count,
+statistics rounded at the final projection.
+
+Scale posture: every query is a single hash-aggregate with map-side partial
+aggregation (Spark splits partial/final automatically); group keys are
+low-cardinality except `agg_sort_fallback` which deliberately aggregates on a
+high-cardinality key to exercise the spillable sort-agg path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_management_and_analytics_spark.plans.determinism import DEC, dec2
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load, register_views
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_pricing_summary",
+    "D",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped multi-function hash aggregate (the flagship).",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    price = dec2("l_extendedprice")
+    disc_price = price * (F.lit(1).cast(DEC) - dec2("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + dec2("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec2("l_quantity")).cast("double") / n).alias("avg_qty"),
+        (F.sum(price).cast("double") / n).alias("avg_price"),
+        (F.sum(dec2("l_discount")).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@register(
+    "agg_global",
+    "D",
+    oracle="""
+        SELECT
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+            MIN(o_orderdate) AS first_order,
+            MAX(o_orderdate) AS last_order
+        FROM orders
+    """,
+    doc="Grand-total aggregate without grouping keys.",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("total_revenue"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    "D",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS n_customers FROM orders",
+    doc="Exact distinct count (expand-based distinct aggregation).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+
+@register(
+    "agg_multi_distinct",
+    "D",
+    oracle="""
+        SELECT
+            l_returnflag,
+            COUNT(DISTINCT l_partkey) AS n_parts,
+            COUNT(DISTINCT l_suppkey) AS n_suppliers,
+            COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Multiple distinct aggregates in one GROUP BY (Expand-based plan).",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "agg_having",
+    "D",
+    oracle="""
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 12
+    """,
+    doc="Post-aggregation filter (HAVING).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT
+        r_name,
+        n_name,
+        CAST(GROUPING(r_name) AS INT) AS g_region,
+        CAST(GROUPING(n_name) AS INT) AS g_nation,
+        COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    "D",
+    oracle=_GROUPING_SETS_SQL,
+    doc="GROUPING SETS with GROUPING() flags (SQL entry point both sides).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("customer", "nation", "region"))
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+def _cust_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+
+
+@register(
+    "agg_rollup",
+    "D",
+    oracle="""
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="Hierarchical subtotals region→nation via rollup.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _cust_geo(spark, sf_dir)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    "D",
+    oracle="""
+        SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+    doc="All subtotal combinations via cube.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "agg_conditional",
+    "D",
+    oracle="""
+        SELECT
+            l_returnflag,
+            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 FILTER (WHERE l_quantity >= 25) AS DOUBLE) AS bulk_revenue,
+            CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 FILTER (WHERE l_returnflag = 'A'), 0) AS DOUBLE) AS returned_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Filtered/conditional aggregation (sum(CASE WHEN …)).",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.sum(F.when(F.col("l_quantity") >= 25, dec2("l_extendedprice")))
+        .cast("double")
+        .alias("bulk_revenue"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_returnflag") == "A", dec2("l_extendedprice"))),
+            F.lit(0).cast(DEC),
+        )
+        .cast("double")
+        .alias("returned_revenue"),
+    )
+
+
+@register(
+    "agg_pivot",
+    "D",
+    oracle="""
+        SELECT
+            user_id,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Pivot with explicit value list (deterministic column set).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .agg(F.sum(dec2("value")).cast("double"))
+    )
+
+
+@register(
+    "agg_stats",
+    "D",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+            ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+            ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+            ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS covar_qty_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates, rounded to 4 digits (§2.0 rule 2).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    "D",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS median_qty,
+            ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) AS p90_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (Spark percentile ≡ percentile_cont).",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+    )
+
+
+@register(
+    "agg_argmax",
+    "D",
+    oracle="""
+        SELECT n_name, c_name AS top_customer, c_acctbal AS top_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC
+        ) = 1
+    """,
+    doc="Row-value at extremum via max_by with a struct tiebreak (c_custkey).",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    # max_by over (acctbal, -custkey) == highest balance, lowest key on ties.
+    ordering = F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("neg_key"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", ordering).alias("top_customer"),
+            F.max("c_acctbal").alias("top_acctbal"),
+        )
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    "D",
+    oracle="""
+        SELECT
+            c_mktsegment,
+            STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+            COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc=(
+        "Set aggregation, canonically sorted (§2.0 rule 6); serialized to a "
+        "joined string so the hash is container-independent."
+    ),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_mode_median",
+    "D",
+    oracle="""
+        SELECT
+            MODE(o_orderpriority) AS mode_priority,
+            ROUND(MEDIAN(o_totalprice), 2) AS median_price
+        FROM orders
+    """,
+    doc="mode + median (tie-free at fixture scale; verified at build time).",
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.mode("o_orderpriority").alias("mode_priority"),
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    "D",
+    doc="HyperLogLog distinct — approximate, rows-tier (§2.0 rule 8).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_sort_fallback",
+    "D",
+    doc=(
+        "High-cardinality grouping (one group per order) — exercises the "
+        "spillable aggregation path; rows-tier shape check."
+    ),
+)
+def agg_sort_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("order_value"),
+        )
+    )

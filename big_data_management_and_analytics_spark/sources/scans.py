@@ -1,0 +1,141 @@
+"""Category A — scans, sources, sinks (SURVEY.md §2.A).
+
+Scale posture: projections/filters are expressed on the scan DataFrame so
+Catalyst pushes them into the parquet reader (ReadSchema pruning +
+PushedFilters row-group skipping) — verified by plan assertions in
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import SCHEMAS, load, register_views
+
+
+@register(
+    "scan_parquet_full",
+    "A",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    doc="Full parquet scan with stable (pinned) column order.",
+)
+def scan_parquet_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "region")
+
+
+@register(
+    "scan_projection",
+    "A",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+    doc="Column-pruned scan — ReadSchema must contain only the two columns.",
+)
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@register(
+    "scan_pushdown_filter",
+    "A",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+    """,
+    doc="Predicate pushed to parquet row-groups (PushedFilters).",
+)
+def scan_pushdown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@register(
+    "scan_events_ns",
+    "A",
+    oracle="SELECT event_id, ts FROM events",
+    doc=(
+        "ns-timestamp ingestion: parquet TIMESTAMP(NANOS) read via "
+        "nanosAsLong + timestamp_micros(ts div 1000); DuckDB truncates "
+        "ns→µs identically (SURVEY.md §0 P1)."
+    ),
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select("event_id", "ts")
+
+
+@register(
+    "sink_view_sql",
+    "A",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+    """,
+    doc="Temp-view registration + SQL entry point (SURVEY.md §3 entry 2).",
+)
+def sink_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def _roundtrip_dir(prefix: str) -> str:
+    base = tempfile.mkdtemp(prefix=prefix)
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+@register(
+    "src_csv_roundtrip",
+    "A",
+    doc="CSV sink + schema-given re-read; rows-tier (text formats lose types).",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("bdma_csv_")
+    nation = load(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema(SCHEMAS["nation"]).option("header", "true").csv(out)
+
+
+@register(
+    "src_json_roundtrip",
+    "A",
+    doc="JSON-lines sink + re-read with pinned schema; rows-tier.",
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("bdma_json_")
+    customer = load(spark, sf_dir, "customer")
+    customer.write.mode("overwrite").json(out)
+    return spark.read.schema(SCHEMAS["customer"]).json(out)
+
+
+@register(
+    "sink_parquet_partitioned",
+    "A",
+    doc=(
+        "Partitioned parquet sink + partition-pruned re-read: writes events "
+        "partitioned by event_type, reads back one partition (the filter "
+        "prunes directories, not row-groups)."
+    ),
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("bdma_part_")
+    events = load(spark, sf_dir, "events")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.select("event_id", "user_id", "event_type", "value")

@@ -1,0 +1,64 @@
+"""SparkSession construction + runtime tuning.
+
+Two paths:
+
+- ``get_spark()`` builds our own local session (tests, bench) with the full
+  config set at build time.
+- ``tune(spark)`` applies the *runtime-settable* subset to a session we did
+  not build (the driver's). Verified this session: ``spark.sql.legacy.parquet.
+  nanosAsLong``, session timezone, and Arrow flags are all settable via
+  ``spark.conf.set`` on a running session (SURVEY.md §0 P1).
+
+Scale posture: shuffle partitions default to a small count for local sf≤0.1
+runs but are env-overridable (``SPARK_GRAFT_SHUFFLE_PARTITIONS``); on a real
+cluster AQE coalescing makes the static number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Settings that are safe (and required) to set on a running session.
+_RUNTIME_CONF = {
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 cannot read natively
+    # (PARQUET_TYPE_ILLEGAL); read as long + convert (SURVEY.md §0 P1).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # All fixture timestamps are tz-naive; pin UTC on both engines (P5).
+    "spark.sql.session.timeZone": "UTC",
+    # Spark 4 infers tz-naive parquet timestamps as TIMESTAMP_NTZ; keep the
+    # classic TimestampType (interpreted in the UTC session tz) so all tables
+    # share one timestamp type and window/interval functions behave uniformly.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Arrow for every Python boundary crossing (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable config to an externally-owned session."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # already-set static conf; keep going
+    return spark
+
+
+def get_spark(app_name: str = "bdma-spark") -> SparkSession:
+    """Local session for tests/bench. local[N] with AQE on."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

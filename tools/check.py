@@ -1,0 +1,169 @@
+"""Local differential harness — mirrors the driver's DuckDB comparison.
+
+Runs each registered query on Spark AND its oracle SQL on DuckDB over the
+same parquet fixtures, then compares row-count, dtypes, and exact
+(order-insensitive) values. Strings floats with ``repr`` so a single flipped
+bit is a reported mismatch — stricter than any reasonable driver hash.
+
+Usage:
+    python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
+    python tools/check.py --list
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _fmt(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(v)
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return "NULL" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.integer,)):
+        return repr(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_fmt(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_fmt(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if v is pd.NaT:
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [tuple(_fmt(v) for v in row) for row in df.itertuples(index=False)]
+    rows.sort()
+    return rows
+
+
+def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
+    issues: list[str] = []
+    if sorted(spark_pd.columns) != sorted(duck_pd.columns):
+        issues.append(
+            f"columns differ: spark={sorted(spark_pd.columns)} duck={sorted(duck_pd.columns)}"
+        )
+        return issues
+    if len(spark_pd) != len(duck_pd):
+        issues.append(f"row count: spark={len(spark_pd)} duck={len(duck_pd)}")
+    # dtype kinds (loose — driver compares its own way; values are the gate)
+    for c in sorted(spark_pd.columns):
+        ks, kd = spark_pd[c].dtype.kind, duck_pd[c].dtype.kind
+        if ks != kd and {ks, kd} not in ({"i", "f"}, {"M", "O"}, {"i", "O"}):
+            issues.append(f"dtype kind {c}: spark={spark_pd[c].dtype} duck={duck_pd[c].dtype}")
+    a, b = canon(spark_pd), canon(duck_pd)
+    if a != b:
+        n_bad = sum(1 for x, y in zip(a, b) if x != y) + abs(len(a) - len(b))
+        issues.append(f"values differ ({n_bad} rows); first diffs:")
+        shown = 0
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x != y and shown < 3:
+                issues.append(f"  row{i} spark={x}")
+                issues.append(f"  row{i}  duck={y}")
+                shown += 1
+    return issues
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--category", default=None)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import big_data_management_and_analytics_spark as engine
+
+    engine.load_all()
+    qs = engine.all_queries()
+    if args.list:
+        for n, q in sorted(qs.items()):
+            print(f"{q.category}  {'oracle' if q.oracle else 'rows  '}  {n}")
+        print(f"{len(qs)} queries, {sum(1 for q in qs.values() if q.oracle)} oracle-tier")
+        return 0
+
+    names = args.names or sorted(qs)
+    if args.category:
+        names = [n for n in names if qs[n].category == args.category]
+
+    from big_data_management_and_analytics_spark.sources.session import get_spark
+
+    spark = get_spark("check")
+    con = duck_con(args.sf)
+    passed = failed = rows_only = 0
+    for name in names:
+        q = qs[name]
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, args.sf).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc(limit=4)
+            failed += 1
+            continue
+        if q.oracle is None:
+            tag = "ROWS" if len(sdf) >= 0 else "FAIL"
+            print(f"{tag}  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            rows_only += 1
+            continue
+        try:
+            ddf = con.execute(q.oracle).df()
+        except Exception:
+            print(f"FAIL  {name}: duckdb raised")
+            traceback.print_exc(limit=4)
+            failed += 1
+            continue
+        issues = compare(name, sdf, ddf)
+        if issues:
+            print(f"FAIL  {name}  ({time.time()-t0:.1f}s)")
+            for i in issues[:10]:
+                print(f"      {i}")
+            failed += 1
+        else:
+            print(f"PASS  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            passed += 1
+    print(f"\n{passed} passed, {failed} failed, {rows_only} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
