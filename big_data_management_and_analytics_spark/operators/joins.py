@@ -1,1 +1,362 @@
-"""Placeholder — populated in a later milestone."""
+"""Category C — joins (SURVEY.md §2.C).
+
+Scale posture:
+- Dimension joins (nation/region/customer-at-small-sf) use explicit
+  ``F.broadcast`` hints → BroadcastHashJoin, no shuffle of the fact side.
+- Fact-fact joins (lineitem⋈orders) shuffle on the join key once; AQE
+  handles skew/coalescing at runtime.
+- The as-of join is expressed as union-tag + last(ignorenulls) over a
+  window — one shuffle on user_id, no point-lookup loop; this is the
+  standard scalable Spark formulation of ASOF.
+- Theta/cross joins are O(n·m) by nature and flagged as small-dimension
+  only; at 100 TB they would be banded (see join_interval_pairs for the
+  band-condition pattern that keeps an equi component for the shuffle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_management_and_analytics_spark.plans.determinism import DEC, dec2
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+@register(
+    "join_inner_equi",
+    "C",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="Inner equi join orders⋈customer (shuffle hash / sort-merge).",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_outer",
+    "C",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    doc="Left outer join — customers without orders get null fill.",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right_outer",
+    "C",
+    oracle="""
+        SELECT o_orderkey, o_custkey, c_name
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="Right outer join.",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer",
+    "C",
+    oracle="""
+        WITH big_cust AS (
+            SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+        ),
+        big_ord AS (
+            SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+            WHERE o_totalprice > 200000 GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, o_custkey, n_orders
+        FROM big_cust FULL JOIN big_ord ON c_custkey = o_custkey
+    """,
+    doc="Full outer join of two filtered sides (nulls on both).",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_custkey", "n_orders"
+    )
+
+
+@register(
+    "join_left_semi",
+    "C",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+    doc="Left semi join (EXISTS) — customers with at least one urgent order.",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    "C",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left anti join (NOT EXISTS) — customers with no orders at all.",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_star",
+    "C",
+    oracle="""
+        SELECT n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc="Broadcast-hash dim join (explicit F.broadcast hint; plan asserted in tests).",
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_star_5way",
+    "C",
+    oracle="""
+        SELECT
+            r_name,
+            n_name,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+            COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    doc=(
+        "5-way star join: one fact-fact shuffle (lineitem⋈orders), then "
+        "broadcast dims — revenue per region/nation."
+    ),
+)
+def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = dec2("l_extendedprice") * (F.lit(1).cast(DEC) - dec2("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_theta_band",
+    "C",
+    oracle="""
+        SELECT p_partkey, p_retailprice, s_suppkey, s_acctbal
+        FROM part JOIN supplier
+          ON p_retailprice BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    """,
+    doc=(
+        "Non-equi theta (band) join — BroadcastNestedLoopJoin; exact-small "
+        "variant, at scale this becomes a banded equi-join on bucketed ranges."
+    ),
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    cond = p.p_retailprice.between(s.s_acctbal - 10, s.s_acctbal + 10)
+    return p.join(F.broadcast(s), cond, "inner").select(
+        "p_partkey", "p_retailprice", "s_suppkey", "s_acctbal"
+    )
+
+
+@register(
+    "join_cross",
+    "C",
+    oracle="""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    doc="Cross join of the two smallest dims (5×25).",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_self_succ",
+    "C",
+    oracle="""
+        SELECT a.l_orderkey, a.l_linenumber,
+               a.l_quantity AS qty, b.l_quantity AS next_qty
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+    """,
+    doc="Self join on a composite successor key (line n ↔ line n+1).",
+)
+def join_self_succ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("l_linenumber"),
+        F.col("a.l_quantity").alias("qty"),
+        F.col("b.l_quantity").alias("next_qty"),
+    )
+
+
+@register(
+    "join_asof_event",
+    "C",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts, s.ts AS signup_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc=(
+        "As-of join: each purchase → latest earlier-or-equal signup of the "
+        "same user. Spark has no native ASOF; implemented as union-tag + "
+        "last(ignorenulls) over a user_id window — one shuffle, scales "
+        "linearly (no per-row lookup)."
+    ),
+)
+def join_asof_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("s_ts"),
+        F.lit(1).alias("tag"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("s_ts"),
+        F.lit(0).alias("tag"),
+    )
+    # Order signups before purchases at equal ts so ts-equality matches
+    # (ASOF's p.ts >= s.ts). last(ignorenulls) carries the latest signup
+    # forward within each user's timeline.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(signups)
+        .withColumn("signup_ts", F.last("s_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "signup_ts",
+        )
+    )
+
+
+@register(
+    "join_interval_pairs",
+    "C",
+    oracle="""
+        SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id,
+               a.ts AS first_ts, b.ts AS second_ts
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+    doc=(
+        "Interval self-join: event pairs of the same user within 10 minutes. "
+        "Equi component (user_id) carries the shuffle; the band is a post-"
+        "filter — the scalable pattern for temporal joins."
+    ),
+)
+def join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        F.col("a.event_id").alias("first_id"),
+        F.col("b.event_id").alias("second_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.ts").alias("first_ts"),
+        F.col("b.ts").alias("second_ts"),
+    )

@@ -1,1 +1,114 @@
-"""Placeholder — populated in a later milestone."""
+"""Category G — set operations (SURVEY.md §2.G)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+def _urgent(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+def _high(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "2-HIGH")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+@register(
+    "set_union_all",
+    "G",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc="Bag union (UNION ALL) — no shuffle, pure concatenation.",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _urgent(spark, sf_dir).union(_high(spark, sf_dir))
+
+
+@register(
+    "set_union_distinct",
+    "G",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc="Set union (UNION) — concatenation + hash-distinct.",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _urgent(spark, sf_dir).select("o_custkey")
+    b = _high(spark, sf_dir).select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    "G",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc="INTERSECT — customers placing both urgent and high-priority orders.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _urgent(spark, sf_dir).select("o_custkey")
+    b = _high(spark, sf_dir).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    "G",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc="EXCEPT (distinct) — urgent-only customers.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _urgent(spark, sf_dir).select("o_custkey")
+    b = _high(spark, sf_dir).select("o_custkey")
+    return a.subtract(b)
+
+
+@register(
+    "set_union_by_name",
+    "G",
+    oracle="""
+        SELECT c_custkey AS entity_id, c_name AS entity_name, 'customer' AS kind
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey AS entity_id, s_name AS entity_name, 'supplier' AS kind
+        FROM supplier
+    """,
+    doc="Schema-aligned union by column NAME (inputs built in different order).",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("kind"),
+    )
+    # Deliberately different column order — unionByName must realign.
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_suppkey").alias("entity_id"),
+    )
+    return c.unionByName(s)

@@ -1,1 +1,77 @@
-"""Placeholder — populated in a later milestone."""
+"""Category F — sorts, limits, top-k (SURVEY.md §2.F).
+
+The driver's hash is order-insensitive, so ordered queries encode their
+order into a row_number column (total order via primary-key tiebreak) —
+the hash then verifies the ordering itself.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+@register(
+    "sort_multikey",
+    "F",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (
+                   ORDER BY o_orderpriority ASC,
+                            o_totalprice DESC NULLS LAST,
+                            o_orderkey ASC
+               ) AS sort_pos
+        FROM orders
+        WHERE o_orderkey <= 20000
+    """,
+    doc="Multi-key sort (asc/desc, NULLS LAST) verified via encoded position.",
+)
+def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 20000)
+    order = [
+        F.col("o_orderpriority").asc(),
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc(),
+    ]
+    w = Window.orderBy(*order)
+    return (
+        o.orderBy(*order)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.row_number().over(w).alias("sort_pos"),
+        )
+    )
+
+
+@register(
+    "sort_topk",
+    "F",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 25
+    """,
+    doc="Global top-k (TakeOrderedAndProject) with primary-key tiebreak.",
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+@register(
+    "limit_unordered",
+    "F",
+    doc="Bare limit — nondeterministic row choice, rows-tier count semantics.",
+)
+def limit_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").limit(100)
