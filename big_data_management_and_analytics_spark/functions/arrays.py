@@ -1,1 +1,176 @@
-"""Placeholder — populated in a later milestone."""
+"""Category H (arrays/maps/structs) — collection functions + generators
+(SURVEY.md §2.H).
+
+Array outputs are either scalars derived from arrays or arrays serialized
+to strings (§2.0 rules 5-6) — never raw float arrays (container-type
+round-trips differ between the two pandas bridges).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+@register(
+    "arr_basic",
+    "H",
+    oracle="""
+        SELECT
+            vec_id,
+            CAST(len(embedding) AS INT) AS n_dims,
+            CAST(embedding[1] AS DOUBLE) AS first_dim,
+            CAST(len(list_distinct(embedding)) AS INT) AS n_distinct,
+            CAST(list_aggregate(embedding::DOUBLE[], 'max') AS DOUBLE) AS max_dim,
+            CAST(list_aggregate(embedding::DOUBLE[], 'min') AS DOUBLE) AS min_dim,
+            array_to_string(generate_series(0, label), ',') AS label_seq
+        FROM embeddings
+    """,
+    doc="size/element_at/array_distinct/array_max/array_min/sequence.",
+)
+def arr_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.size(F.array_distinct("embedding")).alias("n_distinct"),
+        F.array_max("embedding").cast("double").alias("max_dim"),
+        F.array_min("embedding").cast("double").alias("min_dim"),
+        F.concat_ws(
+            ",", F.sequence(F.lit(0), F.col("label")).cast("array<string>")
+        ).alias("label_seq"),
+    )
+
+
+@register(
+    "arr_higher_order",
+    "H",
+    oracle="""
+        SELECT
+            vec_id,
+            ROUND(SQRT(list_aggregate(
+                list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6) AS l2_norm,
+            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+            ROUND(list_aggregate(
+                list_transform(embedding::DOUBLE[], x -> abs(x)), 'sum'), 6) AS l1_norm
+        FROM embeddings
+    """,
+    doc="Higher-order lambdas: transform/filter/aggregate — L1/L2 norms.",
+)
+def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    sq_sum = F.aggregate(
+        F.transform(emb, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    abs_sum = F.aggregate(
+        F.transform(emb, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(abs_sum, 6).alias("l1_norm"),
+    )
+
+
+@register(
+    "map_ops",
+    "H",
+    oracle="""
+        SELECT user_id, event_type AS k, COUNT(*) AS v
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    doc=(
+        "map_from_entries → map_entries round-trip: per-user event-type "
+        "counts packed into a map then exploded back to sorted entries "
+        "(§2.0 rule 5: no map-typed output)."
+    ),
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    packed = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    entry = F.explode(F.map_entries("type_counts")).alias("entry")
+    return packed.select("user_id", entry).select(
+        "user_id",
+        F.col("entry.key").alias("k"),
+        F.col("entry.value").alias("v"),
+    )
+
+
+@register(
+    "struct_ops",
+    "H",
+    oracle="""
+        SELECT
+            c_custkey,
+            c_name AS packed_name,
+            c_acctbal AS packed_bal,
+            (c_acctbal > 5000) AS packed_rich
+        FROM customer
+    """,
+    doc="struct() build + field access, flattened for output.",
+)
+def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    packed = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            (F.col("c_acctbal") > 5000).alias("rich"),
+        ).alias("s"),
+    )
+    return packed.select(
+        "c_custkey",
+        F.col("s.name").alias("packed_name"),
+        F.col("s.bal").alias("packed_bal"),
+        F.col("s.rich").alias("packed_rich"),
+    )
+
+
+@register(
+    "gen_posexplode",
+    "H",
+    oracle="""
+        SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) AS dims
+    """,
+    doc="Positional explode with ordinality (no WITH ORDINALITY in DuckDB — P4).",
+)
+def gen_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+
+
+@register(
+    "gen_sequence_rows",
+    "H",
+    oracle="""
+        SELECT n, n * n AS n_sq, n % 5 AS n_mod5
+        FROM (SELECT unnest(generate_series(1, 1000)) AS n) AS t
+    """,
+    doc="Row generator (spark.range ≡ generate_series).",
+)
+def gen_sequence_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(1, 1001).select(
+        F.col("id").alias("n"),
+        (F.col("id") * F.col("id")).alias("n_sq"),
+        (F.col("id") % 5).alias("n_mod5"),
+    )

@@ -1,1 +1,78 @@
-"""Placeholder — populated in a later milestone."""
+"""Category H (dates) — date/time functions (SURVEY.md §2.H).
+
+Rules (SURVEY.md §0 P5): never bare dayofweek (numbering differs between
+engines); date-typed outputs serialize to ISO strings; extraction results
+cast to INT on both sides (DuckDB date_part returns BIGINT).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+@register(
+    "date_parts",
+    "H",
+    oracle="""
+        SELECT
+            o_orderkey,
+            CAST(year(o_orderdate) AS INT) AS yr,
+            CAST(month(o_orderdate) AS INT) AS mo,
+            CAST(day(o_orderdate) AS INT) AS dy,
+            CAST(quarter(o_orderdate) AS INT) AS qtr,
+            CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+            date_trunc('month', o_orderdate) AS month_start,
+            CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+        FROM orders
+    """,
+    doc="year/month/day/quarter/ISO-dow/date_trunc/last_day.",
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # ISO day-of-week (Mon=1..Sun=7) — the only cross-engine-safe numbering:
+    # Spark dayofweek is Sun=1, DuckDB dayofweek is Sun=0 (P5).
+    iso_dow = F.expr("extract(DAYOFWEEK_ISO FROM o_orderdate)").cast("int")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        iso_dow.alias("iso_dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+    )
+
+
+@register(
+    "date_arith",
+    "H",
+    oracle="""
+        SELECT
+            o_orderkey,
+            o_orderdate + INTERVAL 3 DAY AS due_ts,
+            o_orderdate + INTERVAL 90 MINUTE AS review_ts,
+            CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002,
+            CAST((2002 - year(o_orderdate)) * 12 - month(o_orderdate) + 1 AS INT) AS months_to_2002
+        FROM orders
+    """,
+    doc="Interval arithmetic + day/month difference (portable formulation).",
+)
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    months = (
+        (F.lit(2002) - F.year("o_orderdate")) * 12 - F.month("o_orderdate") + 1
+    ).cast("int")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("due_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTES")).alias("review_ts"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_2002"),
+        months.alias("months_to_2002"),
+    )

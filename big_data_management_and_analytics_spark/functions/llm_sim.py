@@ -1,1 +1,234 @@
-"""Placeholder — populated in a later milestone."""
+"""Category K (similarity) — vector similarity search (SURVEY.md §2.K).
+
+Cosine similarity is computed with built-in higher-order functions
+(zip_with + aggregate → JVM codegen, no Python on the data path). Sums run
+in array order on both engines; results round to 6 digits (§2.0 rule 2).
+
+Scale posture: `llm_sim_knn` is the brute-force exact baseline (fine for a
+query batch × corpus block); `llm_sim_knn_ivf` is the scale path — an
+IVF-style two-stage search that prunes the corpus to the nearest centroid
+cells before scoring, turning O(Q·N) into O(Q·N/cells·probes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+def dot(a, b):
+    """Sequential-order dot product of two double arrays (codegen-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a, b):
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+SQL_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _vecs(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+
+@register(
+    "llm_sim_pairwise",
+    "K",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               ROUND({SQL_COSINE.format(a='a.emb', b='b.emb')}, 6) AS cos_sim
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    """,
+    doc="All-pairs cosine within each label (equi component carries the shuffle).",
+)
+def llm_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "llm_sim_knn",
+    "K",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id % 100 = 0)
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               ROUND({SQL_COSINE.format(a='q.emb', b='v.emb')}, 6) AS cos_sim
+        FROM q JOIN v ON q.vec_id <> v.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY ROUND({SQL_COSINE.format(a='q.emb', b='v.emb')}, 6) DESC,
+                     v.vec_id ASC
+        ) <= 5
+    """,
+    doc=(
+        "Brute-force k-NN: top-5 cosine neighbors for each query vector "
+        "(vec_id % 100 = 0), ranked on the ROUNDED similarity + vec_id "
+        "tiebreak so ordering is cross-engine deterministic."
+    ),
+)
+def llm_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "llm_sim_knn_ivf",
+    "K",
+    doc=(
+        "IVF-style ANN (approximate → rows-tier): label centroids act as the "
+        "coarse quantizer; each query scores only vectors in its 2 nearest "
+        "cells. At 100 TB the centroids come from k-means and the cell join "
+        "is a bucketed equi-join — O(Q·N/cells·probes) instead of O(Q·N)."
+    ),
+)
+def llm_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    # Coarse quantizer: per-label centroid (positional mean).
+    cent = (
+        v.select("label", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s.c).alias("cent"))
+    )
+    q = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    # Probe: 2 nearest cells per query.
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("cell_sim").desc(), F.col("label").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "q_emb", "label",
+            cosine(F.col("q_emb"), F.col("cent")).alias("cell_sim"),
+        )
+        .withColumn("cell_rn", F.row_number().over(w_cell))
+        .filter(F.col("cell_rn") <= 2)
+        .select("query_id", "q_emb", "label")
+    )
+    # Fine search inside probed cells only (equi-join on label).
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(v, "label")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "llm_sim_centroid",
+    "K",
+    oracle="""
+        SELECT label, i AS dim,
+               ROUND(CAST(SUM(CAST(embedding[i] AS DOUBLE)) AS DOUBLE) / COUNT(*), 6) AS centroid_val
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) AS dims
+        GROUP BY label, i
+    """,
+    doc="Per-label centroid: positional explode → mean per (label, dim).",
+)
+def llm_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "llm_vec_norm",
+    "K",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), n AS (
+            SELECT vec_id, emb,
+                   sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS l2
+            FROM v
+        )
+        SELECT vec_id,
+               ROUND(l2, 6) AS l2_norm,
+               ROUND(emb[1] / l2, 6) AS unit_first_dim,
+               ROUND(list_aggregate(
+                   list_transform(emb, x -> (x / l2) * (x / l2)), 'sum'), 4) AS unit_sq_sum
+        FROM n
+    """,
+    doc="L2 norm + unit-normalization (unit_sq_sum ≈ 1 sanity column).",
+)
+def llm_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    n = e.select("vec_id", emb.alias("emb"), l2.alias("l2"))
+    unit_sq_sum = F.aggregate(
+        F.transform(F.col("emb"), lambda x: (x / F.col("l2")) * (x / F.col("l2"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return n.select(
+        "vec_id",
+        F.round("l2", 6).alias("l2_norm"),
+        F.round(F.element_at("emb", 1) / F.col("l2"), 6).alias("unit_first_dim"),
+        F.round(unit_sq_sum, 4).alias("unit_sq_sum"),
+    )

@@ -1,1 +1,217 @@
-"""Placeholder — populated in a later milestone."""
+"""Category K (text) — text analysis for training-data pipelines
+(SURVEY.md §2.K + task-mandated text-analysis additions).
+
+One tokenizer (functions/strings.py::tokens) is shared by every text
+operator so Spark and oracle results agree by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_management_and_analytics_spark.functions.strings import SQL_TOKENS, tokens
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+@register(
+    "llm_text_wordcount",
+    "K",
+    oracle=f"""
+        WITH words AS (
+            SELECT UNNEST({SQL_TOKENS.format(col='text')}) AS word FROM documents
+        )
+        SELECT word, COUNT(*) AS freq
+        FROM words
+        GROUP BY word
+        ORDER BY freq DESC, word ASC
+        LIMIT 50
+    """,
+    doc="Global term frequencies, top-50 with word tiebreak.",
+)
+def llm_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "llm_text_tfidf",
+    "K",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, UNNEST({SQL_TOKENS.format(col='text')}) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+        ) <= 3
+    """,
+    doc=(
+        "TF-IDF top-3 terms per document; ranking uses the ROUNDED score "
+        "so cross-engine ordering is stable (§2.0 rule 4)."
+    ),
+)
+def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "llm_text_stats",
+    "K",
+    oracle="""
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+               MIN(n_chars) AS min_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    doc="Corpus stats per lang×source (exact int-sum average).",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "llm_text_quality",
+    "K",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({SQL_TOKENS.format(col='text')}) AS INT) AS n_tokens,
+               CAST(len(list_distinct({SQL_TOKENS.format(col='text')})) AS INT) AS n_unique,
+               ROUND(CAST(len(list_distinct({SQL_TOKENS.format(col='text')})) AS DOUBLE)
+                     / len({SQL_TOKENS.format(col='text')}), 6) AS lexical_diversity,
+               ROUND(CAST(n_chars AS DOUBLE) / len({SQL_TOKENS.format(col='text')}), 6) AS avg_token_len,
+               CAST(len(list_filter({SQL_TOKENS.format(col='text')},
+                    w -> w IN ('the', 'a'))) AS INT) AS n_stopwords
+        FROM documents
+    """,
+    doc=(
+        "Quality scoring: token count, lexical diversity, avg token length, "
+        "stopword count — the filter-features of a training-data pipeline."
+    ),
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        F.round(n_unique.cast("double") / n_tokens, 6).alias("lexical_diversity"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.size(F.filter(toks, lambda w: w.isin("the", "a"))).alias("n_stopwords"),
+    )
+
+
+@register(
+    "llm_text_langid",
+    "K",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, lang,
+                   len(list_filter({SQL_TOKENS.format(col='text')},
+                       w -> w IN ('the', 'a', 'value', 'data'))) AS en_hits,
+                   len({SQL_TOKENS.format(col='text')}) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN CAST(en_hits AS DOUBLE) / n_tokens >= 0.05
+                    THEN 'en_like' ELSE 'other' END AS lang_guess,
+               ROUND(CAST(en_hits AS DOUBLE) / n_tokens, 6) AS en_score
+        FROM feats
+    """,
+    doc=(
+        "Language-ID heuristic: stopword-hit-rate scoring (the n-gram "
+        "LM reduces to the same shape: per-doc feature ratio → threshold)."
+    ),
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    en_hits = F.size(F.filter(toks, lambda w: w.isin("the", "a", "value", "data")))
+    score = en_hits.cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(score >= 0.05, "en_like").otherwise("other").alias("lang_guess"),
+        F.round(score, 6).alias("en_score"),
+    )
+
+
+@register(
+    "llm_text_fingerprint",
+    "K",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(lower(text), '\\s+'))), ' ')) AS shingle_print,
+               substr(md5(text), 1, 8) AS prefix_print
+        FROM documents
+    """,
+    doc=(
+        "Document fingerprinting: order-insensitive vocabulary hash (catches "
+        "shuffled near-dups) + content-hash prefix."
+    ),
+)
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    vocab = F.array_sort(F.array_distinct(tokens(F.col("text"))))
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", vocab)).alias("shingle_print"),
+        F.substring(F.md5("text"), 1, 8).alias("prefix_print"),
+    )

@@ -1,1 +1,192 @@
-"""Placeholder — populated in a later milestone."""
+"""Category J — UDF / UDAF / UDTF surface (SURVEY.md §2.J).
+
+Idioms follow the public pandas-UDF patterns (SNIPPETS.md): Arrow-batched
+Series→Series scalar UDFs, grouped-agg pandas UDFs, applyInPandas grouped
+maps, mapInPandas partition transforms, and a Spark-4 Python UDTF. Each has
+a pure-SQL oracle computing the same math.
+
+Scale posture: every Python crossing is Arrow-vectorized (no row-at-a-time
+py4j except the deliberately-row-wise `udf_python_scalar`, which exists to
+demonstrate the slow path the engine otherwise avoids).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf, udtf
+
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+@register(
+    "udf_python_scalar",
+    "J",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE
+                   WHEN l_discount = 0 THEN 'none'
+                   WHEN l_discount < 0.05 THEN 'low'
+                   ELSE 'high'
+               END AS discount_band
+        FROM lineitem
+    """,
+    doc="Row-at-a-time Python UDF (the deliberately-slow path).",
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def band(d: float) -> str:
+        if d == 0:
+            return "none"
+        return "low" if d < 0.05 else "high"
+
+    band_udf = F.udf(band, T.StringType())
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", band_udf("l_discount").alias("discount_band")
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    "J",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 + l_tax) AS gross_price
+        FROM lineitem
+    """,
+    doc="Vectorized (Arrow) scalar pandas UDF — Series in, Series out.",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf(T.DoubleType())
+    def gross(price: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 + tax)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        gross("l_extendedprice", "l_tax").alias("gross_price"),
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    "J",
+    oracle="""
+        SELECT event_type, ROUND(AVG(value), 4) AS mean_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Grouped-agg pandas UDF (UDAF): per-group mean, rounded 4.",
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf(T.DoubleType())
+    def mean_udaf(v: pd.Series) -> float:
+        return float(v.mean())
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(mean_udaf("value"), 4).alias("mean_value")
+    )
+
+
+@register(
+    "udf_grouped_map",
+    "J",
+    oracle="""
+        SELECT event_id, event_type,
+               ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                     / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS zscore
+        FROM events
+    """,
+    doc="applyInPandas grouped map: z-score normalize per event_type.",
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("zscore", T.DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = ((v - v.mean()) / v.std(ddof=1)).round(4)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "zscore": z}
+        )
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(zscore, out_schema)
+
+
+@register(
+    "udtf_python",
+    "J",
+    oracle="""
+        SELECT p_partkey,
+               UNNEST(list_transform(
+                   generate_series(1, length(p_name) - 2),
+                   i -> substr(p_name, i, 3))) AS gram
+        FROM part
+        WHERE length(p_name) >= 3
+    """,
+    doc="Python UDTF (Spark 4): explode character 3-grams of part names.",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @udtf(returnType="p_partkey: long, gram: string")
+    class CharTrigrams:
+        def eval(self, partkey: int, name: str):
+            if name is None:
+                return
+            for i in range(len(name) - 2):
+                yield partkey, name[i : i + 3]
+
+    spark.udtf.register("char_trigrams", CharTrigrams)
+    p = load(spark, sf_dir, "part").filter(F.length("p_name") >= 3)
+    p.createOrReplaceTempView("part_names_v")
+    return spark.sql(
+        """
+        SELECT g.p_partkey, g.gram
+        FROM part_names_v,
+             LATERAL char_trigrams(p_partkey, p_name) AS g
+        """
+    )
+
+
+@register(
+    "udf_arrow_map",
+    "J",
+    oracle="""
+        SELECT event_id, user_id, value * 2 AS doubled
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+    doc="mapInPandas whole-partition transform (filter + project in Python).",
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("doubled", T.DoubleType()),
+        ]
+    )
+
+    def transform(batches):
+        for pdf in batches:
+            sel = pdf[pdf["event_type"] == "purchase"]
+            yield pd.DataFrame(
+                {
+                    "event_id": sel["event_id"],
+                    "user_id": sel["user_id"],
+                    "doubled": sel["value"] * 2,
+                }
+            )
+
+    ev = load(spark, sf_dir, "events")
+    return ev.mapInPandas(transform, out_schema)

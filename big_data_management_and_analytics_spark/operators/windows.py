@@ -1,1 +1,272 @@
-"""Placeholder — populated in a later milestone."""
+"""Category E — window functions (SURVEY.md §2.E).
+
+Every window carries a total order (primary-key tiebreak appended) so rank /
+frame contents are deterministic. Frame aggregates over money use the exact
+decimal-sum discipline (§2.0 rule 1) instead of native double avg/sum.
+
+Scale posture: one shuffle per distinct partitioning key; all ten queries
+partition by a real entity key (nation/customer/user), never a global
+single-partition window except `sort_multikey`'s encoded-position pattern.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_management_and_analytics_spark.plans.determinism import dec2
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+@register(
+    "win_row_number",
+    "E",
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+               ) AS rn
+        FROM customer
+    """,
+    doc="row_number per partition with total-order tiebreak.",
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn")
+    )
+
+
+@register(
+    "win_rank_dense",
+    "E",
+    oracle="""
+        SELECT p_brand, p_partkey, p_size,
+               RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drnk
+        FROM part
+    """,
+    doc="rank/dense_rank over a tie-heavy key (p_size) — rank values are tie-stable.",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile",
+    "E",
+    oracle="""
+        SELECT c_custkey, c_acctbal,
+               NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+        FROM customer
+    """,
+    doc="Quartiles of customers by account balance (total order → deterministic).",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "win_lag_lead",
+    "E",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+               LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        FROM events
+    """,
+    doc="lag with default + lead (null at partition end) per user timeline.",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value", 1, 0.0).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+
+
+@register(
+    "win_running_sum",
+    "E",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+    doc="Cumulative spend per customer — exact decimal prefix sums.",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "win_sliding_avg",
+    "E",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w, 4) AS moving_avg_price
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="3-row moving average as exact-frame-sum / frame-count.",
+)
+def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    avg = F.sum(dec2("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(avg, 4).alias("moving_avg_price")
+    )
+
+
+@register(
+    "win_range_frame",
+    "E",
+    oracle="""
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               COUNT(*) OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal
+                   RANGE BETWEEN 100 PRECEDING AND CURRENT ROW
+               ) AS peers_within_100
+        FROM customer
+    """,
+    doc="Value-range frame (RANGE BETWEEN 100 PRECEDING) over a numeric key.",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).alias("peers_within_100"),
+    )
+
+
+@register(
+    "win_first_last",
+    "E",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               LAST_VALUE(event_type) OVER w AS last_type
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    doc="first_value/last_value with an explicit full-partition frame.",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+@register(
+    "win_pct_cume",
+    "E",
+    oracle="""
+        SELECT s_suppkey, s_acctbal,
+               ROUND(PERCENT_RANK() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS cume,
+               NTILE(10) OVER (ORDER BY s_acctbal, s_suppkey) AS decile
+        FROM supplier
+    """,
+    doc="percent_rank / cume_dist / deciles over supplier balances.",
+)
+def win_pct_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    "E",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+        ) <= 3
+    """,
+    doc="Top-3 orders per customer (row_number + filter ≡ QUALIFY).",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

@@ -33,6 +33,12 @@ _RUNTIME_CONF = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow for every Python boundary crossing (pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Local-mode shuffle sizing: the 200-partition default turns streaming
+    # state stages into 200 tiny tasks at test scale. AQE coalesces batch
+    # shuffles anyway; stateful streaming does not, so pin it here.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
 }
 
 

@@ -1,1 +1,170 @@
-"""Placeholder — populated in a later milestone."""
+"""Category I (batch twins) — streaming semantics verified as batch
+queries (SURVEY.md §2.I strategy: every streaming operator has a
+batch-equivalent oracle; the true-streaming twins in live.py share the
+same aggregation specs so they cannot drift).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_management_and_analytics_spark.plans.determinism import dec2
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Shared spec: 1-hour tumbling count+sum per event_type.
+
+    Used identically by stream_tumbling_batch and stream_tumbling_live
+    (SURVEY.md §7 hard-item 7: one spec, two execution modes).
+    """
+    return (
+        events.groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_batch",
+    "I",
+    oracle="""
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    """,
+    doc="1-hour tumbling window count+sum per event_type (batch twin).",
+)
+def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_batch",
+    "I",
+    oracle="""
+        SELECT event_type,
+               time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS window_start,
+               COUNT(*) AS n_events
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) AS k
+        GROUP BY event_type, time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes'
+    """,
+    doc=(
+        "10-min windows sliding by 5 min; oracle expands each event into "
+        "its 2 covering windows via generate_series (P4 sliding_via_series)."
+    ),
+)
+def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type", F.col("win.start").alias("window_start"), "n_events"
+        )
+    )
+
+
+@register(
+    "stream_session_batch",
+    "I",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Session windows (30-min gap) per user; oracle is the classic "
+        "gaps-and-islands rewrite (P4). session_end = last event + gap, and "
+        "the merge boundary is INCLUSIVE: a gap of exactly 30min still "
+        "merges (hence strict > in the oracle; verified on literal rows)."
+    ),
+)
+def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_dedup_batch",
+    "I",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc=(
+        "Keyed dedup (dropDuplicates ≡ streaming dedup state); keys-only "
+        "output — which duplicate survives is nondeterministic, the key set "
+        "is not (§2.I note)."
+    ),
+)
+def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+
+
+@register(
+    "stream_static_join_batch",
+    "I",
+    oracle="""
+        SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
+    """,
+    doc=(
+        "Stream-static enrichment: events joined to the customer dim "
+        "(broadcast — identical plan under readStream)."
+    ),
+)
+def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("sum_value"),
+        )
+    )

@@ -1,1 +1,252 @@
-"""Placeholder — populated in a later milestone."""
+"""Category I (live) — true Structured Streaming twins (rows-tier).
+
+Each query replays the events parquet through ``readStream`` with the
+``availableNow`` trigger (bounded replay of an unbounded plan) and returns
+the materialized result. The aggregation specs are shared with
+batch_twins.py so stream and batch semantics cannot drift.
+
+The ns-timestamp recipe applies on the stream path too: the pinned
+readStream schema declares ``ts`` as LONG (nanos) and converts via
+``timestamp_micros(ts div 1000)`` — same as sources/io.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.session import tune
+from big_data_management_and_analytics_spark.streaming.batch_twins import tumbling_agg
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    # FileStreamSource needs a directory; glob-filter to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a bounded streaming query into an in-memory table."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdma_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_live",
+    "I",
+    doc=(
+        "True streaming twin of stream_tumbling_batch: readStream → "
+        "watermark → window agg → memory sink, availableNow trigger. "
+        "Complete mode emits every window (append would hold back windows "
+        "the final watermark hasn't passed)."
+    ),
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _run_to_memory(tumbling_agg(ev), "complete")
+
+
+@register(
+    "stream_watermark_late",
+    "I",
+    doc=(
+        "Late-data drop: replay events as two files — recent events first "
+        "(advances the watermark), then a file of old (late) events. With a "
+        "10-minute watermark in append mode the late rows are dropped; the "
+        "result is the emitted window set, which excludes the late file's "
+        "contribution."
+    ),
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    src = tempfile.mkdtemp(prefix="bdma_late_src_")
+    try:
+        full = (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .limit(2000)
+            .toPandas()
+        )
+        cutoff = full["ts"].quantile(0.5)
+        recent = full[full["ts"] >= cutoff]
+        late = full[full["ts"] < cutoff]
+        # File order = modification time; write recent first so the
+        # watermark has advanced past the late file's event times.
+        recent_path = os.path.join(src, "batch0.parquet")
+        late_path = os.path.join(src, "batch1.parquet")
+        recent.to_parquet(recent_path, index=False)
+        late.to_parquet(late_path, index=False)
+        now = os.stat(recent_path).st_mtime
+        os.utime(recent_path, (now - 60, now - 60))
+        os.utime(late_path, (now, now))
+
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ev = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).withWatermark("ts", "10 minutes")
+        counts = ev.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        out = _run_to_memory(
+            counts.select(F.col("win.start").alias("window_start"), "n_events"),
+            "append",
+        )
+        # Materialize before the source directory disappears.
+        pdf = out.toPandas()
+        return spark.createDataFrame(
+            pdf if len(pdf) else pd.DataFrame({"window_start": pd.Series([], dtype="datetime64[us]"), "n_events": pd.Series([], dtype="int64")}),
+            schema="window_start timestamp, n_events long",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+@register(
+    "stream_stateful_sessions",
+    "I",
+    doc=(
+        "Arbitrary stateful processing: applyInPandasWithState sessionizer "
+        "(30-min gap) over the replayed stream — per-user open-session "
+        "summary emitted each micro-batch, state carried in GroupState."
+    ),
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_ts_us", T.LongType()),
+        ]
+    )
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n_sessions, n_events, last_us = state.get
+        else:
+            n_sessions, n_events, last_us = 0, 0, None
+        for pdf in pdf_iter:
+            for us in (
+                pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
+            ):
+                if last_us is None or us - last_us > gap_us:
+                    n_sessions += 1
+                n_events += 1
+                last_us = int(us)
+        state.update((n_sessions, n_events, last_us))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sessions, "update")
+
+
+@register(
+    "stream_output_modes",
+    "I",
+    doc=(
+        "Output-mode matrix: the same windowed count run in append / "
+        "update / complete plus a foreachBatch parquet sink; returns one "
+        "row per mode with the emitted row count."
+    ),
+)
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    counts_spec = lambda ev: ev.groupBy(  # noqa: E731
+        F.window("ts", "6 hours").alias("win")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    results = []
+    for mode in ("append", "update", "complete"):
+        ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+        out = _run_to_memory(
+            counts_spec(ev).select(F.col("win.start").alias("ws"), "n_events"), mode
+        )
+        results.append((mode, out.count()))
+
+    # foreachBatch → parquet sink path
+    sink = tempfile.mkdtemp(prefix="bdma_fb_sink_")
+    shutil.rmtree(sink, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="bdma_fb_ckpt_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    q = (
+        counts_spec(ev)
+        .select(F.col("win.start").alias("ws"), "n_events")
+        .writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    n_sink = spark.read.parquet(sink).count() if os.path.isdir(sink) else 0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    results.append(("foreach_batch_parquet", n_sink))
+
+    return spark.createDataFrame(results, schema="mode string, n_rows long")

@@ -1,0 +1,44 @@
+"""Determinism harness (SURVEY.md §5.4): run float-sensitive oracle queries
+under different shuffle-partition counts and assert identical canonical
+hashes — catches partition-order float bugs before the driver does."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from tests.conftest import SF_T2
+
+# The queries whose results would drift under partition reordering if the
+# §2.0 rules were violated (double sums, window frames, rounding).
+SENSITIVE = [
+    "agg_pricing_summary",
+    "agg_stats",
+    "agg_percentile_exact",
+    "win_running_sum",
+    "win_sliding_avg",
+    "llm_sim_pairwise",
+    "llm_sim_centroid",
+    "llm_text_tfidf",
+    "udf_grouped_map",
+    "join_star_5way",
+]
+
+
+def _canon_hash(df) -> str:
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    rows = sorted(tuple(map(repr, r)) for r in pdf.itertuples(index=False))
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_shuffle_partition_invariance(spark, registry, name):
+    q = registry[name]
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    h3 = _canon_hash(q.fn(spark, SF_T2))
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    h17 = _canon_hash(q.fn(spark, SF_T2))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert h3 == h17, f"{name} result depends on partitioning"

@@ -1,0 +1,135 @@
+"""Semantic unit tests on tiny literal DataFrames — nulls, ties, and the
+edge cases the fixtures may not cover (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_equal_ts_and_no_match(spark):
+    """ASOF semantics: ts-equality matches; purchase before any signup → null."""
+    from big_data_management_and_analytics_spark.operators import joins
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 7, "purchase", 1.0, "{}"),  # before signup
+            (2, _ts("2024-01-01T11:00:00"), 7, "signup", 1.0, "{}"),
+            (3, _ts("2024-01-01T11:00:00"), 7, "purchase", 1.0, "{}"),  # ts == signup ts
+            (4, _ts("2024-01-01T12:00:00"), 7, "purchase", 1.0, "{}"),  # after signup
+        ],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="asof_lit_")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["event_id"]: r["signup_ts"]
+        for r in joins.join_asof_event(spark, d).collect()
+    }
+    assert out[1] is None  # no earlier signup
+    assert out[3] == _ts("2024-01-01T11:00:00")  # equality included
+    assert out[4] == _ts("2024-01-01T11:00:00")
+
+
+def test_session_window_gap_boundary(spark):
+    """Session merge boundary is INCLUSIVE: exactly 30min apart merges.
+
+    Pins the semantics the stream_session_batch oracle mirrors with its
+    strict `>` gap condition (a `>=` oracle would split the boundary case).
+    """
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00")), (1, _ts("2024-01-01T10:30:00")),
+         (1, _ts("2024-01-01T11:00:01"))],
+        schema="user_id long, ts timestamp",
+    )
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .collect()
+    )
+    # 10:00 + 10:30 merge (inclusive boundary, session extends to 11:00);
+    # 11:00:01 is 30:01 after 10:30 AND past the session end → new session.
+    assert sorted(r["count"] for r in sessions) == [1, 2]
+
+
+def test_minhash_catches_exact_duplicates(spark, tmp_path):
+    """Identical docs must collide in every band; near-identical in ≥1 band."""
+    from big_data_management_and_analytics_spark.functions import llm_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join filter window agg sort", "en", "s", 1),
+            (2, "spark join filter window agg sort", "en", "s", 1),  # exact dup
+            (3, "spark join filter window agg merge", "en", "s", 1),  # near dup
+            (4, "totally different words here now yes", "en", "s", 1),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "mh")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    groups = {
+        r["doc_id"]: r["group_rep"]
+        for r in llm_dedup.llm_dedup_minhash(spark, d).collect()
+    }
+    assert groups[2] == 1  # exact dup collides in every band → same group
+    assert groups[3] == 1  # near dup caught in ≥1 band
+    assert groups[4] == 4  # unrelated doc stays its own representative
+
+
+def test_jaccard_definition(spark, tmp_path):
+    """Near-exact dedup uses token-SET jaccard: dup tokens don't inflate."""
+    from big_data_management_and_analytics_spark.functions import llm_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en", "s", 9),
+            (2, "a b c d e a a a", "en", "s", 15),  # same set, repeated tokens
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "jac")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = llm_dedup.llm_dedup_near_exact(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_pivot_missing_cell_is_null(spark, tmp_path):
+    from big_data_management_and_analytics_spark.operators import aggregations
+
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 5, "click", 2.0, "{}")],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "pv")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    row = aggregations.agg_pivot(spark, d).collect()[0]
+    assert row["click"] == 2.0 and row["purchase"] is None
+
+
+def test_cosine_known_vectors(spark):
+    from big_data_management_and_analytics_spark.functions.llm_sim import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([1.0, 0.0], [-1.0, 0.0])],
+        schema="a array<double>, b array<double>",
+    )
+    vals = [r[0] for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6)).collect()]
+    assert vals == [0.0, 1.0, -1.0]
+
+
+def test_tokenizer_is_shared_single_definition():
+    """One tokenizer definition for all text ops (SURVEY §7 M5)."""
+    from big_data_management_and_analytics_spark.functions.strings import (
+        SQL_TOKENS,
+        TOKEN_SPLIT_RE,
+    )
+
+    assert TOKEN_SPLIT_RE == r"\s+"
+    assert "lower" in SQL_TOKENS

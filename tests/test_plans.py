@@ -1,0 +1,71 @@
+"""Physical-plan assertions (SURVEY.md §4): pushdown, pruning, broadcast,
+whole-stage codegen — the scale-posture checks the 100 TB design relies on."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_T2
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    df = registry["scan_pushdown_filter"].fn(spark, SF_T2)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_projection_prunes_columns(spark, registry):
+    df = registry["scan_projection"].fn(spark, SF_T2)
+    plan = _plan(df)
+    # ReadSchema must contain only the two projected columns.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_selected(spark, registry):
+    df = registry["join_broadcast_star"].fn(spark, SF_T2)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_broadcasts_dims(spark, registry):
+    df = registry["join_star_5way"].fn(spark, SF_T2)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # nation/region sides
+
+
+def test_topk_uses_take_ordered(spark, registry):
+    df = registry["sort_topk"].fn(spark, SF_T2)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark, registry):
+    """After execution the AQE final plan shows codegen spans (the `*(n)`
+    stage markers); the aggregate pipeline must be fused, not interpreted."""
+    df = registry["agg_pricing_summary"].fn(spark, SF_T2)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan, "no whole-stage-codegen spans in executed plan"
+
+
+def test_partial_aggregation_split(spark, registry):
+    """Map-side partial agg before the shuffle (two HashAggregate nodes)."""
+    df = registry["agg_pricing_summary"].fn(spark, SF_T2)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_join_is_single_window_not_loop(spark, registry):
+    """The as-of join must be a window plan (one shuffle), not a nested loop."""
+    df = registry["join_asof_event"].fn(spark, SF_T2)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
