@@ -76,7 +76,9 @@ def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (distinct (doc,term) already materialized) — avoids
+    # a second tokenize+explode scan of the corpus.
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "term")
