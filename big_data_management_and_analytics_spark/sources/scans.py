@@ -125,6 +125,60 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_orc_roundtrip",
+    "A",
+    doc="ORC sink + re-read (second columnar format); rows-tier.",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("bdma_orc_")
+    part = load(spark, sf_dir, "part")
+    part.write.mode("overwrite").orc(out)
+    return spark.read.schema(SCHEMAS["part"]).orc(out)
+
+
+@register(
+    "sink_bucketed_join",
+    "A",
+    doc=(
+        "Bucketed tables + co-located join: orders and customer written "
+        "bucketed by customer key (8 buckets, external tables), then joined "
+        "bucket-to-bucket — NO shuffle on either side (asserted in "
+        "tests/test_plans.py). This is the 100 TB pattern for repeated "
+        "fact⋈dim joins on a stable key: pay the shuffle once at write "
+        "time, never again at read time."
+    ),
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    o_tbl, c_tbl = f"orders_b_{tag}", f"customer_b_{tag}"
+    base = _roundtrip_dir("bdma_bucket_")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    (
+        o.write.mode("overwrite")
+        .option("path", os.path.join(base, o_tbl))
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(o_tbl)
+    )
+    (
+        c.write.mode("overwrite")
+        .option("path", os.path.join(base, c_tbl))
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(c_tbl)
+    )
+    ob, cb = spark.table(o_tbl), spark.table(c_tbl)
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
     "sink_parquet_partitioned",
     "A",
     doc=(

@@ -62,6 +62,19 @@ def test_partial_aggregation_split(spark, registry):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_bucketed_join_has_no_shuffle(spark, registry):
+    """Bucket-to-bucket join: neither side may need an Exchange (the whole
+    point of bucketing — co-located joins at read time)."""
+    df = registry["sink_bucketed_join"].fn(spark, SF_T2)
+    plan = _plan(df)
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # The join inputs read pre-bucketed files; only the final aggregate may
+    # exchange (on the group key), never the join keys.
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+
+
 def test_asof_join_is_single_window_not_loop(spark, registry):
     """The as-of join must be a window plan (one shuffle), not a nested loop."""
     df = registry["join_asof_event"].fn(spark, SF_T2)
