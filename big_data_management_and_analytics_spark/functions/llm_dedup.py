@@ -25,6 +25,9 @@ from big_data_management_and_analytics_spark.sources.io import load
 N_HASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
 
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16  # 4 bands × 16 bits → candidates at hamming ≤ 3·16
+
 
 @register(
     "llm_dedup_exact",
@@ -135,19 +138,142 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # Cluster assignment without pair materialization: each bucket's
-    # representative is its min doc_id; each doc's group_rep is the min
-    # representative over its buckets (1-hop union — iterate to a fixpoint
-    # for full connected components; 1 hop is the standard LSH-dedup pass).
+    return _bucket_group_assign(banded, "doc_id")
+
+
+def _bucket_group_assign(banded: DataFrame, key: str) -> DataFrame:
+    """Cluster assignment without pair materialization: each bucket's
+    representative is its min key; each row's group_rep is the min
+    representative over its buckets (1-hop union — iterate to a fixpoint
+    for full connected components; 1 hop is the standard LSH-dedup pass).
+    Linear in rows, never O(pairs)."""
     bucket_rep = banded.groupBy("band", "bucket").agg(
-        F.min("doc_id").alias("bucket_rep"), F.count(F.lit(1)).alias("bucket_n")
+        F.min(key).alias("bucket_rep"), F.count(F.lit(1)).alias("bucket_n")
     )
     return (
         banded.join(bucket_rep, ["band", "bucket"])
-        .groupBy("doc_id")
+        .groupBy(key)
         .agg(
             F.min("bucket_rep").alias("group_rep"),
             F.max("bucket_n").alias("max_bucket_size"),
         )
+        .withColumn("is_candidate_dup", F.col("group_rep") < F.col(key))
+    )
+
+
+@register(
+    "llm_dedup_simhash",
+    "K",
+    doc=(
+        "SimHash near-dup grouping (approximate → rows-tier): 64-bit "
+        "fingerprint where bit i = sign of Σ over tokens of ±1 by bit i of "
+        "xxhash64(token); split into 4×16-bit bands for LSH candidate "
+        "grouping (docs agreeing on any band ≈ hamming-close). All codegen: "
+        "explode → 64 conditional-sum aggregates → band pack → bucket "
+        "grouping. Output (doc_id, simhash_hex, group_rep)."
+    ),
+)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"band{b}", T.LongType()) for b in range(n_bands)]
+    )
+
+    # Bit-majority vote per doc as one numpy pass (a 64-expression codegen
+    # aggregate compiles for seconds; this is one Arrow crossing instead).
+    def simhash_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy().astype(np.uint64)
+        bits = (h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        fp_bits = (votes > 0).astype(np.int64)
+        row = {"doc_id": [int(pdf["doc_id"].iloc[0])]}
+        for b in range(n_bands):
+            seg = fp_bits[b * SIMHASH_BAND_BITS : (b + 1) * SIMHASH_BAND_BITS]
+            row[f"band{b}"] = [int((seg << np.arange(SIMHASH_BAND_BITS)).sum())]
+        return pd.DataFrame(row)
+
+    packed = words.groupBy("doc_id").applyInPandas(simhash_group, out_schema)
+    fingerprint = F.concat_ws(
+        "", *[F.lpad(F.hex(F.col(f"band{b}")), 4, "0") for b in range(n_bands - 1, -1, -1)]
+    )
+    banded = packed.select(
+        "doc_id",
+        fingerprint.alias("simhash_hex"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash_hex", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bucket_rep = banded.groupBy("band", "bucket").agg(F.min("doc_id").alias("bucket_rep"))
+    return (
+        banded.join(bucket_rep, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.first("simhash_hex").alias("simhash_hex"),
+            F.min("bucket_rep").alias("group_rep"),
+        )
         .withColumn("is_candidate_dup", F.col("group_rep") < F.col("doc_id"))
+    )
+
+
+@register(
+    "llm_dedup_embcos",
+    "K",
+    oracle="""
+        WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        matches AS (
+            SELECT a.vec_id,
+                   MIN(b.vec_id) AS best_match
+            FROM v a JOIN v b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+             AND list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+                 >= 0.3
+            GROUP BY a.vec_id
+        )
+        SELECT v.vec_id,
+               LEAST(v.vec_id, COALESCE(m.best_match, v.vec_id)) AS dup_group
+        FROM v LEFT JOIN matches m ON v.vec_id = m.vec_id
+    """,
+    doc=(
+        "Embedding-cosine near-dup: each vector grouped with the min vec_id "
+        "among label-blocked neighbors of cosine ≥ 0.3 (blocking keeps the "
+        "pair space label-local; at 100 TB the block key comes from "
+        "LSH/IVF cells instead of labels)."
+    ),
+)
+def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.llm_sim import cosine_batch
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    a, b = v.alias("a"), v.alias("b")
+    pair_cos = cosine_batch(F.col("a.emb"), F.col("b.emb"))
+    matches = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= 0.3)
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("best_match"))
+    )
+    return v.join(matches, "vec_id", "left").select(
+        "vec_id",
+        F.least(F.col("vec_id"), F.coalesce("best_match", "vec_id")).alias("dup_group"),
     )

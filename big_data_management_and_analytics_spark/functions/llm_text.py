@@ -160,6 +160,34 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_text_tokencount",
+    "K",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({SQL_TOKENS.format(col='text')}) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens,
+               CAST(n_chars AS INT) AS chars
+        FROM documents
+    """,
+    doc=(
+        "Token counting two ways: whitespace tokens and a BPE-ish regex "
+        "(letter runs | single digits | punctuation) — the cheap token-"
+        "budget estimators of a training-data pipeline."
+    ),
+)
+def llm_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bpe_ish = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(bpe_ish).alias("bpe_ish_tokens"),
+        F.col("n_chars").cast("int").alias("chars"),
+    )
+
+
+@register(
     "llm_text_langid",
     "K",
     oracle=f"""
