@@ -284,6 +284,51 @@ def join_self_succ(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    "C",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        JOIN customer ON (user_id % 10) + 1 = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    doc=(
+        "Skew-mitigated join (salting): the build key (user_id % 10)+1 "
+        "concentrates all events onto 10 hot keys — the classic skew shape. "
+        "The salted plan appends a random-free deterministic salt "
+        "(event_id % 16) to the hot key, explodes the dim side 16×, joins "
+        "on (key, salt), then aggregates. Same result as the skewed join "
+        "(oracle proves it) but the shuffle spreads each hot key over 16 "
+        "partitions. At 100 TB this is the manual fallback when AQE skew "
+        "handling can't split a single giant hash-key group."
+    ),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    n_salt = 16
+    skewed = ev.select(
+        ((F.col("user_id") % 10) + 1).alias("join_key"),
+        (F.col("event_id") % n_salt).alias("salt"),
+        "value",
+    )
+    salted_dim = c.select(
+        F.col("c_custkey").alias("join_key"),
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+    )
+    return (
+        skewed.join(salted_dim, ["join_key", "salt"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_fast("value", "sum_value"),
+        )
+    )
+
+
+@register(
     "join_asof_event",
     "C",
     oracle="""
