@@ -22,7 +22,7 @@ __all__ = ["all_queries", "get_query", "load_all"]
 def load_all() -> None:
     """Import every query module so the registry is fully populated."""
     # Imports are side-effectful: each module registers its queries.
-    from big_data_management_and_analytics_spark.sources import scans  # noqa: F401
+    from big_data_management_and_analytics_spark.sources import pysource, scans  # noqa: F401
     from big_data_management_and_analytics_spark.operators import (  # noqa: F401
         projections,
         joins,

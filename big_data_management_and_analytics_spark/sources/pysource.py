@@ -1,0 +1,105 @@
+"""Custom Python DataSource (Spark 4 DataSource API) — a deterministic
+synthetic-events source demonstrating source extensibility.
+
+The source is partition-aware: `partitions()` splits the row range into
+`numPartitions` independent splits and each executor materializes only its
+split — the same contract a real external-system connector (REST shards,
+Kafka partitions, object-store listings) implements. Generation is
+counter-based (hash of the row id), so any split is reproducible on retry —
+the property a distributed source MUST have (task retries re-read splits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_management_and_analytics_spark.plans.registry import register
+
+try:  # Spark 4 API; gate so older runtimes degrade gracefully
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    _HAS_DATASOURCE_API = True
+except ImportError:  # pragma: no cover
+    _HAS_DATASOURCE_API = False
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _row_for(i: int) -> tuple:
+    """Deterministic event row from a counter (retry-safe, seedless)."""
+    h = hashlib.md5(str(i).encode()).digest()
+    return (
+        i,
+        int.from_bytes(h[0:2], "big") % 150,  # user_id
+        EVENT_TYPES[h[2] % len(EVENT_TYPES)],
+        round(int.from_bytes(h[3:5], "big") % 20000 / 100.0, 2),  # value
+    )
+
+
+if _HAS_DATASOURCE_API:
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class SyntheticEventsDataSource(DataSource):
+        """spark.read.format("synthetic_events").option("rows", n)"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_events"
+
+        def schema(self) -> str:
+            return "event_id bigint, user_id bigint, event_type string, value double"
+
+        def reader(self, schema):
+            return SyntheticEventsReader(self.options)
+
+    class SyntheticEventsReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("rows", 1000))
+            self.n_parts = int(options.get("numPartitions", 8))
+
+        def partitions(self):
+            step = max(1, self.n_rows // self.n_parts)
+            return [
+                _RangePartition(s, min(s + step, self.n_rows))
+                for s in range(0, self.n_rows, step)
+            ]
+
+        def read(self, partition: "_RangePartition"):
+            for i in range(partition.start, partition.end):
+                yield _row_for(i)
+
+
+@register(
+    "src_custom_datasource",
+    "A",
+    doc=(
+        "Custom partition-aware Python DataSource (Spark 4 DataSource API): "
+        "deterministic synthetic events generated per split, aggregated by "
+        "type. Rows-tier (source data never touches parquet)."
+    ),
+)
+def src_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not _HAS_DATASOURCE_API:  # pragma: no cover
+        raise NotImplementedError("requires Spark >= 4.0 Python DataSource API")
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = (
+        spark.read.format("synthetic_events")
+        .option("rows", 5000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -124,6 +124,24 @@ def test_cosine_known_vectors(spark):
     assert vals == [0.0, 1.0, -1.0]
 
 
+def test_custom_datasource_deterministic(spark):
+    """Two reads of the custom source agree (retry-safe splits), and the
+    source honors its numPartitions option."""
+    from big_data_management_and_analytics_spark.sources import pysource
+
+    a = pysource.src_custom_datasource(spark, "").toPandas().sort_values("event_type")
+    b = pysource.src_custom_datasource(spark, "").toPandas().sort_values("event_type")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    raw = (
+        spark.read.format("synthetic_events")
+        .option("rows", 100)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 4
+    assert raw.count() == 100
+
+
 def test_tokenizer_is_shared_single_definition():
     """One tokenizer definition for all text ops (SURVEY §7 M5)."""
     from big_data_management_and_analytics_spark.functions.strings import (
