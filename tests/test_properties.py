@@ -1,0 +1,64 @@
+"""Exhaustive property checks for the determinism fast paths.
+
+These aren't samples: each test sweeps EVERY 2-decimal money value in the
+relevant range in one Spark job, so the cents-math equivalence the oracle
+comparison relies on is proven, not spot-checked.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from big_data_management_and_analytics_spark.plans.determinism import cents
+
+# Fixture money ranges: prices ≤ ~105k, acctbals ≥ -1k (FIXTURES.md);
+# sweep ±$200,000.00 → 40M distinct 2-decimal values.
+CENTS_RANGE = 20_000_000
+
+
+def test_cents_equals_decimal_cast_exhaustively(spark):
+    """floor(x*100+0.5) == CAST(x AS DECIMAL(18,2))*100 for every 2-decimal
+    double in ±$200k — the identity that lets money aggregate in longs."""
+    df = spark.range(-CENTS_RANGE, CENTS_RANGE + 1).select(
+        F.col("id").alias("k"), (F.col("id") / 100.0).alias("x")
+    )
+    bad = df.filter(
+        (cents("x") != F.col("k"))
+        | (F.col("x").cast("decimal(18,2)") * 100 != F.col("k"))
+    ).count()
+    assert bad == 0
+
+
+def test_cents_division_matches_duckdb_decimal_to_double(spark):
+    """sum-of-cents/100.0 must equal DuckDB's CAST(decimal-sum AS DOUBLE)
+    bit-for-bit across a dense value grid (the final-projection identity)."""
+    n = 200_001
+    spark_vals = (
+        spark.range(-(n // 2), n // 2 + 1)
+        .agg((F.sum("id") + F.lit(n).cast("long") * F.lit(1234567)).alias("s"))
+        .select((F.col("s") / 100.0).alias("v"))
+        .collect()[0]["v"]
+    )
+    duck_vals = duckdb.sql(
+        f"""
+        SELECT CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM (SELECT (g + 1234567) / 100.0 AS x
+              FROM generate_series({-(n//2)}, {n//2}) t(g))
+        """
+    ).fetchone()[0]
+    assert spark_vals == duck_vals
+
+
+def test_jaccard_bounds_and_symmetry(spark, tmp_path):
+    """Jaccard outputs sit in (0, 1] and doc_a < doc_b always holds."""
+    from big_data_management_and_analytics_spark.functions import llm_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "jb")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = llm_dedup.llm_dedup_near_exact(spark, d).collect()
+    assert rows, "fixture corpus should contain near-dups at τ=0.8"
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
