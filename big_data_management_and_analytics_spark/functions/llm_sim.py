@@ -88,7 +88,7 @@ def llm_sim_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
+            F.round(cosine_batch(F.col("a.emb"), F.col("b.emb")), 6).alias("cos_sim"),
         )
     )
 

@@ -243,6 +243,49 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_outer_join_live",
+    "I",
+    doc=(
+        "Stream-stream LEFT OUTER join with watermarks: purchases with no "
+        "click in the prior 10 minutes emit with null click columns — but "
+        "only once the watermark proves no match can still arrive. "
+        "Purchases newer than (max event time − watermark) stay buffered at "
+        "stream end: bounded-replay outer joins under-emit the tail by "
+        "design. Rows-tier."
+    ),
+)
+def stream_stream_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "p_user", "p_ts")
+    return _run_to_memory(joined, "append")
+
+
+@register(
     "stream_output_modes",
     "I",
     doc=(
