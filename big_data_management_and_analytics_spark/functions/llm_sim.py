@@ -1,8 +1,14 @@
 """Category K (similarity) — vector similarity search (SURVEY.md §2.K).
 
-Cosine similarity is computed with built-in higher-order functions
-(zip_with + aggregate → JVM codegen, no Python on the data path). Sums run
-in array order on both engines; results round to 6 digits (§2.0 rule 2).
+Two cosine paths:
+- ``cosine`` — built-in higher-order functions (zip_with + aggregate),
+  sequential array-order sums exactly matching the oracle formula; used
+  for small inputs (centroid probes).
+- ``cosine_batch`` — Arrow pandas UDF, one numpy einsum per batch; the
+  per-pair hot path. Its summation order differs from the oracle by
+  ~1e-16 relative, absorbed by the round-6 output discipline (§2.0
+  rule 2) — if a round-6 mismatch ever appears here, suspect a value
+  sitting on a 5e-7 rounding boundary, not the math.
 
 Scale posture: `llm_sim_knn` is the brute-force exact baseline (fine for a
 query batch × corpus block); `llm_sim_knn_ivf` is the scale path — an
@@ -186,7 +192,7 @@ def llm_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+            F.round(cosine_batch(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)

@@ -200,18 +200,14 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(sessions, "update")
 
 
-@register(
-    "stream_stream_join_live",
-    "I",
-    doc=(
-        "Stream-stream inner join with watermarks: purchases joined to the "
-        "same user's clicks within the previous 10 minutes — the live twin "
-        "of join_interval_pairs' pattern. Both sides carry watermarks so "
-        "Spark can bound the join state (the time-range condition tells the "
-        "state store when a buffered row can never match again)."
-    ),
-)
-def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _purchase_click_stream_join(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared spec for the stream-stream join twins: purchases joined to
+    the same user's clicks within the previous 10 minutes. Both sides
+    carry watermarks so Spark can bound the join state (the time-range
+    condition tells the state store when a buffered row can never match
+    again)."""
     left = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -237,9 +233,23 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") < F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
-        "inner",
+        how,
     ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_stream_join_live",
+    "I",
+    doc=(
+        "Stream-stream inner join with watermarks: purchases joined to the "
+        "same user's clicks within the previous 10 minutes — the live twin "
+        "of join_interval_pairs' pattern; emitted pair set verified equal "
+        "to the batch join."
+    ),
+)
+def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _purchase_click_stream_join(spark, sf_dir, "inner")
 
 
 @register(
@@ -255,34 +265,7 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def stream_stream_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    left = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "10 minutes")
-    )
-    right = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "10 minutes")
-    )
-    joined = left.join(
-        right,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") < F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
-        "leftOuter",
-    ).select("purchase_id", "click_id", "p_user", "p_ts")
-    return _run_to_memory(joined, "append")
+    return _purchase_click_stream_join(spark, sf_dir, "leftOuter")
 
 
 @register(
