@@ -11,11 +11,19 @@ query ids follow SURVEY.md §2's declared inventory.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import big_data_management_and_analytics_spark as engine
+# Self-locating: the driver may import this file by path with any cwd;
+# the engine package lives next to it.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import big_data_management_and_analytics_spark as engine  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
