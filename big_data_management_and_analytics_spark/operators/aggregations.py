@@ -299,6 +299,43 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_unpivot",
+    "D",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, value
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+              FROM lineitem WHERE l_orderkey <= 2000)
+        UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+    """,
+    doc="Unpivot (melt) — the inverse of agg_pivot: wide metrics → long rows.",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "agg_sample_deterministic",
+    "D",
+    doc=(
+        "Seeded Bernoulli sample — deterministic within Spark for a fixed "
+        "seed/partitioning but not reproducible by another engine, hence "
+        "rows-tier. The pipeline primitive for corpus subsampling."
+    ),
+)
+def agg_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+@register(
     "agg_stats",
     "D",
     oracle="""
