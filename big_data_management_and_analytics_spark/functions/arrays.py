@@ -26,7 +26,7 @@ from big_data_management_and_analytics_spark.sources.io import load
             CAST(len(list_distinct(embedding)) AS INT) AS n_distinct,
             CAST(list_aggregate(embedding::DOUBLE[], 'max') AS DOUBLE) AS max_dim,
             CAST(list_aggregate(embedding::DOUBLE[], 'min') AS DOUBLE) AS min_dim,
-            array_to_string(generate_series(0, label), ',') AS label_seq
+            array_to_string(generate_series(0, greatest(label, 0)), ',') AS label_seq
         FROM embeddings
     """,
     doc="size/element_at/array_distinct/array_max/array_min/sequence.",
@@ -40,8 +40,12 @@ def arr_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("embedding")).alias("n_distinct"),
         F.array_max("embedding").cast("double").alias("max_dim"),
         F.array_min("embedding").cast("double").alias("min_dim"),
+        # greatest(label,0): Spark sequence(0, n) with n<0 counts DOWN while
+        # DuckDB generate_series returns empty — clamp so both agree even
+        # if a label were ever negative.
         F.concat_ws(
-            ",", F.sequence(F.lit(0), F.col("label")).cast("array<string>")
+            ",",
+            F.sequence(F.lit(0), F.greatest("label", F.lit(0))).cast("array<string>"),
         ).alias("label_seq"),
     )
 

@@ -219,12 +219,15 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_group_assign(banded, "doc_id")
 
 
-def _bucket_group_assign(banded: DataFrame, key: str) -> DataFrame:
+def _bucket_group_assign(
+    banded: DataFrame, key: str, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Cluster assignment without pair materialization: each bucket's
     representative is its min key; each row's group_rep is the min
     representative over its buckets (1-hop union — iterate to a fixpoint
     for full connected components; 1 hop is the standard LSH-dedup pass).
-    Linear in rows, never O(pairs)."""
+    Linear in rows, never O(pairs). `passthrough` columns (constant per
+    key) are carried through the aggregate."""
     bucket_rep = banded.groupBy("band", "bucket").agg(
         F.min(key).alias("bucket_rep"), F.count(F.lit(1)).alias("bucket_n")
     )
@@ -234,6 +237,7 @@ def _bucket_group_assign(banded: DataFrame, key: str) -> DataFrame:
         .agg(
             F.min("bucket_rep").alias("group_rep"),
             F.max("bucket_n").alias("max_bucket_size"),
+            *[F.first(c).alias(c) for c in passthrough],
         )
         .withColumn("is_candidate_dup", F.col("group_rep") < F.col(key))
     )
@@ -296,16 +300,9 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash_hex", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    bucket_rep = banded.groupBy("band", "bucket").agg(F.min("doc_id").alias("bucket_rep"))
-    return (
-        banded.join(bucket_rep, ["band", "bucket"])
-        .groupBy("doc_id")
-        .agg(
-            F.first("simhash_hex").alias("simhash_hex"),
-            F.min("bucket_rep").alias("group_rep"),
-        )
-        .withColumn("is_candidate_dup", F.col("group_rep") < F.col("doc_id"))
-    )
+    return _bucket_group_assign(
+        banded, "doc_id", passthrough=("simhash_hex",)
+    ).select("doc_id", "simhash_hex", "group_rep", "is_candidate_dup")
 
 
 @register(

@@ -139,7 +139,8 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = _media_table(spark, sf_dir)
+    # Empty payloads yield zero frames (sequence(0,-1) would count down).
+    media = _media_table(spark, sf_dir).filter(F.col("byte_len") > 0)
     n_frames = F.ceil(F.col("byte_len") / 128).cast("int")
     frames = media.select(
         "doc_id",

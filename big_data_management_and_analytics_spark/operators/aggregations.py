@@ -302,12 +302,21 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_unpivot",
     "D",
     oracle="""
-        SELECT l_orderkey, l_linenumber, metric, value
-        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
-              FROM lineitem WHERE l_orderkey <= 2000)
-        UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        FROM lineitem WHERE l_orderkey <= 2000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey <= 2000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey <= 2000
     """,
-    doc="Unpivot (melt) — the inverse of agg_pivot: wide metrics → long rows.",
+    doc=(
+        "Unpivot (melt) — the inverse of agg_pivot: wide metrics → long "
+        "rows. The oracle is a manual UNION ALL rather than DuckDB UNPIVOT "
+        "because UNPIVOT drops NULL values while Spark's unpivot keeps "
+        "them — UNION ALL matches Spark's null-preserving semantics."
+    ),
 )
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)

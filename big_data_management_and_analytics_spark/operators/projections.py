@@ -130,15 +130,17 @@ def proj_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             l_linenumber,
             CAST(l_linenumber AS BIGINT) AS line_as_long,
             CAST(l_orderkey AS DOUBLE) AS key_as_double,
-            CAST(l_quantity AS INT) AS qty_as_int,
+            CAST(trunc(l_quantity) AS INT) AS qty_as_int,
             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_as_str,
             CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day_str
         FROM lineitem
         WHERE l_orderkey <= 2000
     """,
     doc=(
-        "Cast lattice int→long→double, double→int (truncation), "
-        "decimal→string, timestamp→date→string."
+        "Cast lattice int→long→double, double→int, decimal→string, "
+        "timestamp→date→string. Spark's double→int cast TRUNCATES while "
+        "DuckDB's ROUNDS — the oracle spells trunc() explicitly so the "
+        "semantics agree for non-integral doubles too."
     ),
 )
 def proj_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

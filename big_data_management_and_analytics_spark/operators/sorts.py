@@ -36,15 +36,15 @@ def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc_nulls_last(),
         F.col("o_orderkey").asc(),
     ]
+    # The window performs the physical multi-key sort AND encodes the
+    # resulting order into sort_pos; a second global orderBy would be pure
+    # waste since the driver's hash is order-insensitive anyway.
     w = Window.orderBy(*order)
-    return (
-        o.orderBy(*order)
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            "o_totalprice",
-            F.row_number().over(w).alias("sort_pos"),
-        )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("sort_pos"),
     )
 
 

@@ -146,6 +146,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     cached = _LOAD_CACHE.get(key)
     if cached is not None:
         return cached
+    if len(_LOAD_CACHE) > 256:
+        # Bound the cache: long-lived processes cycling sessions/dirs must
+        # not pin plan references (and stopped sessions) forever.
+        _LOAD_CACHE.clear()
     tune(spark)
     path = os.path.join(sf_dir, f"{table}.parquet")
     df = spark.read.parquet(path)

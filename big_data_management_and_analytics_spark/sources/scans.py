@@ -100,6 +100,11 @@ def _roundtrip_dir(prefix: str) -> str:
     return base
 
 
+# Catalog names from the last sink_bucketed_join call, dropped on the next
+# call so repeated runs don't accumulate tables.
+_PREV_BUCKET_TABLES: list[str] = []
+
+
 @register(
     "src_csv_roundtrip",
     "A",
@@ -151,8 +156,18 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
+    # Drop the previous invocation's tables (this run's must stay live —
+    # the returned DataFrame is lazy and still references them).
+    for tbl in _PREV_BUCKET_TABLES:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        except Exception:
+            pass
+    _PREV_BUCKET_TABLES.clear()
+
     tag = uuid.uuid4().hex[:8]
     o_tbl, c_tbl = f"orders_b_{tag}", f"customer_b_{tag}"
+    _PREV_BUCKET_TABLES.extend([o_tbl, c_tbl])
     base = _roundtrip_dir("bdma_bucket_")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")

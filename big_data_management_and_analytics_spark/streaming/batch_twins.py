@@ -84,7 +84,7 @@ def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "I",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL '30 minutes'
                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -94,7 +94,7 @@ def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         numbered AS (
             SELECT user_id, ts,
                    SUM(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS session_id
             FROM flagged

@@ -62,7 +62,10 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        finished = q.awaitTermination(300)
+        if not finished:
+            # Timing out would silently return a truncated table — fail loud.
+            raise TimeoutError(f"streaming query {name} did not finish in 300s")
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -176,14 +179,18 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_sessions, n_events, last_us = state.get
         else:
             n_sessions, n_events, last_us = 0, 0, None
-        for pdf in pdf_iter:
-            for us in (
-                pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
-            ):
-                if last_us is None or us - last_us > gap_us:
-                    n_sessions += 1
-                n_events += 1
-                last_us = int(us)
+        # A group may arrive as several Arrow chunks in arbitrary order;
+        # gap detection is only correct over the per-invocation GLOBAL sort,
+        # so collect every chunk's timestamps before sorting once.
+        all_us = pd.concat(
+            [pdf["ts"].astype("datetime64[us]").astype("int64") for pdf in pdf_iter],
+            ignore_index=True,
+        ).sort_values()
+        for us in all_us:
+            if last_us is None or us - last_us > gap_us:
+                n_sessions += 1
+            n_events += 1
+            last_us = int(us)
         state.update((n_sessions, n_events, last_us))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
