@@ -244,6 +244,76 @@ def _bucket_group_assign(
 
 
 @register(
+    "llm_dedup_components",
+    "K",
+    doc=(
+        "Connected-component dedup clusters: the transitive closure of "
+        "llm_dedup_minhash's 1-hop groups, via iterative min-label "
+        "propagation over bucket edges (label ← min(label) over each "
+        "bucket's members, to a fixpoint). Loop control is driver-side but "
+        "every iteration is one distributed join+aggregate — the standard "
+        "DataFrame formulation of an iterative graph algorithm. Rows-tier "
+        "(iterative, not SQL-expressible)."
+    ),
+)
+def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    sigs = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"s{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    # membership: (doc, bucket) incidence — the bipartite edge list.
+    # Cached: reused by every iteration. Labels are localCheckpoint-ed per
+    # iteration so lineage (and re-execution) doesn't grow with the loop —
+    # the standard pattern for iterative DataFrame algorithms.
+    member = sigs.select("doc_id", F.explode(bands).alias("bucket")).cache()
+    labels = (
+        member.select("doc_id")
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(8):  # diameter bound; fixture clusters converge in ≤3
+            bucket_min = (
+                member.join(labels, "doc_id")
+                .groupBy("bucket")
+                .agg(F.min("label").alias("bucket_label"))
+            )
+            new_labels = (
+                member.join(bucket_min, "bucket")
+                .groupBy("doc_id")
+                .agg(F.min("bucket_label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        member.unpersist()
+    return labels.select("doc_id", F.col("label").alias("component_rep"))
+
+
+@register(
     "llm_dedup_simhash",
     "K",
     doc=(

@@ -83,6 +83,31 @@ def test_minhash_catches_exact_duplicates(spark, tmp_path):
     assert groups[4] == 4  # unrelated doc stays its own representative
 
 
+def test_components_transitively_close_minhash_groups(spark, tmp_path):
+    """Connected components must merge chains the 1-hop grouping may not:
+    every doc's component_rep ≤ its minhash group_rep."""
+    from big_data_management_and_analytics_spark.functions import llm_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join filter window agg sort", "en", "s", 1),
+            (2, "spark join filter window agg sort", "en", "s", 1),
+            (3, "spark join filter window agg merge", "en", "s", 1),
+            (4, "totally different words here now yes", "en", "s", 1),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "cc")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    comp = {
+        r["doc_id"]: r["component_rep"]
+        for r in llm_dedup.llm_dedup_components(spark, d).collect()
+    }
+    assert comp[1] == comp[2] == 1  # exact dups share the component
+    assert comp[3] == 1  # near dup joins transitively
+    assert comp[4] == 4  # unrelated doc stays alone
+
+
 def test_jaccard_definition(spark, tmp_path):
     """Near-exact dedup uses token-SET jaccard: dup tokens don't inflate."""
     from big_data_management_and_analytics_spark.functions import llm_dedup
