@@ -258,3 +258,74 @@ def llm_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("emb", 1) / F.col("l2"), 6).alias("unit_first_dim"),
         F.round(unit_sq_sum, 4).alias("unit_sq_sum"),
     )
+
+
+@pandas_udf(T.LongType())
+def lsh_sig16(emb: pd.Series) -> pd.Series:
+    """16-bit random-hyperplane (SimHash-for-vectors) signature.
+
+    Planes come from a FIXED RandomState(42) — deterministic across runs
+    and workers. One matmul per Arrow batch; bit i = sign of the
+    projection onto plane i, packed into a long.
+    """
+    A = np.stack(emb.to_numpy())
+    planes = np.random.RandomState(42).standard_normal((A.shape[1], 16))
+    bits = (A @ planes) > 0
+    return pd.Series((bits << np.arange(16)).sum(axis=1).astype("int64"))
+
+
+@register(
+    "llm_sim_knn_lsh",
+    "K",
+    doc=(
+        "LSH-bucketed ANN (approximate → rows-tier): 16-bit hyperplane "
+        "signatures split into 4 bands x 4 bits; query and corpus vectors "
+        "meet only inside shared (band, value) buckets, candidates are "
+        "deduped and fine-scored with exact cosine, top-5 per query. The "
+        "banding join replaces llm_sim_knn's O(Q*N) cross product with "
+        "O(collisions) — the same plan shape runs at 100 TB as a shuffle "
+        "hash join on (band, value) with no broadcast of the corpus."
+    ),
+)
+def llm_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    n_bands, band_bits = 4, 4
+    mask = (1 << band_bits) - 1
+
+    def bands(df, id_alias):
+        sig = df.withColumn("sig", lsh_sig16("emb"))
+        band_vals = F.array(
+            *[
+                F.shiftrightunsigned("sig", band_bits * b).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ]
+        )
+        return sig.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("emb").alias(f"{id_alias}_emb"),
+            F.posexplode(band_vals).alias("band", "bval"),
+        )
+
+    q = bands(v.filter(F.col("vec_id") % 100 == 0), "query_id")
+    c = bands(v, "neighbor_id")
+    candidates = (
+        q.join(c, ["band", "bval"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_id_emb", "neighbor_id", "neighbor_id_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_batch(F.col("query_id_emb"), F.col("neighbor_id_emb")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

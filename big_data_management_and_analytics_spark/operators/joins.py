@@ -412,3 +412,50 @@ def join_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.ts").alias("first_ts"),
         F.col("b.ts").alias("second_ts"),
     )
+
+
+@register(
+    "join_range_bucket",
+    "C",
+    oracle="""
+        SELECT p_partkey, p_retailprice, s_suppkey, s_acctbal
+        FROM part JOIN supplier
+          ON p_retailprice BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    """,
+    doc=(
+        "Range join on the SCALE path: same semantics as join_theta_band "
+        "but executed as a bucketed equi-join instead of a nested loop. "
+        "Bucket width = band width (20): each supplier band covers at most "
+        "2 buckets (explode via sequence), each part probes exactly its own "
+        "bucket floor(price/20); the equi component (bucket id) carries a "
+        "hash join, the BETWEEN residual filters false bucket-neighbors. "
+        "Work drops from O(n*m) to O(n + m + matches) — at 100 TB this is a "
+        "shuffle-partitioned hash join while the nested loop is infeasible."
+    ),
+)
+def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    width = 20  # == band width (2 * half-band of 10) => <= 2 buckets per band
+    probe = p.select(
+        "p_partkey", "p_retailprice",
+        F.floor(F.col("p_retailprice") / width).alias("bucket"),
+    )
+    build = s.select(
+        "s_suppkey", "s_acctbal",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s_acctbal") - 10) / width),
+                F.floor((F.col("s_acctbal") + 10) / width),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(build), "bucket")
+        .filter(
+            F.col("p_retailprice").between(
+                F.col("s_acctbal") - 10, F.col("s_acctbal") + 10
+            )
+        )
+        .select("p_partkey", "p_retailprice", "s_suppkey", "s_acctbal")
+    )

@@ -168,3 +168,53 @@ def stream_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum_fast("value", "sum_value"),
         )
     )
+
+
+@register(
+    "stream_rollup_multires",
+    "I",
+    oracle="""
+        SELECT event_type,
+               time_bucket(INTERVAL '1 day', ts) AS day_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type, time_bucket(INTERVAL '1 day', ts)
+    """,
+    doc=(
+        "Hypertable-style continuous aggregate: raw events roll up to an "
+        "HOURLY materialization (count + exact integer-cents sum), and the "
+        "daily resolution re-aggregates the hourly table — never the raw "
+        "events. Counts and cents compose exactly across levels, so "
+        "daily-from-hourly is bit-identical to daily-from-raw (the oracle "
+        "computes from raw, proving it). At 100 TB the hourly rollup is the "
+        "stored continuous aggregate (24× smaller per day) and every "
+        "coarser resolution reads it instead of rescanning the raw stream."
+    ),
+)
+def stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_cents"),  # exact; composes upward
+        )
+        .select(
+            "event_type",
+            F.col("win.start").alias("hour_start"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+    return (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", "hour_start").alias("day_start")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum("sum_cents") / 100.0).alias("sum_value"),
+        )
+    )

@@ -176,3 +176,48 @@ def test_tokenizer_is_shared_single_definition():
 
     assert TOKEN_SPLIT_RE == r"\s+"
     assert "lower" in SQL_TOKENS
+
+
+def test_rollup_multires_daily_equals_daily_from_raw(spark):
+    """Continuous-aggregate law: daily-from-hourly == daily-from-raw."""
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+    from big_data_management_and_analytics_spark.streaming import batch_twins
+    from tests.conftest import SF_T2
+
+    via_hourly = batch_twins.stream_rollup_multires(spark, SF_T2)
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    raw = load(spark, SF_T2, "events")
+    direct = (
+        raw.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("sum_value"),
+        )
+    )
+    assert via_hourly.exceptAll(direct).count() == 0
+    assert direct.exceptAll(via_hourly).count() == 0
+
+
+def test_lsh_knn_recall_against_brute_force(spark):
+    """LSH ANN must return <=5 ranked neighbors per query and recover a
+    meaningful fraction of the exact top-5 (measured 0.6 on the fixture;
+    0.4 guards regressions without flaking)."""
+    from big_data_management_and_analytics_spark.functions import llm_sim
+    from tests.conftest import SF_T2
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in llm_sim.llm_sim_knn(spark, SF_T2).collect()
+    }
+    approx_rows = llm_sim.llm_sim_knn_lsh(spark, SF_T2).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    per_query = {}
+    for r in approx_rows:
+        per_query.setdefault(r.query_id, 0)
+        per_query[r.query_id] += 1
+        assert -1.0 <= r.cos_sim <= 1.0
+    assert all(n <= 5 for n in per_query.values())
+    assert len(exact & approx) / len(exact) >= 0.4

@@ -82,3 +82,20 @@ def test_asof_join_is_single_window_not_loop(spark, registry):
     assert "Window" in plan
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_bucket_join_is_hash_not_nested_loop(spark, registry):
+    """The bucketed range join's equi component must carry a hash join —
+    the nested loop the naive theta join produces may not appear."""
+    df = registry["join_range_bucket"].fn(spark, SF_T2)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_range_bucket_equals_theta(spark, registry):
+    """Bucketed plan computes exactly the nested-loop result."""
+    a = registry["join_range_bucket"].fn(spark, SF_T2)
+    b = registry["join_theta_band"].fn(spark, SF_T2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
