@@ -76,3 +76,29 @@ def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_to_2002"),
         months.alias("months_to_2002"),
     )
+
+
+@register(
+    "date_epoch",
+    "H",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               epoch_ms(o_orderdate) AS epoch_ms,
+               CAST(to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)) AS TIMESTAMP)
+                   AS from_epoch
+        FROM orders
+    """,
+    doc=(
+        "Epoch conversions (UTC session both sides): timestamp → unix "
+        "seconds / millis and the seconds → timestamp round-trip."
+    ),
+)
+def date_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.unix_millis(F.col("o_orderdate")).alias("epoch_ms"),
+        F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("from_epoch"),
+    )

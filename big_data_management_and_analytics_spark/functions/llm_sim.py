@@ -329,3 +329,64 @@ def llm_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "llm_embed_quantize",
+    "K",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ), s AS (
+            SELECT vec_id, emb,
+                   list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS amax
+            FROM v
+        ), q AS (
+            SELECT vec_id, amax,
+                   list_transform(emb, x -> round(x * 127.0 / amax)) AS qv,
+                   emb
+            FROM s
+        )
+        SELECT vec_id,
+               ROUND(amax, 6) AS abs_max,
+               CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'max') AS INT)
+                   AS q_abs_max,
+               ROUND(sqrt(list_aggregate(
+                   list_transform(
+                       list_zip(emb, qv),
+                       p -> (p[1] - p[2] * amax / 127.0)
+                            * (p[1] - p[2] * amax / 127.0)),
+                   'sum')), 6) AS recon_err_l2
+        FROM q
+    """,
+    doc=(
+        "Symmetric int8 quantization of embeddings: per-vector scale "
+        "127/max|x|, quantize with round-half-even (Spark bround == DuckDB "
+        "round on doubles), dequantize, and report the L2 reconstruction "
+        "error. The 4x-smaller int8 vectors are what a 100 TB ANN corpus "
+        "actually stores; recon_err quantifies the recall cost."
+    ),
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(emb, F.abs))
+    base = e.select("vec_id", emb.alias("emb"), amax.alias("amax"))
+    qv = F.transform(F.col("emb"), lambda x: F.bround(x * 127.0 / F.col("amax")))
+    quant = base.withColumn("qv", qv)
+    err_sq = F.aggregate(
+        F.zip_with(
+            F.col("emb"),
+            F.col("qv"),
+            lambda x, q: (x - q * F.col("amax") / 127.0)
+            * (x - q * F.col("amax") / 127.0),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return quant.select(
+        "vec_id",
+        F.round("amax", 6).alias("abs_max"),
+        F.array_max(F.transform("qv", F.abs)).cast("int").alias("q_abs_max"),
+        F.round(F.sqrt(err_sq), 6).alias("recon_err_l2"),
+    )

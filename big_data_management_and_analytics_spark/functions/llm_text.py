@@ -245,3 +245,45 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", vocab)).alias("shingle_print"),
         F.substring(F.md5("text"), 1, 8).alias("prefix_print"),
     )
+
+
+@register(
+    "llm_text_ngram",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t FROM documents
+        ),
+        grams AS (
+            SELECT t[i] || ' ' || t[i + 1] AS bigram
+            FROM toks, (SELECT unnest(generate_series(1, 200)) AS i) AS idx
+            WHERE i <= len(t) - 1
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM grams
+        GROUP BY bigram
+        ORDER BY n DESC, bigram ASC
+        LIMIT 20
+    """,
+    doc=(
+        "Word-bigram frequencies, global top-20 with bigram tiebreak. "
+        "Spark builds bigrams with a codegen transform over an index "
+        "sequence (no Python); the oracle expands positions via "
+        "generate_series (P4: no WITH ORDINALITY). The 200 cap bounds the "
+        "series; fixture docs are far shorter (asserted in tests)."
+    ),
+)
+def llm_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )

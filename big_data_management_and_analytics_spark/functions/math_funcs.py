@@ -113,3 +113,34 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@register(
+    "math_bitwise",
+    "H",
+    oracle="""
+        SELECT l_orderkey, l_partkey,
+               l_orderkey & l_partkey AS band,
+               l_orderkey | l_partkey AS bor,
+               xor(l_orderkey, l_partkey) AS bxor,
+               CAST(bit_count(l_orderkey) AS INT) AS popcount,
+               l_orderkey << 2 AS shl,
+               l_orderkey >> 1 AS shr
+        FROM lineitem WHERE l_linenumber = 1
+    """,
+    doc="Bitwise family: and/or/xor, population count, shifts (codegen).",
+)
+def math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    k = F.col("l_orderkey")
+    p = F.col("l_partkey")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        k.bitwiseAND(p).alias("band"),
+        k.bitwiseOR(p).alias("bor"),
+        k.bitwiseXOR(p).alias("bxor"),
+        F.bit_count(k).alias("popcount"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+    )

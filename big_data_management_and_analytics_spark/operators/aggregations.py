@@ -499,3 +499,28 @@ def agg_sort_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum_fast("l_extendedprice", "order_value"),
         )
     )
+
+
+@register(
+    "agg_bool_countif",
+    "D",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 0) AS all_positive,
+               bool_or(o_orderstatus = 'F') AS any_finished
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Predicate aggregates: count_if / bool_and / bool_or per priority "
+        "(all map-side combinable; one shuffle on the group key)."
+    ),
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )

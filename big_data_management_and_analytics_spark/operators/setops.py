@@ -112,3 +112,23 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("entity_id"),
     )
     return c.unionByName(s)
+
+
+@register(
+    "set_intersect_all",
+    "G",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc=(
+        "Bag intersection (INTERSECT ALL): customers kept once per "
+        "min(urgent-count, high-count) occurrence — multiplicity-preserving, "
+        "unlike set_intersect."
+    ),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _urgent(spark, sf_dir).select("o_custkey")
+    b = _high(spark, sf_dir).select("o_custkey")
+    return a.intersectAll(b)

@@ -270,3 +270,34 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "win_nth_value",
+    "E",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               nth_value(o_totalprice, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_highest
+        FROM orders
+    """,
+    doc=(
+        "nth_value with an explicit full-partition frame (the default "
+        "running frame would only see rows up to CURRENT ROW)."
+    ),
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_highest"),
+    )

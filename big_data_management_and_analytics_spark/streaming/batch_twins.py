@@ -69,9 +69,15 @@ def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    return sliding_agg(load(spark, sf_dir, "events"))
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """Shared spec: 10-min windows sliding 5 min, count per event_type."""
     return (
-        ev.groupBy("event_type", F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        events.groupBy(
+            "event_type", F.window("ts", "10 minutes", "5 minutes").alias("win")
+        )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "event_type", F.col("win.start").alias("window_start"), "n_events"
@@ -114,9 +120,13 @@ def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    return session_agg(load(spark, sf_dir, "events"))
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Shared spec: 30-min-gap session windows per user."""
     return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",

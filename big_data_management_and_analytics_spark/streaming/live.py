@@ -325,3 +325,54 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     results.append(("foreach_batch_parquet", n_sink))
 
     return spark.createDataFrame(results, schema="mode string, n_rows long")
+
+
+@register(
+    "stream_sliding_live",
+    "I",
+    doc=(
+        "True streaming twin of stream_sliding_batch: overlapping 10/5-min "
+        "windows over the replayed stream, complete mode (every window "
+        "emitted; shares sliding_agg with the batch twin)."
+    ),
+)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.streaming.batch_twins import sliding_agg
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _run_to_memory(sliding_agg(ev), "complete")
+
+
+@register(
+    "stream_session_live",
+    "I",
+    doc=(
+        "True streaming twin of stream_session_batch: session_window "
+        "aggregation is stateful-merge (sessions grow/merge across "
+        "micro-batches). Session windows only support append/complete; "
+        "complete emits every closed-or-open session at stream end. "
+        "Shares session_agg with the batch twin."
+    ),
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.streaming.batch_twins import session_agg
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return _run_to_memory(session_agg(ev), "complete")
+
+
+@register(
+    "stream_dedup_live",
+    "I",
+    doc=(
+        "True streaming twin of stream_dedup_batch: dropDuplicates keeps "
+        "per-key state in the state store; with a bounded replay the "
+        "emitted key set equals the batch DISTINCT (asserted in tests)."
+    ),
+)
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _run_to_memory(deduped, "append")

@@ -221,3 +221,34 @@ def test_lsh_knn_recall_against_brute_force(spark):
         assert -1.0 <= r.cos_sim <= 1.0
     assert all(n <= 5 for n in per_query.values())
     assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_new_live_twins_equal_batch(spark):
+    """Sliding/session (complete mode) and dedup live twins must emit
+    exactly their batch twins' results on a bounded replay."""
+    from big_data_management_and_analytics_spark.streaming import batch_twins, live
+    from tests.conftest import SF_SMALL
+
+    pairs = [
+        (live.stream_sliding_live, batch_twins.stream_sliding_batch),
+        (live.stream_session_live, batch_twins.stream_session_batch),
+        (live.stream_dedup_live, batch_twins.stream_dedup_batch),
+    ]
+    for live_fn, batch_fn in pairs:
+        lv = live_fn(spark, SF_SMALL)
+        bt = batch_fn(spark, SF_SMALL)
+        assert lv.exceptAll(bt).count() == 0, live_fn.__name__
+        assert bt.exceptAll(lv).count() == 0, live_fn.__name__
+
+
+def test_bigram_series_cap_covers_fixture(spark):
+    """llm_text_ngram's oracle expands positions 1..200; the fixture's
+    longest document must stay under that cap (else the oracle would
+    silently drop tail bigrams)."""
+    from big_data_management_and_analytics_spark.functions.strings import tokens
+    from big_data_management_and_analytics_spark.sources.io import load
+    from tests.conftest import SF_T2
+
+    d = load(spark, SF_T2, "documents")
+    max_toks = d.select(F.max(F.size(tokens(F.col("text")))).alias("m")).first().m
+    assert max_toks <= 200, max_toks
