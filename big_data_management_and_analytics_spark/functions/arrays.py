@@ -178,3 +178,47 @@ def gen_sequence_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * F.col("id")).alias("n_sq"),
         (F.col("id") % 5).alias("n_mod5"),
     )
+
+
+@register(
+    "arr_set_ops",
+    "H",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents
+        )
+        SELECT a.doc_id,
+               array_to_string(list_sort(list_distinct(a.t || b.t)), ' ') AS vocab_union,
+               COALESCE(array_to_string(list_sort(list_filter(a.t, x -> list_contains(b.t, x))), ' '), '')
+                   AS vocab_common,
+               COALESCE(array_to_string(list_sort(list_filter(a.t, x -> NOT list_contains(b.t, x))), ' '), '')
+                   AS vocab_only_a
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """,
+    doc=(
+        "Array set algebra on adjacent docs' vocabularies: union / "
+        "intersect / except, canonically sorted and serialized (§2.0 "
+        "rules 6+11). Spark's array_union/intersect/except are "
+        "distinct-semantics; the oracle emulates with list lambdas."
+    ),
+)
+def arr_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.strings import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("t"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.sort_array(F.array_union(F.col("a.t"), F.col("b.t")))
+        ).alias("vocab_union"),
+        F.concat_ws(
+            " ", F.sort_array(F.array_intersect(F.col("a.t"), F.col("b.t")))
+        ).alias("vocab_common"),
+        F.concat_ws(
+            " ", F.sort_array(F.array_except(F.col("a.t"), F.col("b.t")))
+        ).alias("vocab_only_a"),
+    )

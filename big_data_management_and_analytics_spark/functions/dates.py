@@ -102,3 +102,30 @@ def date_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("o_orderdate")).alias("epoch_ms"),
         F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("from_epoch"),
     )
+
+
+@register(
+    "date_dow_iso",
+    "H",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+               dayname(o_orderdate) AS dow_name,
+               CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+        FROM orders
+    """,
+    doc=(
+        "Safe day-of-week handling (P5: bare dayofweek DISAGREES across "
+        "engines — Spark Sun=1, DuckDB Sun=0). The portable mapping: "
+        "ISO dow = ((spark_dayofweek + 5) % 7) + 1, names via date_format "
+        "EEEE ≡ dayname, ISO week via weekofyear (both ISO-8601)."
+    ),
+)
+def date_dow_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).cast("int").alias("iso_dow"),
+        F.date_format("o_orderdate", "EEEE").alias("dow_name"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+    )

@@ -287,3 +287,97 @@ def llm_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@register(
+    "llm_doc_chunking",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 40 AS INT) AS chunk_idx,
+               CAST(len(list_slice(t, start, least(start + 49, len(t)))) AS INT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(t, start, least(start + 49, len(t))), ' ')
+                   AS chunk_text
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t), 40)) AS start
+        ) s
+    """,
+    doc=(
+        "Context-window chunking: token windows of 50 with stride 40 "
+        "(10-token overlap) per document — the standard pre-tokenization "
+        "split for LLM training shards. Chunk starts come from a sequence "
+        "generator and slices stay codegen-side; at 100 TB this is "
+        "embarrassingly parallel (no shuffle at all until a downstream "
+        "groupBy). Oracle expands starts via generate_series with stride."
+    ),
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", t.alias("t"))
+    starts = F.sequence(F.lit(1), F.size("t"), F.lit(40))
+    chunked = base.select(
+        "doc_id", "t", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / 40).cast("int").alias("chunk_idx"),
+        F.slice(F.col("t"), F.col("start"), F.lit(50)).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "chunk").alias("chunk_text"),
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        runsum AS (
+            SELECT doc_id, n_tok,
+                   SUM(n_tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM toks
+        )
+        SELECT doc_id, n_tok,
+               CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
+               CAST(cum - n_tok - ((cum - n_tok) // 256) * 256 AS BIGINT)
+                   AS offset_in_pack
+        FROM runsum
+    """,
+    doc=(
+        "Sequence packing for training batches: docs in doc_id order are "
+        "laid head-to-tail into 256-token context windows; pack_id = "
+        "which window a doc STARTS in, offset_in_pack = its start offset "
+        "(docs may straddle packs — offset packing, the deterministic "
+        "streaming formulation). One window cumsum = one shuffle; at "
+        "100 TB the sort key becomes (shard, doc_id) so packs stay "
+        "shard-local."
+    ),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    toks = d.select("doc_id", F.size(t).cast("long").alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    runsum = toks.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    pack = F.floor(start / 256)
+    return runsum.select(
+        "doc_id",
+        "n_tok",
+        pack.alias("pack_id"),
+        (start - pack * 256).cast("long").alias("offset_in_pack"),
+    )

@@ -111,3 +111,32 @@ def str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(dist <= 6).select(
         "p_partkey", "p_name", dist.alias("dist_blue_bolt")
     )
+
+
+@register(
+    "str_format",
+    "H",
+    oracle="""
+        SELECT p_partkey,
+               printf('%s#%07d', p_brand, p_partkey) AS part_tag,
+               repeat('*', CAST(p_size // 10 AS INT)) AS size_bar,
+               reverse(p_brand) AS brand_rev,
+               translate(p_type, ' ', '-') AS type_dashed
+        FROM part
+    """,
+    doc=(
+        "Formatting family: format_string ≡ printf (C-style), repeat, "
+        "reverse, translate — all codegen string ops."
+    ),
+)
+def str_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%s#%07d", F.col("p_brand"), F.col("p_partkey")).alias(
+            "part_tag"
+        ),
+        F.repeat(F.lit("*"), (F.col("p_size") / 10).cast("int")).alias("size_bar"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_type", " ", "-").alias("type_dashed"),
+    )

@@ -190,3 +190,57 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return ev.mapInPandas(transform, out_schema)
+
+
+@register(
+    "udf_arrow_iter",
+    "J",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS net_price
+        FROM lineitem
+        WHERE l_quantity >= 30
+    """,
+    doc=(
+        "mapInArrow whole-partition transform: pyarrow RecordBatch in / "
+        "RecordBatch out — zero pandas materialization, the cheapest "
+        "Python hop Spark offers. Filter + compute via pyarrow.compute "
+        "kernels (vectorized C++), per-batch not per-row."
+    ),
+)
+def udf_arrow_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("net_price", T.DoubleType()),
+        ]
+    )
+
+    def transform(batches):
+        for batch in batches:
+            mask = pc.greater_equal(batch.column("l_quantity"), 30)
+            sel = batch.filter(mask)
+            raw = pc.multiply(
+                sel.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), sel.column("l_discount")),
+            )
+            # Fixed-point discipline (plans/determinism.py): the product of
+            # 2-decimal price and 2-decimal discount is an exact 4-decimal
+            # value, so floor(x*1e4+0.5)/1e4 == the DECIMAL(18,4) cast
+            # bit-for-bit (2-decimal rounding would sit ON .005 boundaries).
+            net = pc.divide(
+                pc.floor(pc.add(pc.multiply(raw, pa.scalar(1e4)), pa.scalar(0.5))),
+                pa.scalar(1e4),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [sel.column("l_orderkey"), sel.column("l_linenumber"), net],
+                names=["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.mapInArrow(transform, out_schema)

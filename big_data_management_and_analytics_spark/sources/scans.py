@@ -208,3 +208,43 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
     return back.select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "src_text_roundtrip",
+    "A",
+    doc=(
+        "Line-text source: document texts written as .txt lines (newlines "
+        "stripped — text files are line-delimited by definition) and "
+        "re-read with spark.read.text; rows-tier."
+    ),
+)
+def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("bdma_text_")
+    docs = load(spark, sf_dir, "documents")
+    docs.select(
+        F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.select(
+        F.length("value").alias("n_chars"),
+        F.size(F.split("value", r"\s+")).alias("n_tokens"),
+    )
+
+
+@register(
+    "scan_metadata_cols",
+    "A",
+    doc=(
+        "Hidden file metadata (_metadata.file_name / file_size): per-file "
+        "row counts — the scan-level provenance a 100 TB lakehouse audit "
+        "relies on; rows-tier (paths are environment-specific)."
+    ),
+)
+def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

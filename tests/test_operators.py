@@ -252,3 +252,50 @@ def test_bigram_series_cap_covers_fixture(spark):
     d = load(spark, SF_T2, "documents")
     max_toks = d.select(F.max(F.size(tokens(F.col("text")))).alias("m")).first().m
     assert max_toks <= 200, max_toks
+
+
+def test_chunking_covers_every_token_and_overlaps(spark):
+    """Chunks tile each doc: chunk 0 starts at token 1, consecutive chunks
+    overlap by 10 tokens, and the union of chunk spans covers all tokens."""
+    from big_data_management_and_analytics_spark.functions import llm_text
+    from big_data_management_and_analytics_spark.functions.strings import tokens
+    from big_data_management_and_analytics_spark.sources.io import load
+    from tests.conftest import SF_SMALL
+
+    chunks = llm_text.llm_doc_chunking(spark, SF_SMALL).collect()
+    n_toks = {
+        r.doc_id: r.n
+        for r in load(spark, SF_SMALL, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    per_doc = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_chunk_tokens))
+    for doc_id, cs in per_doc.items():
+        cs.sort()
+        ids = [i for i, _ in cs]
+        assert ids == list(range(len(cs)))  # dense chunk indices
+        covered = 40 * (len(cs) - 1) + cs[-1][1]
+        assert covered == n_toks[doc_id]  # last chunk reaches the last token
+        for _, n in cs[:-1]:
+            # A non-final chunk is clipped by doc end only in its overlap
+            # tail: its start+40 <= n_tokens, so it holds 41..50 tokens.
+            assert 41 <= n <= 50
+
+
+def test_packing_offsets_are_consistent(spark):
+    """offset_in_pack ∈ [0, 256) and equals cumulative tokens mod 256."""
+    from big_data_management_and_analytics_spark.functions import llm_text
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        llm_text.llm_pack_sequences(spark, SF_SMALL).collect(),
+        key=lambda r: r.doc_id,
+    )
+    cum = 0
+    for r in rows:
+        assert 0 <= r.offset_in_pack < 256
+        assert r.pack_id == cum // 256
+        assert r.offset_in_pack == cum % 256
+        cum += r.n_tok
