@@ -381,3 +381,64 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.alias("pack_id"),
         (start - pack * 256).cast("long").alias("offset_in_pack"),
     )
+
+
+@register(
+    "llm_pipeline_clean",
+    "K",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, lang, source, n_chars, md5(text) AS h,
+                   {SQL_TOKENS.format(col='text')} AS t
+            FROM documents
+        ),
+        canonical AS (
+            SELECT * FROM hashed
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1
+        ),
+        filtered AS (
+            SELECT * FROM canonical
+            WHERE len(t) >= 5
+              AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(t) AS BIGINT)) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_chars
+        FROM filtered
+        GROUP BY lang, source
+    """,
+    doc=(
+        "End-to-end corpus cleaning pipeline in ONE declarative plan: "
+        "exact dedup (md5 content hash, min-doc_id canonical) → quality "
+        "gate (>=5 tokens, >=0.3 lexical diversity) → per (lang, source) "
+        "shard stats for the training mix. Composes the dedup + quality + "
+        "stats stages the individual llm_* ids verify separately; at "
+        "100 TB this is two shuffles (hash-dedup, final group)."
+    ),
+)
+def llm_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    hashed = d.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("h"), t.alias("t")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    canonical = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n_tok = F.size("t")
+    filtered = canonical.filter(
+        (n_tok >= 5)
+        & (F.size(F.array_distinct("t")).cast("double") / n_tok >= 0.3)
+    )
+    return filtered.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("long")).alias("total_tokens"),
+        F.round(
+            F.sum(F.col("n_chars").cast("long")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_chars"),
+    )

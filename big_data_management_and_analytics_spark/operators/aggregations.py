@@ -524,3 +524,33 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
     )
+
+
+@register(
+    "agg_histogram",
+    "D",
+    oracle="""
+        SELECT CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS bucket_total
+        FROM orders
+        GROUP BY 1
+    """,
+    doc=(
+        "Equi-width histogram: 12 fixed 50k-wide price buckets (top bucket "
+        "open-ended). Fixed bucket edges — no data-dependent min/max pass — "
+        "so it is one map-side-combined aggregation; the standard first "
+        "profiling query on a 100 TB table."
+    ),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(11))
+    return (
+        o.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum_fast("o_totalprice", "bucket_total"),
+        )
+    )

@@ -301,3 +301,31 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.nth_value("o_totalprice", 2).over(w).alias("second_highest"),
     )
+
+
+@register(
+    "win_dedup_latest",
+    "E",
+    oracle="""
+        SELECT user_id, event_id, ts, event_type
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) = 1
+    """,
+    doc=(
+        "Latest-record-per-key (SCD/upsert compaction): row_number over "
+        "(ts DESC, event_id DESC) keeps exactly the newest event per user "
+        "— the canonical changelog-compaction window."
+    ),
+)
+def win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )

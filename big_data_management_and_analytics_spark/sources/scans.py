@@ -248,3 +248,69 @@ def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "sql_scalar_subquery",
+    "A",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o_totalprice) FROM orders)
+    """,
+    doc=(
+        "Scalar subquery through the SQL entry point: Catalyst plans the "
+        "subquery as an independent stage and folds its single value into "
+        "the filter (no per-row re-evaluation). The threshold is a 1.5x-avg "
+        "cut (~25% selectivity), far from any float boundary, so the double avg is safe to "
+        "compare as a predicate (no output floats)."
+    ),
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "sql_exists_correlated",
+    "A",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        )
+    """,
+    doc=(
+        "Correlated EXISTS / NOT EXISTS through the SQL entry point — "
+        "Catalyst decorrelates to a left-semi plus left-anti join (§4 "
+        "subquery decorrelation); same SQL runs verbatim on the oracle."
+    ),
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        )
+        """
+    )

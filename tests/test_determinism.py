@@ -23,6 +23,10 @@ SENSITIVE = [
     "llm_text_tfidf",
     "udf_grouped_map",
     "join_star_5way",
+    "stream_rollup_multires",
+    "llm_embed_quantize",
+    "udf_arrow_iter",
+    "llm_pack_sequences",
 ]
 
 
