@@ -129,3 +129,47 @@ def date_dow_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "EEEE").alias("dow_name"),
         F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
     )
+
+
+@register(
+    "gen_date_spine",
+    "H",
+    oracle="""
+        WITH spine AS (
+            SELECT unnest(generate_series(
+                TIMESTAMP '1992-01-01', TIMESTAMP '1998-12-31', INTERVAL 1 MONTH
+            )) AS month_start
+        ),
+        actual AS (
+            SELECT date_trunc('month', o_orderdate) AS month_start,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT s.month_start, COALESCE(a.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN actual a USING (month_start)
+    """,
+    doc=(
+        "Calendar densification: a generated month spine left-joined to "
+        "actual per-month counts — months with no orders appear with 0 "
+        "(the gap-fill prerequisite of any time-series model). The spine "
+        "is sequence+explode (codegen, no driver loop); the join "
+        "broadcasts the tiny spine."
+    ),
+)
+def gen_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1992-01-01").cast("timestamp"),
+                F.lit("1998-12-31").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    actual = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return F.broadcast(spine).join(actual, "month_start", "left").select(
+        "month_start", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )

@@ -554,3 +554,43 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum_fast("o_totalprice", "bucket_total"),
         )
     )
+
+
+@register(
+    "agg_approx_percentile",
+    "D",
+    doc=(
+        "approx_percentile (GK sketch): mergeable partial sketches, one "
+        "pass, bounded memory — the 100 TB alternative to the exact "
+        "percentile's full sort. Approximate → rows-tier (§2.0.8)."
+    ),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
+            "approx_p90"
+        ),
+    )
+
+
+@register(
+    "agg_sample_stratified",
+    "D",
+    doc=(
+        "Stratified sampling (sampleBy): per-stratum Bernoulli fractions "
+        "with a fixed seed — balances a skewed training mix without a "
+        "shuffle (row-local coin flips). Sampling → rows-tier."
+    ),
+)
+def agg_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sampled = ev.sampleBy(
+        "event_type",
+        fractions={"click": 0.1, "view": 0.2, "purchase": 1.0},
+        seed=42,
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))

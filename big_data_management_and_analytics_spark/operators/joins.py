@@ -459,3 +459,26 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "s_suppkey", "s_acctbal")
     )
+
+
+@register(
+    "join_hint_smj",
+    "C",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc=(
+        "Join-strategy hint surface: the MERGE hint forces a sort-merge "
+        "join where AQE would pick broadcast at this scale (asserted in "
+        "tests) — the manual control used when the build side blows the "
+        "broadcast budget on a real cluster. Result identical to the "
+        "unhinted join (same oracle as join_inner_equi's shape)."
+    ),
+)
+def join_hint_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").hint("merge")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )

@@ -157,3 +157,33 @@ def proj_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dates serialize to ISO strings (§2.0 convention, like rule 5).
         F.col("l_shipdate").cast("date").cast("string").alias("ship_day_str"),
     )
+
+
+@register(
+    "proj_fillna_dropna",
+    "B",
+    oracle="""
+        SELECT c_custkey,
+               COALESCE(o_orderkey, -1) AS o_orderkey,
+               CAST(COALESCE(o_totalprice, 0.0) AS DOUBLE) AS o_totalprice,
+               COALESCE(o_orderpriority, 'NONE') AS priority
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    doc=(
+        "NA-handling surface (the R idiom the reference's .gitignore "
+        "signals): nulls from a left join repaired with na.fill — typed "
+        "defaults per column, matching COALESCE semantics exactly."
+    ),
+)
+def proj_fillna_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return joined.na.fill(
+        {"o_orderkey": -1, "o_totalprice": 0.0, "priority": "NONE"}
+    )

@@ -75,3 +75,33 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def limit_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").limit(100)
+
+
+@register(
+    "part_range_partitioning",
+    "F",
+    doc=(
+        "Physical partitioning surface: repartitionByRange + "
+        "sortWithinPartitions — the write-side layout op that makes "
+        "downstream merge joins and parquet min/max pruning effective at "
+        "100 TB. Range boundaries come from sampling → rows-tier; the "
+        "plan must show RangePartitioning (asserted in tests)."
+    ),
+)
+def part_range_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    parts = (
+        o.repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .select(
+            F.spark_partition_id().alias("pid"),
+            "o_totalprice",
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+    return parts

@@ -329,3 +329,42 @@ def win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
     )
+
+
+@register(
+    "win_fill_forward",
+    "E",
+    oracle="""
+        WITH sparse AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN value END AS pv
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(COALESCE(ROUND(last_value(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2), -1.0) AS DOUBLE) AS last_purchase_value
+        FROM sparse
+    """,
+    doc=(
+        "Forward fill (time-series gap filling): every event carries the "
+        "most recent purchase value of its user via last_value IGNORE "
+        "NULLS over a running frame — the standard sparse→dense propagation "
+        "without self-joins; one shuffle on user_id. Sentinel -1 for "
+        "users with no purchase yet (no NULL doubles in output)."
+    ),
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.round(F.last(pv, ignorenulls=True).over(w), 2), F.lit(-1.0)
+        ).alias("last_purchase_value"),
+    )

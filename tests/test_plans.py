@@ -99,3 +99,13 @@ def test_range_bucket_equals_theta(spark, registry):
     a = registry["join_range_bucket"].fn(spark, SF_T2)
     b = registry["join_theta_band"].fn(spark, SF_T2)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_merge_hint_forces_sort_merge_join(spark, registry):
+    plan = _plan(registry["join_hint_smj"].fn(spark, SF_T2))
+    assert "SortMergeJoin" in plan
+
+
+def test_range_partitioning_in_plan(spark, registry):
+    plan = _plan(registry["part_range_partitioning"].fn(spark, SF_T2))
+    assert "rangepartitioning(o_totalprice" in plan
