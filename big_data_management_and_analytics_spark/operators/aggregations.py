@@ -594,3 +594,32 @@ def agg_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "agg_listagg",
+    "D",
+    oracle="""
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    doc=(
+        "Ordered string aggregation: listagg WITHIN GROUP (ORDER BY) ≡ "
+        "string_agg(... ORDER BY) — deterministic because the intra-group "
+        "order is total (§2.0.6)."
+    ),
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations_csv"
+            )
+        )
+    )

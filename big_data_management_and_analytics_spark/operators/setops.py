@@ -132,3 +132,23 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _urgent(spark, sf_dir).select("o_custkey")
     b = _high(spark, sf_dir).select("o_custkey")
     return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    "G",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc=(
+        "Bag difference (EXCEPT ALL): keeps max(urgent-count − high-count, "
+        "0) copies per customer — the multiplicity-preserving complement "
+        "of set_except."
+    ),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _urgent(spark, sf_dir).select("o_custkey")
+    b = _high(spark, sf_dir).select("o_custkey")
+    return a.exceptAll(b)
