@@ -12,6 +12,7 @@ demonstrate the slow path the engine otherwise avoids).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -244,3 +245,43 @@ def udf_arrow_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return li.mapInArrow(transform, out_schema)
+
+
+@register(
+    "udf_pandas_iter",
+    "J",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM orders
+    """,
+    doc=(
+        "Iterator-of-Series pandas UDF (SCALAR_ITER eval type): one "
+        "generator per Python worker, so per-task setup (model load, "
+        "dictionary build) runs ONCE per partition instead of per batch — "
+        "the pattern for amortizing expensive init at 100 TB. Math is the "
+        "exact cents discipline, matching the DECIMAL oracle."
+    ),
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    def _to_cents(batches):
+        # Per-task init would run here, once, before the batch loop.
+        scale = 100.0
+        for s in batches:
+            yield np.floor(s * scale + 0.5).astype("int64")
+
+    # `from __future__ import annotations` stringifies inline hints, which
+    # defeats pandas_udf's eval-type inference — attach real type objects.
+    _to_cents.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    to_cents = pandas_udf(T.LongType())(_to_cents)
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", to_cents(F.col("o_totalprice")).alias("price_cents")
+    )

@@ -482,3 +482,37 @@ def join_hint_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name"
     )
+
+
+@register(
+    "join_existence_flag",
+    "C",
+    oracle="""
+        SELECT c_custkey, c_name,
+               EXISTS (
+                   SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey AND o_totalprice > 300000
+               ) AS has_big_order
+        FROM customer
+    """,
+    doc=(
+        "Existence join: every customer kept, plus a boolean marker for "
+        "'has a >300k order' — Spark plans the EXISTS projection as an "
+        "ExistenceJoin (semi-join that appends a flag instead of "
+        "filtering), one shuffle-free broadcast probe at dim scale."
+    ),
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.sources.io import register_views
+
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               EXISTS (
+                   SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey AND o_totalprice > 300000
+               ) AS has_big_order
+        FROM customer
+        """
+    )
