@@ -222,3 +222,50 @@ def arr_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.sort_array(F.array_except(F.col("a.t"), F.col("b.t")))
         ).alias("vocab_only_a"),
     )
+
+
+@register(
+    "map_higher_order",
+    "H",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               COALESCE(
+                   string_agg(event_type || ':' || CAST(n * 2 AS VARCHAR), ','
+                              ORDER BY event_type)
+                       FILTER (WHERE n >= 2),
+                   ''
+               ) AS busy_types
+        FROM counts
+        GROUP BY user_id
+    """,
+    doc=(
+        "Higher-order map functions: per-user event-type count map -> "
+        "map_filter (keep counts >= 2) -> transform_values (x2) -> "
+        "entries serialized sorted-by-key (§2.0.5: no raw MAP output). "
+        "The oracle computes the same relationally with string_agg "
+        "(ORDER BY event_type) — both sides serialize key-ascending."
+    ),
+)
+def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    busy = F.transform_values(
+        F.map_filter(F.col("m"), lambda k, v: v >= 2), lambda k, v: v * 2
+    )
+    entries = F.transform(
+        F.sort_array(F.map_entries(busy)),
+        lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
+    )
+    return m.select("user_id", F.concat_ws(",", entries).alias("busy_types"))
