@@ -26,6 +26,8 @@ HEADLINE = [
     "llm_text_tfidf",         # text pipeline (explode + joins + window)
     "llm_sim_knn",            # vector search brute-force
     "llm_dedup_minhash",      # scalable near-dup (signatures + banding)
+    "tpch_q3_shipping",       # composite pipeline: 3-way join + top-k
+    "tpch_q18_bigorders",     # composite pipeline: pre-agg + HAVING + dims
 ]
 
 RUNS = 3

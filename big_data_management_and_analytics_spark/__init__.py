@@ -30,6 +30,7 @@ def load_all() -> None:
         windows,
         sorts,
         setops,
+        composite,
     )
     from big_data_management_and_analytics_spark.functions import (  # noqa: F401
         strings,
