@@ -442,3 +442,195 @@ def llm_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("long")).cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_chars"),
     )
+
+
+@register(
+    "llm_text_repetition",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t FROM documents
+        ),
+        g AS (
+            SELECT doc_id, t,
+                   list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1]) AS b
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(t) AS INT) AS n_tokens,
+               ROUND(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                   AS dup_token_ratio,
+               CASE WHEN len(t) > 1
+                    THEN ROUND(1 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 6)
+                    ELSE 0.0 END AS dup_bigram_ratio
+        FROM g
+    """,
+    doc=(
+        "Gopher-style repetition quality signal per document: duplicate-"
+        "token ratio and duplicate-bigram ratio (1 - distinct/total). "
+        "Computed entirely with codegen array ops (no explode, no shuffle) "
+        "- at 100 TB this is a map-only pass over the corpus."
+    ),
+)
+def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", t.alias("t"))
+    b = F.when(
+        F.size("t") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    withb = base.withColumn("b", b)
+    return withb.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.round(
+            F.lit(1)
+            - F.size(F.array_distinct("t")).cast("double") / F.size("t"),
+            6,
+        ).alias("dup_token_ratio"),
+        F.when(
+            F.size("t") > 1,
+            F.round(
+                F.lit(1)
+                - F.size(F.array_distinct("b")).cast("double") / F.size("b"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
+@register(
+    "llm_contamination",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(t) - 4),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4])) AS gs
+            FROM toks
+        ),
+        eval_grams AS (
+            SELECT DISTINCT UNNEST(gs) AS gram FROM grams WHERE doc_id % 50 = 0
+        ),
+        train_grams AS (
+            SELECT doc_id, UNNEST(gs) AS gram FROM grams WHERE doc_id % 50 <> 0
+        ),
+        hits AS (
+            SELECT tg.doc_id, COUNT(*) AS n_shared_grams
+            FROM train_grams tg JOIN eval_grams eg ON tg.gram = eg.gram
+            GROUP BY tg.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+               COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 50 <> 0
+    """,
+    doc=(
+        "Benchmark-contamination check: flag training documents sharing any "
+        "5-gram with a held-out eval set (doc_id % 50 = 0). The eval-side "
+        "distinct gram set is tiny and broadcast; the train side streams "
+        "through a map-side hash join - no O(n^2) pair join. At 100 TB the "
+        "broadcast set becomes a bloom filter with identical plan shape."
+    ),
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    five = F.when(
+        F.size("t") >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("t"), i + k) for k in range(5)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", t.alias("t")).withColumn("gs", five)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    train_grams = grams.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("gs").alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    train_docs = d.filter(F.col("doc_id") % 50 != 0).select("doc_id")
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "llm_corpus_mix",
+    "K",
+    oracle=f"""
+        WITH per_lang AS (
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len({SQL_TOKENS.format(col='text')})) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            GROUP BY lang
+        )
+        SELECT lang, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE)
+                     / SUM(n_tokens) OVER (), 6) AS token_share,
+               ROUND((1.0 / COUNT(*) OVER ())
+                     / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 6)
+                   AS uniform_weight
+        FROM per_lang
+    """,
+    doc=(
+        "Corpus mixing table: per-language token counts, share of the "
+        "corpus, and the resampling weight that would equalize languages "
+        "(target uniform mix). Integer token sums are exact; shares are "
+        "terminal-rounded. The pattern generalizes to any domain-mixing "
+        "policy - one groupBy plus a tiny window over the group table."
+    ),
+)
+def llm_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(t).cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, 6).alias(
+            "uniform_weight"
+        ),
+    )
