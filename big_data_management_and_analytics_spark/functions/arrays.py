@@ -269,3 +269,79 @@ def map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda e: F.concat_ws(":", e.key, e.value.cast("string")),
     )
     return m.select("user_id", F.concat_ws(",", entries).alias("busy_types"))
+
+
+@register(
+    "gen_explode_outer",
+    "H",
+    oracle="""
+        WITH longtoks AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                               t -> LENGTH(t) > 8) AS lt
+            FROM documents
+        )
+        SELECT doc_id, UNNEST(
+            CASE WHEN LEN(lt) = 0 THEN [NULL]::VARCHAR[] ELSE lt END
+        ) AS long_token
+        FROM longtoks
+    """,
+    doc=(
+        "explode_outer generator: documents with no >8-char token survive "
+        "with a NULL row (outer semantics). Oracle pads empty lists with "
+        "[NULL] before UNNEST - same row multiset."
+    ),
+)
+def gen_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    lt = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 8
+    )
+    return d.select("doc_id", F.explode_outer(lt).alias("long_token"))
+
+
+@register(
+    "arr_advanced",
+    "H",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\\s+') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COALESCE(LIST_POSITION(t, 'spark'), 0) AS BIGINT) AS pos_spark,
+               COALESCE(ARRAY_TO_STRING(
+                   FLATTEN([LIST_SLICE(t, 1, 3), LIST_SLICE(t, 4, 6)]), ' '),
+                   '') AS first6,
+               COALESCE(ARRAY_TO_STRING(
+                   LIST_FILTER(t, x -> x <> 'spark'), ' '), '') AS no_spark,
+               COALESCE(ARRAY_TO_STRING(
+                   LIST_PREPEND('<s>', LIST_APPEND(t, '</s>')), ' '), '')
+                   AS sentinel_wrapped
+        FROM toks
+    """,
+    doc=(
+        "Advanced array surface: array_position (0 when absent, matching "
+        "COALESCE(list_position)), flatten of slices, array_remove, "
+        "prepend/append sentinels - serialized via concat_ws per SURVEY "
+        "rule 2.0.6/11 (DuckDB array_to_string on empty lists yields NULL, "
+        "hence the COALESCE wrap)."
+    ),
+)
+def arr_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    )
+    t = F.col("t")
+    return base.select(
+        "doc_id",
+        F.array_position(t, "spark").alias("pos_spark"),
+        F.concat_ws(
+            " ", F.flatten(F.array(F.slice(t, 1, 3), F.slice(t, 4, 3)))
+        ).alias("first6"),
+        F.concat_ws(" ", F.array_remove(t, "spark")).alias("no_spark"),
+        F.concat_ws(
+            " ", F.array_prepend(F.array_append(t, "</s>"), "<s>")
+        ).alias("sentinel_wrapped"),
+    )

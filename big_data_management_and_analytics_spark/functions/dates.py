@@ -173,3 +173,38 @@ def gen_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(spine).join(actual, "month_start", "left").select(
         "month_start", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
     )
+
+
+@register(
+    "date_format_str",
+    "H",
+    oracle="""
+        SELECT
+            o_orderkey,
+            STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_date,
+            STRFTIME(o_orderdate, '%Y-%m') AS year_month,
+            STRFTIME(o_orderdate, '%H:%M:%S') AS clock,
+            STRFTIME(o_orderdate, '%A') AS day_name,
+            STRFTIME(o_orderdate, '%B') AS month_name,
+            STRFTIME(o_orderdate, '%j') AS day_of_year
+        FROM orders
+    """,
+    doc=(
+        "Timestamp-to-string formatting matrix: ISO date, year-month, "
+        "clock, English day/month names, zero-padded day-of-year. Spark "
+        "date_format (JVM, locale US) vs DuckDB strftime - name formats "
+        "validated equal on the full fixture date range."
+    ),
+)
+def date_format_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
+        F.date_format(d, "yyyy-MM").alias("year_month"),
+        F.date_format(d, "HH:mm:ss").alias("clock"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.date_format(d, "DDD").alias("day_of_year"),
+    )

@@ -144,3 +144,42 @@ def math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shl"),
         F.shiftright(k, 1).alias("shr"),
     )
+
+
+@register(
+    "math_trig",
+    "H",
+    oracle="""
+        SELECT
+            l_orderkey, l_linenumber,
+            ROUND(SIN(l_quantity), 6) AS sin_q,
+            ROUND(COS(l_quantity), 6) AS cos_q,
+            ROUND(TAN(l_discount), 6) AS tan_d,
+            ROUND(ATAN(l_discount), 6) AS atan_d,
+            ROUND(ATAN2(l_quantity, 1 + l_discount), 6) AS atan2_qd,
+            ROUND(DEGREES(l_discount), 6) AS deg_d,
+            ROUND(RADIANS(l_quantity), 6) AS rad_q,
+            ROUND(PI(), 6) AS pi_const
+        FROM lineitem
+    """,
+    doc=(
+        "Trigonometric family (sin/cos/tan/atan/atan2/degrees/radians/pi), "
+        "terminal-rounded to 6 digits (JVM Math vs libm may differ in the "
+        "last ULP; rounding absorbs it - validated over 60k rows)."
+    ),
+)
+def math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(q), 6).alias("sin_q"),
+        F.round(F.cos(q), 6).alias("cos_q"),
+        F.round(F.tan(d), 6).alias("tan_d"),
+        F.round(F.atan(d), 6).alias("atan_d"),
+        F.round(F.atan2(q, d + F.lit(1)), 6).alias("atan2_qd"),
+        F.round(F.degrees(d), 6).alias("deg_d"),
+        F.round(F.radians(q), 6).alias("rad_q"),
+        F.round(F.lit(3.141592653589793), 6).alias("pi_const"),
+    )

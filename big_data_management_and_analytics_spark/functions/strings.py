@@ -140,3 +140,74 @@ def str_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_brand").alias("brand_rev"),
         F.translate("p_type", " ", "-").alias("type_dashed"),
     )
+
+
+@register(
+    "str_locate_split",
+    "H",
+    oracle="""
+        SELECT
+            p_partkey,
+            CAST(STRPOS(p_name, 'a') AS INT) AS pos_a,
+            SPLIT_PART(p_name, ' ', 1) AS first_word,
+            SPLIT_PART(p_name, ' ', 2) AS second_word,
+            LEFT(p_name, 3) AS prefix3,
+            RIGHT(p_name, 3) AS suffix3,
+            STARTS_WITH(p_name, 's') AS starts_s,
+            ENDS_WITH(p_name, 'e') AS ends_e,
+            CONTAINS(p_name, 'er') AS has_er,
+            ARRAY_TO_STRING(
+                LIST_TRANSFORM(STRING_SPLIT(p_name, ' '),
+                               w -> UPPER(SUBSTRING(w, 1, 1)) || SUBSTRING(w, 2)),
+                ' ') AS name_title
+        FROM part
+    """,
+    doc=(
+        "Position/split/affix family: instr-strpos, split_part, left/right, "
+        "startswith/endswith/contains predicates, initcap (oracle emulates "
+        "initcap via per-word transform; fixture names are single-spaced)."
+    ),
+)
+def str_locate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.instr(name, "a").alias("pos_a"),
+        F.split_part(name, F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(name, F.lit(" "), F.lit(2)).alias("second_word"),
+        F.expr("left(p_name, 3)").alias("prefix3"),
+        F.expr("right(p_name, 3)").alias("suffix3"),
+        F.startswith(name, F.lit("s")).alias("starts_s"),
+        F.endswith(name, F.lit("e")).alias("ends_e"),
+        F.contains(name, F.lit("er")).alias("has_er"),
+        F.initcap(name).alias("name_title"),
+    )
+
+
+@register(
+    "str_base64",
+    "H",
+    oracle="""
+        SELECT
+            c_custkey,
+            BASE64(ENCODE(c_name)) AS name_b64,
+            DECODE(FROM_BASE64(BASE64(ENCODE(c_name)))) AS name_roundtrip,
+            CAST(OCTET_LENGTH(ENCODE(c_name)) AS INT) AS name_bytes
+        FROM customer
+    """,
+    doc=(
+        "Binary-text bridge: base64 encode, decode round-trip, byte length. "
+        "Spark base64 uses unwrapped RFC 4648 (java.util.Base64) - same "
+        "alphabet and padding as DuckDB's blob base64."
+    ),
+)
+def str_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    blob = F.encode(F.col("c_name"), "utf-8")
+    return c.select(
+        "c_custkey",
+        F.base64(blob).alias("name_b64"),
+        F.decode(F.unbase64(F.base64(blob)), "utf-8").alias("name_roundtrip"),
+        F.octet_length(blob).alias("name_bytes"),
+    )

@@ -623,3 +623,102 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "agg_regr",
+    "D",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept,
+               ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+               ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4) AS avg_x,
+               ROUND(REGR_AVGY(l_extendedprice, l_quantity), 2) AS avg_y
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Linear-regression aggregate family (slope/intercept/R2/avgx/avgy) "
+        "of price on quantity per return flag. Both engines accumulate in "
+        "double; terminal rounding absorbs summation-order noise "
+        "(validated across shuffle-partition sweeps)."
+    ),
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
+    )
+
+
+@register(
+    "agg_moments",
+    "D",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(qc) AS DOUBLE) AS s1,
+                   CAST(SUM(qc * qc) AS DOUBLE) AS s2,
+                   CAST(SUM(qc * qc * qc) AS DOUBLE) AS s3,
+                   CAST(SUM((qc * qc) * (qc * qc)) AS DOUBLE) AS s4
+            FROM (SELECT l_returnflag,
+                         CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+                  FROM lineitem)
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                     / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew_pop,
+               ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                     / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+                     - 3, 6) AS kurt_excess
+        FROM m
+    """,
+    doc=(
+        "Higher-moment statistics: population skewness and excess kurtosis "
+        "of l_quantity per return flag. Moment sums accumulate as EXACT "
+        "integers (cents; 4th power widened to decimal(28,0) on Spark / "
+        "HUGEINT on DuckDB), then both sides apply the identical algebraic "
+        "raw-moment formula in double - bit-equal before the terminal "
+        "round. Order-independent at any partition count, unlike naive "
+        "double skewness/kurtosis accumulation."
+    ),
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qc = cents("l_quantity")
+    base = li.select("l_returnflag", qc.alias("qc"))
+    q2 = F.col("qc") * F.col("qc")
+    m = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("qc").cast("double").alias("s1"),
+        F.sum(q2).cast("double").alias("s2"),
+        F.sum(q2 * F.col("qc")).cast("double").alias("s3"),
+        F.sum((q2 * q2).cast("decimal(28,0)")).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3) * mean * (s2 / n) + F.lit(2) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4) * mean * (s3 / n)
+        + F.lit(6) * mean * mean * (s2 / n)
+        - F.lit(3) * mean * mean * mean * mean
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurt_excess"),
+    )

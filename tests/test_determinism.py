@@ -27,6 +27,10 @@ SENSITIVE = [
     "llm_embed_quantize",
     "udf_arrow_iter",
     "llm_pack_sequences",
+    "agg_regr",
+    "agg_moments",
+    "tpch_q3_shipping",
+    "llm_text_repetition",
 ]
 
 

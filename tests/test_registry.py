@@ -13,7 +13,7 @@ def test_inventory_size(registry):
 
 def test_every_query_has_category_and_doc(registry):
     for q in registry.values():
-        assert q.category in set("ABCDEFGHIJK"), q.name
+        assert q.category in set("ABCDEFGHIJKL"), q.name
         assert q.doc, f"{q.name} missing doc"
 
 
