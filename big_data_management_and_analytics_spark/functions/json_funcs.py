@@ -75,3 +75,32 @@ def json_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("payload"),
     )
+
+
+@register(
+    "json_variant",
+    "H",
+    oracle="""
+        SELECT event_id,
+               CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k_int,
+               JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+               JSON_EXTRACT(props, '$.missing') IS NOT NULL AS has_missing
+        FROM events
+    """,
+    doc=(
+        "Semi-structured VARIANT path (Spark 4): parse_json once, then "
+        "typed variant_get extractions - the open-schema alternative to "
+        "from_json with a pinned schema. Binary variant encoding scans "
+        "faster than repeated string JSON parsing at 100 TB; the oracle "
+        "uses DuckDB's JSON extraction on the same paths."
+    ),
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        (~F.isnull(F.variant_get(v, "$.missing", "string"))).alias("has_missing"),
+    )

@@ -187,3 +187,41 @@ def proj_fillna_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.na.fill(
         {"o_orderkey": -1, "o_totalprice": 0.0, "priority": "NONE"}
     )
+
+
+@register(
+    "proj_try_arith",
+    "B",
+    oracle="""
+        SELECT p_partkey,
+               ROUND(p_retailprice / NULLIF(p_size - 5, 0), 6) AS safe_unit_price,
+               TRY_CAST(p_brand AS INTEGER) AS brand_as_int,
+               TRY_CAST(SPLIT_PART(p_name, ' ', 1) AS INTEGER) AS word_as_int,
+               STRING_SPLIT(p_name, ' ')[99] AS word99,
+               CAST(NULL AS BIGINT) AS overflow_add
+        FROM part
+    """,
+    doc=(
+        "ANSI-safe TRY arithmetic (Spark 4 runs ANSI mode ON, so plain "
+        "overflow/bad-cast ERROR): try_divide yields NULL on zero "
+        "divisors, try_cast NULL on malformed input, try_element_at NULL "
+        "out of range, try_add NULL on BIGINT overflow (oracle encodes the "
+        "overflow result literally - DuckDB BIGINT + errors instead of "
+        "NULLing, which is exactly the semantic try_add adds)."
+    ),
+)
+def proj_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.round(
+            F.try_divide(F.col("p_retailprice"), F.col("p_size") - 5), 6
+        ).alias("safe_unit_price"),
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.element_at(words, 1).try_cast("int").alias("word_as_int"),
+        F.try_element_at(words, F.lit(99)).alias("word99"),
+        F.try_add(F.lit(9223372036854775807).cast("long"), F.lit(1).cast("long")).alias(
+            "overflow_add"
+        ),
+    )

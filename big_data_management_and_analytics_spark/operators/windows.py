@@ -368,3 +368,43 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last(pv, ignorenulls=True).over(w), 2), F.lit(-1.0)
         ).alias("last_purchase_value"),
     )
+
+
+@register(
+    "win_lag_ignore_nulls",
+    "E",
+    oracle="""
+        WITH sparse AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN value END AS pv
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(COALESCE(ROUND(lag(pv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), 2), -1.0) AS DOUBLE) AS prev_purchase_value
+        FROM sparse
+    """,
+    doc=(
+        "lag ... IGNORE NULLS: the most recent STRICTLY-EARLIER purchase "
+        "value per user (the forward-fill twin that excludes the current "
+        "row - what you want for leakage-free feature engineering). "
+        "Expressed through the SQL window expression surface "
+        "(F.lag has no ignorenulls parameter); one shuffle on user_id."
+    ),
+)
+def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sparse = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    return sparse.selectExpr(
+        "event_id",
+        "user_id",
+        """CAST(COALESCE(ROUND(lag(pv) IGNORE NULLS OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 2), -1.0) AS DOUBLE) AS prev_purchase_value""",
+    )

@@ -314,3 +314,84 @@ def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "sql_recursive_cte",
+    "A",
+    oracle="""
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '1995-01-01'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP '2001-12-01'
+        )
+        SELECT STRFTIME(m, '%Y-%m') AS ym,
+               COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON DATE_TRUNC('month', o_orderdate) = m
+        GROUP BY ym
+    """,
+    doc=(
+        "Recursive CTE (Spark 4 WITH RECURSIVE): build an 84-month calendar "
+        "spine by recursion, left-join order counts onto it - months with "
+        "zero orders survive with 0. Recursion depth 84 sits well under "
+        "Spark's default 100-level limit; the spine is a driver-side-tiny "
+        "relation broadcast against the fact table."
+    ),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '1995-01-01'
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP '2001-12-01'
+        )
+        SELECT DATE_FORMAT(m, 'yyyy-MM') AS ym,
+               COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON DATE_TRUNC('MONTH', o_orderdate) = m
+        GROUP BY ym
+        """
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    "A",
+    oracle="""
+        SELECT s.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = s.c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) l
+    """,
+    doc=(
+        "Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders "
+        "per market segment. Catalyst decorrelates the lateral into a "
+        "ranked window join - same result as the QUALIFY pattern but "
+        "expressed in the per-group subquery idiom."
+    ),
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT s.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = s.c_mktsegment
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) l
+        """
+    )
