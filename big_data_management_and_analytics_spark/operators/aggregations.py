@@ -722,3 +722,79 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew_pop"),
         F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("kurt_excess"),
     )
+
+
+@register(
+    "agg_hll_sketch",
+    "D",
+    doc=(
+        "Mergeable HyperLogLog sketches (Datasketches HLL, Spark 3.5+): "
+        "per-event-type sketch of distinct users, estimated per group AND "
+        "union-merged to a global estimate - the 100 TB distinct-counting "
+        "pattern (sketches combine across partitions/days without rescans; "
+        "register-max merge makes the estimate order-independent). "
+        "Rows-tier per SURVEY 2.0.8: estimates are not exact counts; the "
+        "exact distinct rides along for error inspection."
+    ),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    glob = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "approx_users",
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return est.unionByName(glob)
+
+
+@register(
+    "obs_metrics",
+    "D",
+    doc=(
+        "Pipeline observability via df.observe(): a cleaning pass over "
+        "events (drop non-positive values) streams once while an "
+        "Observation accumulates rows-in, rows-kept, exact-cents value "
+        "total, and null-prop count as side metrics - zero extra scans, "
+        "the data-quality telemetry pattern for production pipelines. "
+        "Returns the observed metrics as a one-row DataFrame (rows-tier: "
+        "the deliverable is the metric channel, not a relation)."
+    ),
+)
+def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    e = load(spark, sf_dir, "events")
+    obs = Observation("clean_metrics")
+    cleaned = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(F.col("value") > 0, 1).otherwise(0)).alias("rows_kept"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / 100.0).alias(
+            "value_total"
+        ),
+        F.sum(F.isnull("props").cast("int")).alias("null_props"),
+    ).filter(F.col("value") > 0)
+    cleaned.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_in"]),
+                int(m["rows_kept"]),
+                float(m["value_total"]),
+                int(m["null_props"]),
+            )
+        ],
+        "rows_in long, rows_kept long, value_total double, null_props long",
+    )

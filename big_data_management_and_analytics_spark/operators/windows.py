@@ -408,3 +408,45 @@ def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY ts, event_id
            ), 2), -1.0) AS DOUBLE) AS prev_purchase_value""",
     )
+
+
+@register(
+    "win_range_interval",
+    "E",
+    oracle="""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h,
+               CAST((SUM(vc) OVER w) / 100.0 AS DOUBLE) AS sum_1h
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "Time-interval RANGE frame: per-user trailing 1-hour event count "
+        "and exact-cents value sum - the classic sliding feature-window "
+        "(fraud/abuse features) without a self-join. RANGE peers at equal "
+        "timestamps are included identically in both engines; the cents "
+        "sum keeps the frame aggregation order-independent. One shuffle "
+        "on user_id; state is a bounded time window at stream scale."
+    ),
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("vc"),
+    )
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return base.selectExpr(
+        "event_id",
+        "user_id",
+        f"COUNT(*) {over} AS n_1h",
+        f"CAST(SUM(vc) {over} / 100.0 AS DOUBLE) AS sum_1h",
+    )
