@@ -236,3 +236,197 @@ def tpch_q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice", "sum_qty",
         )
     )
+
+
+@register(
+    "tpch_q7_volume",
+    "L",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year, {_SQL_REVENUE} AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(DATE_PART('year', l_shipdate) AS INT) AS l_year,
+                   l_extendedprice, l_discount
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1999-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc=(
+        "TPC-H Q7 shape: bilateral trade volume between two nations by "
+        "ship year - 5-way join with both ends of the supply chain "
+        "nation-qualified, broadcast dims, exact-cents revenue."
+    ),
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    n1 = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+        "n_nationkey", "nk1"
+    )
+    n2 = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+        "n_nationkey", "nk2"
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("nk1"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("nk2"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_revenue_sum("revenue"))
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    "L",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM c_orders
+        GROUP BY c_count
+    """,
+    doc=(
+        "TPC-H Q13 shape: distribution of customers by order count - "
+        "LEFT JOIN with a join-level predicate (kept customers with zero "
+        "qualifying orders count as 0), then a second aggregation over "
+        "the first. Two shuffles; the second input is one row per "
+        "customer, tiny at any scale."
+    ),
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_topsupp",
+    "L",
+    oracle=f"""
+        WITH revenue0 AS (
+            SELECT l_suppkey AS supplier_no, {_SQL_REVENUE} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+    doc=(
+        "TPC-H Q15 shape: quarterly revenue per supplier, then the "
+        "top supplier(s) via a scalar MAX subquery. Exact-cents revenue "
+        "makes the max comparison exact (no float-tie hazard)."
+    ),
+)
+def tpch_q15_topsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue_sum("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_smallqty",
+    "L",
+    oracle="""
+        WITH avg_per_part AS (
+            SELECT l_partkey AS ap_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_qty
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN avg_per_part ON ap_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < 0.2 * avg_qty
+    """,
+    doc=(
+        "TPC-H Q17 shape: small-quantity-order revenue - per-part average "
+        "quantity (exact sum / count) joined back against the fact, "
+        "brand-filtered. The 0.2*avg threshold compares identical doubles "
+        "on both sides, so the filter decisions match exactly."
+    ),
+)
+def tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        ((F.sum(cents("l_quantity")) / 100.0) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    flagged = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return flagged.agg(
+        ((F.sum(cents("l_extendedprice")) / 100.0) / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly")
+    )
