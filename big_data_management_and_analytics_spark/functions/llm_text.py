@@ -634,3 +634,40 @@ def llm_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniform_weight"
         ),
     )
+
+
+@register(
+    "llm_shard_assign",
+    "K",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   len({SQL_TOKENS.format(col='text')}) AS n_tok
+            FROM documents
+        )
+        SELECT shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        FROM assigned
+        GROUP BY shard
+    """,
+    doc=(
+        "Deterministic training-shard routing: each document hashes to one "
+        "of 16 shards via its md5 first hex digit - stable across engines, "
+        "reruns, and cluster sizes (unlike hash()/xxhash64, whose seeds "
+        "are engine-specific). Output is the shard load table used to "
+        "verify balance before a training run; at 100 TB the same "
+        "expression becomes the partitionBy key for the shard writer."
+    ),
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    assigned = d.select(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+        F.size(t).cast("long").alias("n_tok"),
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )

@@ -798,3 +798,30 @@ def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows_in long, rows_kept long, value_total double, null_props long",
     )
+
+
+@register(
+    "agg_approx_topk",
+    "D",
+    doc=(
+        "approx_top_k (Spark 4.1 sketch-backed heavy hitters): top-5 words "
+        "across the document corpus without a full groupBy - the "
+        "frequent-items pattern for 100 TB vocabularies where an exact "
+        "global count would shuffle every distinct token. Struct output is "
+        "flattened via inline(). Rows-tier per SURVEY 2.0.8 (approximate); "
+        "the estimates are checked against exact counts in tests at small "
+        "sf where the sketch is exact."
+    ),
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    )
+    words.createOrReplaceTempView("bdma_topk_words")
+    return spark.sql(
+        """
+        SELECT inline(approx_top_k(word, 5))
+        FROM bdma_topk_words
+        """
+    ).select(F.col("item").alias("word"), F.col("count").alias("n"))

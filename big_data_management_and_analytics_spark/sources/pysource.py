@@ -103,3 +103,99 @@ def src_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+if _HAS_DATASOURCE_API:
+    try:
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+            """Bounded micro-batch reader over the same deterministic rows.
+
+            Offsets are plain row counters; ``read`` serves at most
+            ``batchSize`` rows past the start offset and reports the new
+            offset. When the counter reaches ``rows`` the returned offset
+            stops advancing, which Structured Streaming interprets as
+            "no new data" — so processAllAvailable() terminates. Replays
+            (readBetweenOffsets) regenerate rows from the counters, giving
+            exactly-once semantics on retry like a real offset-based bus.
+            """
+
+            def __init__(self, options):
+                self.total = int(options.get("rows", 1000))
+                self.batch = int(options.get("batchSize", 250))
+
+            def initialOffset(self):
+                return {"offset": 0}
+
+            def read(self, start):
+                s = int(start["offset"])
+                e = min(s + self.batch, self.total)
+                return (iter([_row_for(i) for i in range(s, e)]), {"offset": e})
+
+            def readBetweenOffsets(self, start, end):
+                return iter(
+                    [_row_for(i) for i in range(int(start["offset"]), int(end["offset"]))]
+                )
+
+        _HAS_STREAM_READER = True
+    except ImportError:  # pragma: no cover
+        _HAS_STREAM_READER = False
+
+    if _HAS_STREAM_READER:
+        # Attach the stream reader to the existing batch DataSource class so
+        # one format name serves both spark.read and spark.readStream.
+        def _simple_stream_reader(self, schema):
+            return SyntheticEventsStreamReader(self.options)
+
+        SyntheticEventsDataSource.simpleStreamReader = _simple_stream_reader
+else:  # pragma: no cover
+    _HAS_STREAM_READER = False
+
+
+@register(
+    "src_stream_datasource",
+    "A",
+    doc=(
+        "Streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader): "
+        "the synthetic-events source consumed as micro-batches with "
+        "counter-based offsets and deterministic replay, aggregated to "
+        "per-type counts in update mode. The offset contract (read / "
+        "readBetweenOffsets) is what Kafka-like connectors implement; "
+        "rows-tier (true streaming has no SQL oracle)."
+    ),
+)
+def src_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not (_HAS_DATASOURCE_API and _HAS_STREAM_READER):  # pragma: no cover
+        raise NotImplementedError("requires Spark >= 4.0 streaming DataSource API")
+    import shutil
+    import tempfile
+    import uuid
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass
+    name = f"pyds_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdma_pyds_ckpt_")
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 2000)
+        .option("batchSize", 500)
+        .load()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)

@@ -376,3 +376,64 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return _run_to_memory(deduped, "append")
+
+
+@register(
+    "stream_checkpoint_resume",
+    "I",
+    oracle="""
+        SELECT event_type, CAST(2 * COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "Checkpointed incremental processing: the same availableNow query "
+        "runs twice against a monotonically-growing file directory with a "
+        "shared checkpoint - run 1 ingests file A, run 2 ingests ONLY the "
+        "newly-arrived file B (the checkpoint's file log skips A). The "
+        "final sink holds each file exactly once; since B is a copy of A, "
+        "the per-type counts equal exactly 2x the batch table's - which "
+        "the oracle checks, making exactly-once progress tracking "
+        "hash-verifiable."
+    ),
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    tune(spark)
+    src = tempfile.mkdtemp(prefix="bdma_ckres_src_")
+    sink = tempfile.mkdtemp(prefix="bdma_ckres_sink_")
+    ckpt = tempfile.mkdtemp(prefix="bdma_ckres_ckpt_")
+    events_file = os.path.join(sf_dir, "events.parquet")
+
+    def run_once() -> None:
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        typed = raw.select("event_id", "event_type")
+        q = (
+            typed.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("checkpoint-resume run did not finish")
+
+    shutil.copy(events_file, os.path.join(src, "batch_a.parquet"))
+    run_once()
+    shutil.copy(events_file, os.path.join(src, "batch_b.parquet"))
+    run_once()
+    shutil.rmtree(src, ignore_errors=True)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

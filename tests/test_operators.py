@@ -299,3 +299,40 @@ def test_packing_offsets_are_consistent(spark):
         assert r.pack_id == cum // 256
         assert r.offset_in_pack == cum % 256
         cum += r.n_tok
+
+
+def test_approx_topk_matches_exact_at_small_sf(spark, registry):
+    """At sf0.001 the top-k sketch capacity far exceeds the distinct-word
+    count, so approx_top_k must equal the exact top-5 (with count ties
+    allowed to reorder — compare as count-sorted multisets)."""
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_SMALL
+
+    approx = registry["agg_approx_topk"].fn(spark, SF_SMALL).collect()
+    exact = (
+        registry["llm_text_wordcount"]
+        .fn(spark, SF_SMALL)
+        .limit(5)
+        .collect()
+    )
+    assert sorted(r.n for r in approx) == sorted(r.freq for r in exact)
+
+
+def test_checkpoint_resume_processes_each_file_once(spark, registry):
+    """Counts after two incremental runs equal exactly 2x the batch table."""
+    import pyspark.sql.functions as F
+    from big_data_management_and_analytics_spark.sources.io import load
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.event_type: r.n_events
+        for r in registry["stream_checkpoint_resume"].fn(spark, SF_SMALL).collect()
+    }
+    base = {
+        r.event_type: r.n
+        for r in load(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {k: 2 * v for k, v in base.items()}
