@@ -671,3 +671,58 @@ def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+@register(
+    "llm_quality_classifier",
+    "K",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(len({SQL_TOKENS.format(col='text')}) AS DOUBLE) AS n_tok,
+                   CAST(len(list_distinct({SQL_TOKENS.format(col='text')})) AS DOUBLE)
+                       / len({SQL_TOKENS.format(col='text')}) AS lex_div,
+                   CAST(n_chars AS DOUBLE)
+                       / len({SQL_TOKENS.format(col='text')}) AS avg_tok_len
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + EXP(-(
+                   -2.0 + 0.35 * LN(n_tok) + 2.5 * lex_div
+                   + 0.15 * avg_tok_len))), 6) AS quality_score,
+               (1.0 / (1.0 + EXP(-(
+                   -2.0 + 0.35 * LN(n_tok) + 2.5 * lex_div
+                   + 0.15 * avg_tok_len)))) >= 0.5 AS keep
+        FROM feats
+    """,
+    doc=(
+        "Model-scoring pattern: a fixed-weight logistic quality classifier "
+        "(the fasttext-quality-filter shape) over cheap text features - "
+        "log length, lexical diversity, mean token length. Pure codegen "
+        "math, map-only, no Python on the data path; swapping in trained "
+        "weights (or a Pandas-UDF ONNX scorer) changes only the scoring "
+        "expression. Score terminal-rounded; the keep gate mirrors the "
+        "corpus-cleaning decision boundary."
+    ),
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        F.size(t).cast("double").alias("n_tok"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("lex_div"),
+        (F.col("n_chars").cast("double") / F.size(t)).alias("avg_tok_len"),
+    )
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.35) * F.log(F.col("n_tok"))
+        + F.lit(2.5) * F.col("lex_div")
+        + F.lit(0.15) * F.col("avg_tok_len")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -152,3 +152,67 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _urgent(spark, sf_dir).select("o_custkey")
     b = _high(spark, sf_dir).select("o_custkey")
     return a.exceptAll(b)
+
+
+@register(
+    "cdc_apply_changes",
+    "G",
+    oracle="""
+        WITH changes AS (
+            SELECT CASE WHEN c_custkey % 10 = 2 THEN c_custkey + 1000000
+                        ELSE c_custkey END AS key,
+                   CASE WHEN c_custkey % 10 = 0 THEN 'D'
+                        WHEN c_custkey % 10 = 1 THEN 'U'
+                        ELSE 'I' END AS op,
+                   c_name,
+                   CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100
+                        ELSE c_acctbal END AS c_acctbal
+            FROM customer
+            WHERE c_custkey % 10 < 3
+        ),
+        survivors AS (
+            SELECT c_custkey AS key, c_name, c_acctbal
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT key FROM changes WHERE op IN ('D','U'))
+        )
+        SELECT key, c_name, c_acctbal FROM survivors
+        UNION ALL
+        SELECT key, c_name, c_acctbal FROM changes WHERE op IN ('I','U')
+    """,
+    doc=(
+        "CDC changelog application (the MERGE INTO pattern without a "
+        "transactional table format): a derived I/U/D changelog applies "
+        "onto the customer base - deletes and updates anti-join the base "
+        "on key, then upserts union in. One shuffle on the merge key; at "
+        "100 TB both sides bucket on key so the anti-join and union are "
+        "co-partitioned. Composes with win_dedup_latest (changelog "
+        "compaction) for multi-version feeds."
+    ),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    mod = F.col("c_custkey") % 10
+    changes = (
+        c.filter(mod < 3)
+        .select(
+            F.when(mod == 2, F.col("c_custkey") + 1000000)
+            .otherwise(F.col("c_custkey"))
+            .alias("key"),
+            F.when(mod == 0, F.lit("D"))
+            .when(mod == 1, F.lit("U"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+            "c_name",
+            F.when(mod == 1, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+    )
+    tombstones = changes.filter(F.col("op").isin("D", "U")).select("key")
+    survivors = c.join(
+        tombstones, c.c_custkey == tombstones.key, "left_anti"
+    ).select(F.col("c_custkey").alias("key"), "c_name", "c_acctbal")
+    upserts = changes.filter(F.col("op").isin("I", "U")).select(
+        "key", "c_name", "c_acctbal"
+    )
+    return survivors.unionByName(upserts)
