@@ -516,3 +516,52 @@ def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
         """
     )
+
+
+@register(
+    "join_asof_forward",
+    "C",
+    oracle="""
+        SELECT s.event_id, s.user_id, s.ts AS signup_ts, p.ts AS next_purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON s.user_id = p.user_id AND s.ts <= p.ts
+    """,
+    doc=(
+        "Forward as-of join: each signup → EARLIEST later-or-equal "
+        "purchase of the same user (time-to-conversion measurement). "
+        "Mirror of join_asof_event: union-tag + first(ignorenulls) over "
+        "the forward-unbounded frame; signups sort before purchases at "
+        "equal ts so ASOF's <= equality matches. One shuffle on user_id."
+    ),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(0).alias("tag"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("p_ts"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        signups.unionByName(purchases)
+        .withColumn("next_purchase_ts", F.first("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+            "next_purchase_ts",
+        )
+    )
