@@ -345,3 +345,33 @@ def arr_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.array_prepend(F.array_append(t, "</s>"), "<s>")
         ).alias("sentinel_wrapped"),
     )
+
+
+@register(
+    "gen_stack",
+    "H",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+    doc=(
+        "stack() generator - the wide-to-long pivot inverse as a "
+        "zero-shuffle row generator (3x fan-out inside the scan stage, "
+        "no union re-scan: one pass emits all measures, vs the oracle's "
+        "triple scan). Values are per-row scalars, bit-identical."
+    ),
+)
+def gen_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount)"
+        ).alias("measure", "val"),
+    )

@@ -211,3 +211,31 @@ def str_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.unbase64(F.base64(blob)), "utf-8").alias("name_roundtrip"),
         F.octet_length(blob).alias("name_bytes"),
     )
+
+
+@register(
+    "str_mask",
+    "H",
+    oracle="""
+        SELECT c_custkey,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS name_masked,
+               REGEXP_REPLACE(c_name, '[0-9]', '*', 'g') AS digits_starred
+        FROM customer
+    """,
+    doc=(
+        "PII masking (F.mask, Spark 3.4+): shape-preserving redaction - "
+        "upper to X, lower to x, digits to n, punctuation kept - the "
+        "redact-before-training pattern for LLM corpora (masked text keeps "
+        "token-shape statistics). Oracle reproduces the class mapping with "
+        "global regex passes; the starred variant masks digits only."
+    ),
+)
+def str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("name_masked"),
+        F.expr("mask(c_name, NULL, NULL, '*')").alias("digits_starred"),
+    )

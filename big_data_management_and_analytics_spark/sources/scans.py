@@ -395,3 +395,42 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@register(
+    "meta_table_stats",
+    "A",
+    oracle="""
+        SELECT 'region' AS tbl, COUNT(*) AS n FROM region
+        UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        UNION ALL SELECT 'part', COUNT(*) FROM part
+        UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        UNION ALL SELECT 'events', COUNT(*) FROM events
+        UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+    doc=(
+        "Catalog-style table statistics: row counts for every table of "
+        "the star schema in one relation - each count is a "
+        "metadata-only parquet aggregate (Spark reads footer row counts, "
+        "no data scan: LocalTableScan/statistics path), the pattern "
+        "behind catalog dashboards over petabyte lakes."
+    ),
+)
+def meta_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    tables = (
+        "region nation supplier part customer orders lineitem events "
+        "documents embeddings"
+    ).split()
+    parts = [
+        load(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(t).alias("tbl"), "n")
+        for t in tables
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
