@@ -336,3 +336,28 @@ def test_checkpoint_resume_processes_each_file_once(spark, registry):
         .collect()
     }
     assert got == {k: 2 * v for k, v in base.items()}
+
+
+def test_pca_matches_numpy_eigendecomposition(spark, registry):
+    """Distributed covariance + driver eigensolve must equal a direct
+    numpy PCA of the same matrix (to the 6-digit output rounding)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from tests.conftest import SF_SMALL
+
+    t = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    Xc = X - X.mean(0)
+    cov = Xc.T @ Xc / len(X)
+    vals, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+
+    rows = sorted(
+        registry["llm_embed_pca"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.dim,
+    )
+    got = np.array([r.loading for r in rows])
+    assert np.abs(got - v).max() < 1e-5
+    assert abs(rows[0].explained_share - vals[-1] / np.trace(cov)) < 1e-5
