@@ -24,6 +24,9 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 import big_data_management_and_analytics_spark as engine  # noqa: E402
+from big_data_management_and_analytics_spark.plans.driver_history import (  # noqa: E402
+    queue_order,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -34,15 +37,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return engine.get_query("agg_pricing_summary").fn(spark, SF0001)
 
 
+def _survey_ids() -> set[str]:
+    """Query ids declared in SURVEY.md §2 tables (the judged contract)."""
+    import re
+
+    ids: set[str] = set()
+    survey = os.path.join(_REPO_ROOT, "SURVEY.md")
+    try:
+        for line in open(survey, encoding="utf-8"):
+            m = re.match(r"^\| `([a-z0-9_]+)` \|", line)
+            if m and line.strip().strip("|").rsplit("|", 1)[-1].strip().rstrip(
+                "*"
+            ) in ("oracle", "rows", "smoke"):
+                ids.add(m.group(1))
+    except OSError:
+        pass
+    return ids
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so ids without a driver-green CORRECTNESS row yet come first:
+    the driver verifies a bounded prefix of this dict per round, so the
+    queue rotates until every operator has been driver-verified.
+    """
     engine.load_all()
-    return {name: q.fn for name, q in engine.all_queries().items()}
+    registry = engine.all_queries()
+    return {n: registry[n].fn for n in queue_order(registry, _survey_ids())}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-tier query id."""
     engine.load_all()
+    registry = engine.all_queries()
     return {
-        name: q.oracle for name, q in engine.all_queries().items() if q.oracle
+        n: registry[n].oracle
+        for n in queue_order(registry, _survey_ids())
+        if registry[n].oracle
     }
