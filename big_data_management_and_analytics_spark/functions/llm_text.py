@@ -340,42 +340,55 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "K",
     oracle=f"""
         WITH toks AS (
-            SELECT doc_id, CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tok
+            SELECT doc_id, doc_id % 8 AS shard,
+                   CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tok
             FROM documents
         ),
         runsum AS (
-            SELECT doc_id, n_tok,
+            SELECT shard, doc_id, n_tok,
                    SUM(n_tok) OVER (
+                       PARTITION BY shard
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS cum
             FROM toks
         )
-        SELECT doc_id, n_tok,
+        SELECT shard, doc_id, n_tok,
                CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id,
                CAST(cum - n_tok - ((cum - n_tok) // 256) * 256 AS BIGINT)
                    AS offset_in_pack
         FROM runsum
     """,
     doc=(
-        "Sequence packing for training batches: docs in doc_id order are "
-        "laid head-to-tail into 256-token context windows; pack_id = "
-        "which window a doc STARTS in, offset_in_pack = its start offset "
-        "(docs may straddle packs — offset packing, the deterministic "
-        "streaming formulation). One window cumsum = one shuffle; at "
-        "100 TB the sort key becomes (shard, doc_id) so packs stay "
-        "shard-local."
+        "Sequence packing for training batches, SHARD-LOCAL: docs hash to "
+        "a shard (doc_id % 8), and within each shard docs in doc_id order "
+        "are laid head-to-tail into 256-token context windows; pack_id = "
+        "which window a doc STARTS in (per shard), offset_in_pack = its "
+        "start offset (docs may straddle packs — offset packing, the "
+        "deterministic streaming formulation). The cumsum window is "
+        "PARTITIONED BY shard, so the plan is one hash shuffle with every "
+        "shard packing independently in parallel — at 100 TB shards map "
+        "to output files and no task ever sees more than one shard."
     ),
 )
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    toks = d.select("doc_id", F.size(t).cast("long").alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    toks = d.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        "doc_id",
+        F.size(t).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     runsum = toks.withColumn("cum", F.sum("n_tok").over(w))
     start = F.col("cum") - F.col("n_tok")
     pack = F.floor(start / 256)
     return runsum.select(
+        "shard",
         "doc_id",
         "n_tok",
         pack.alias("pack_id"),

@@ -1,0 +1,105 @@
+"""Scalable total-order ranking — range-partitioned two-pass row numbering.
+
+A bare ``Window.orderBy(...)`` funnels the whole relation through ONE task
+(Spark warns "No Partition Defined for Window operation"), which is the
+single worst scale anti-pattern for global ranks at 100 TB. This module
+replaces it with the classic two-pass formulation:
+
+1. ``repartitionByRange`` on the sort key (one shuffle, the same shuffle a
+   global sort needs anyway) and tag rows with ``spark_partition_id``.
+2. Per-partition ``row_number`` under ``Window.partitionBy(_pid)`` — fully
+   parallel, each range partition ranks independently.
+3. Global offsets: per-partition row counts (≤ shuffle-partition count of
+   them, i.e. O(partitions) not O(rows)) joined as a broadcast triangle
+   self-join (sum of counts of all lower partitions) — no single-partition
+   exchange anywhere on the data path.
+
+The result is bit-identical to the single-task global ``row_number`` as
+long as the sort key is a TOTAL order (callers must include a unique
+tiebreak column — every registered query here does).
+
+Derived statistics ``ntile(k)`` / ``percent_rank`` / ``cume_dist`` are
+closed-form in (row_number, total_count), so the same two-pass plan serves
+them: tile sizes follow SQL NTILE semantics (first ``n % k`` tiles get
+``n//k + 1`` rows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order: Sequence[Column],
+    rn: str = "rn",
+    num_partitions: Optional[int] = None,
+    total: Optional[str] = None,
+) -> DataFrame:
+    """Attach a global ``row_number`` over a total order without a
+    single-partition window; optionally attach the grand total row count.
+
+    ``order`` must be a total order (include a unique tiebreak). The rank
+    column is LongType. When ``total`` is given, a column of that name
+    carries COUNT(*) (broadcast — the only single-partition step is the
+    final reduce of ≤ #partitions counter rows).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    ranged = df.repartitionByRange(num_partitions, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    lower = counts.select(
+        F.col("_pid").alias("_lpid"), F.col("_cnt").alias("_lcnt")
+    )
+    # Offset of partition p = rows in all partitions < p. The triangle
+    # self-join is O(partitions²) pairs of counter rows — trivial at any
+    # data scale, and it avoids a single-partition running-sum window.
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_lcnt"), F.lit(0)).alias("_offset"))
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    out = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(rn, F.row_number().over(w) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+    if total is not None:
+        grand = counts.agg(F.sum("_cnt").alias(total))
+        out = out.crossJoin(F.broadcast(grand))
+    return out
+
+
+def ntile_expr(rn: Column, total: Column, k: int) -> Column:
+    """SQL NTILE(k) from a global row number + total count.
+
+    With ``n`` rows: base = n div k, rem = n mod k; the first ``rem``
+    tiles hold ``base + 1`` rows, the rest ``base``. Closed form, exact
+    for n < 2^53 (floor math on doubles is exact in that range).
+    """
+    base = F.floor(total / k)
+    rem = total - base * k
+    head = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    return (
+        F.when(rn <= head, F.floor((rn - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((rn - head - 1) / F.greatest(base, F.lit(1))) + 1)
+        .cast("int")
+    )
+
+
+def percent_rank_expr(rn: Column, total: Column) -> Column:
+    """PERCENT_RANK over a total order: (rn - 1) / (n - 1); 0.0 for n = 1."""
+    return F.when(total > 1, (rn - F.lit(1)) / (total - F.lit(1))).otherwise(0.0)
+
+
+def cume_dist_expr(rn: Column, total: Column) -> Column:
+    """CUME_DIST over a total order: rn / n (no peers when the order is total)."""
+    return rn / total

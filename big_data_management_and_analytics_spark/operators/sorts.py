@@ -8,8 +8,11 @@ the hash then verifies the ordering itself.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
+from big_data_management_and_analytics_spark.operators.global_rank import (
+    with_global_row_number,
+)
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
 
@@ -36,15 +39,15 @@ def sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc_nulls_last(),
         F.col("o_orderkey").asc(),
     ]
-    # The window performs the physical multi-key sort AND encodes the
-    # resulting order into sort_pos; a second global orderBy would be pure
-    # waste since the driver's hash is order-insensitive anyway.
-    w = Window.orderBy(*order)
-    return o.select(
+    # Two-pass global rank: repartitionByRange on the sort key + per-range
+    # row_number + broadcast offsets — same result as a global-window
+    # ROW_NUMBER but with no single-partition funnel (scale posture §4).
+    ranked = with_global_row_number(o, order, rn="sort_pos")
+    return ranked.select(
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.row_number().over(w).alias("sort_pos"),
+        F.col("sort_pos").cast("int").alias("sort_pos"),
     )
 
 

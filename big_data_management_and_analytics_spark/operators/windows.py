@@ -4,9 +4,10 @@ Every window carries a total order (primary-key tiebreak appended) so rank /
 frame contents are deterministic. Frame aggregates over money use the exact
 decimal-sum discipline (§2.0 rule 1) instead of native double avg/sum.
 
-Scale posture: one shuffle per distinct partitioning key; all ten queries
-partition by a real entity key (nation/customer/user), never a global
-single-partition window except `sort_multikey`'s encoded-position pattern.
+Scale posture: one shuffle per distinct partitioning key; every query
+partitions by either a real entity key (nation/customer/user) or the
+range-partition id of the two-pass global rank (`operators/global_rank.py`)
+— no single-partition window anywhere (asserted in tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -14,6 +15,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from big_data_management_and_analytics_spark.operators.global_rank import (
+    cume_dist_expr,
+    ntile_expr,
+    percent_rank_expr,
+    with_global_row_number,
+)
 from big_data_management_and_analytics_spark.plans.determinism import cents
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
@@ -77,8 +84,20 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    # Global NTILE without the single-partition window: two-pass global
+    # row_number (range partition + offsets) and the closed-form tile
+    # expression over (rn, total) — SQL NTILE semantics exactly.
+    ranked = with_global_row_number(
+        c,
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        rn="_rn",
+        total="_n",
+    )
+    return ranked.select(
+        "c_custkey",
+        "c_acctbal",
+        ntile_expr(F.col("_rn"), F.col("_n"), 4).alias("quartile"),
+    )
 
 
 @register(
@@ -238,13 +257,22 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_pct_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
-    return s.select(
+    # percent_rank / cume_dist / ntile are all closed-form in the global
+    # (row_number, total) pair — one two-pass ranked plan serves all three
+    # with no single-partition window (the order is total, so no peers).
+    ranked = with_global_row_number(
+        s,
+        [F.col("s_acctbal").asc(), F.col("s_suppkey").asc()],
+        rn="_rn",
+        total="_n",
+    )
+    rn, n = F.col("_rn"), F.col("_n")
+    return ranked.select(
         "s_suppkey",
         "s_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(10).over(w).alias("decile"),
+        F.round(percent_rank_expr(rn, n), 6).alias("pct_rank"),
+        F.round(cume_dist_expr(rn, n), 6).alias("cume"),
+        ntile_expr(rn, n, 10).alias("decile"),
     )
 
 

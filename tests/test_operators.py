@@ -285,20 +285,29 @@ def test_chunking_covers_every_token_and_overlaps(spark):
 
 
 def test_packing_offsets_are_consistent(spark):
-    """offset_in_pack ∈ [0, 256) and equals cumulative tokens mod 256."""
+    """Shard-local packing invariants: offset_in_pack ∈ [0, 256) and equals
+    the shard's cumulative token count mod 256; pack_id is monotone
+    non-decreasing in doc_id within each shard; shard == doc_id % 8."""
+    from collections import defaultdict
+
     from big_data_management_and_analytics_spark.functions import llm_text
     from tests.conftest import SF_SMALL
 
-    rows = sorted(
-        llm_text.llm_pack_sequences(spark, SF_SMALL).collect(),
-        key=lambda r: r.doc_id,
-    )
-    cum = 0
-    for r in rows:
-        assert 0 <= r.offset_in_pack < 256
-        assert r.pack_id == cum // 256
-        assert r.offset_in_pack == cum % 256
-        cum += r.n_tok
+    by_shard = defaultdict(list)
+    for r in llm_text.llm_pack_sequences(spark, SF_SMALL).collect():
+        assert r.shard == r.doc_id % 8
+        by_shard[r.shard].append(r)
+    assert len(by_shard) == 8
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        cum, prev_pack = 0, -1
+        for r in shard_rows:
+            assert 0 <= r.offset_in_pack < 256
+            assert r.pack_id == cum // 256
+            assert r.offset_in_pack == cum % 256
+            assert r.pack_id >= prev_pack
+            prev_pack = r.pack_id
+            cum += r.n_tok
 
 
 def test_approx_topk_matches_exact_at_small_sf(spark, registry):

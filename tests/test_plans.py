@@ -139,6 +139,36 @@ def test_map_only_claims_have_no_exchange(spark, registry):
         assert "Exchange" not in tree, f"{name} claims map-only but shuffles"
 
 
+def test_no_single_partition_windows(spark, registry):
+    """The global-order operators use the two-pass range-partitioned rank
+    (operators/global_rank.py) — every Window spec in their plans must be
+    partitioned (a global window's spec starts directly with a sort order,
+    e.g. `windowspecdefinition(x ASC NULLS FIRST, ...)`; a partitioned one
+    leads with plain partition columns)."""
+    import re
+
+    global_spec = re.compile(r"windowspecdefinition\([^,()]+ (ASC|DESC)")
+    for name in ("sort_multikey", "win_ntile", "win_pct_cume", "llm_pack_sequences"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert specs, f"{name}: expected at least one Window in the plan"
+        bad = [s for s in specs if global_spec.search(s)]
+        assert not bad, f"{name} still has an unpartitioned window: {bad}"
+
+
+def test_global_rank_is_range_partitioned(spark, registry):
+    """The two-pass rank must shuffle by range on the sort key (the same
+    shuffle a distributed sort needs), not hash — range partitions are what
+    make per-partition row numbers globally contiguous."""
+    for name, key in (
+        ("sort_multikey", "o_orderpriority"),
+        ("win_ntile", "c_acctbal"),
+        ("win_pct_cume", "s_acctbal"),
+    ):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert f"rangepartitioning({key}" in plan, f"{name}: no range exchange"
+
+
 def test_contamination_broadcasts_eval_grams(spark, registry):
     """llm_contamination claim: the eval-side gram set joins broadcast
     (map-side hash join), never a shuffle join on gram."""
