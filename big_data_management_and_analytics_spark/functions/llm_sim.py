@@ -144,50 +144,110 @@ def llm_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_centroids(
+    v: DataFrame, k: int = 8, iters: int = 3
+) -> "np.ndarray":
+    """Unsupervised spherical k-means coarse quantizer (Lloyd iterations
+    on unit-normalized vectors, cosine assignment).
+
+    Distributed shape: each iteration is ONE pass over the corpus — an
+    Arrow-batched nearest-centroid assignment (numpy matmul per batch)
+    followed by a posexplode + (cell, dim) mean whose map-side partial
+    aggregation reduces every partition to ≤ k·d rows before the shuffle.
+    Only the k×d centroid matrix (8×64 doubles) ever reaches the driver —
+    O(k·d) per iteration regardless of corpus size, the same bounded-state
+    pattern as llm_embed_pca. Seeds: the k lowest vec_ids (deterministic).
+    """
+    dims = 64
+    seed_rows = (
+        v.orderBy("vec_id").limit(k).select("emb").collect()
+    )
+    cent = np.stack([np.asarray(r.emb, dtype="float64") for r in seed_rows])
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        assign = _nearest_cell_udf(cent)
+        assigned = v.select(assign(F.col("emb")).alias("cell"), "emb")
+        mean_rows = (
+            assigned.select("cell", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cent = cent.copy()  # empty cells keep their previous centroid
+        got = np.zeros(k, dtype=bool)
+        for r in mean_rows:
+            new_cent[r.cell, r.pos] = r.m
+            got[r.cell] = True
+        norms = np.linalg.norm(new_cent, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        cent = new_cent / norms
+    return cent
+
+
+def _nearest_cell_udf(cent_unit: "np.ndarray"):
+    """Arrow-batched argmax-cosine assignment against a fixed (tiny)
+    centroid matrix carried in the UDF closure."""
+    C = cent_unit.T.copy()
+
+    @pandas_udf(T.IntegerType())
+    def nearest(emb: pd.Series) -> pd.Series:
+        A = np.stack(emb.to_numpy())
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        return pd.Series(np.argmax(A @ C, axis=1).astype("int32"))
+
+    return nearest
+
+
+def _top_cells_udf(cent_unit: "np.ndarray", n_probe: int):
+    """Arrow-batched top-n_probe cells per query (ties → lower cell id)."""
+    C = cent_unit.T.copy()
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def top_cells(emb: pd.Series) -> pd.Series:
+        A = np.stack(emb.to_numpy())
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        sims = A @ C
+        # stable argsort on -sims → ties resolve to the lower cell id
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return top_cells
+
+
 @register(
     "llm_sim_knn_ivf",
     "K",
     doc=(
-        "IVF-style ANN (approximate → rows-tier): label centroids act as the "
-        "coarse quantizer; each query scores only vectors in its 2 nearest "
-        "cells. At 100 TB the centroids come from k-means and the cell join "
-        "is a bucketed equi-join — O(Q·N/cells·probes) instead of O(Q·N)."
+        "IVF ANN (approximate → rows-tier) with an UNSUPERVISED coarse "
+        "quantizer: 3 Lloyd iterations of spherical k-means (k=8) build "
+        "the cell centroids — no label column anywhere. Corpus vectors "
+        "are assigned to their nearest cell once; each query probes its "
+        "3 nearest cells and fine-scores only those vectors via an "
+        "equi-join on cell id — O(Q·N·probes/k) instead of O(Q·N). At "
+        "100 TB the cell assignment is a write-once partition column and "
+        "the probe join is a bucketed equi-join on it; k-means driver "
+        "state is k·d floats per iteration (corpus-size independent)."
     ),
 )
 def llm_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vecs(spark, sf_dir)
-    # Coarse quantizer: per-label centroid (positional mean).
-    cent = (
-        v.select("label", F.posexplode("emb").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s.c).alias("cent"))
+    v = _vecs(spark, sf_dir).select("vec_id", "emb")
+    cent = _kmeans_centroids(v, k=8, iters=3)
+
+    corpus = v.select(
+        _nearest_cell_udf(cent)(F.col("emb")).alias("cell"), "vec_id", "emb"
     )
     q = v.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.explode(_top_cells_udf(cent, 3)(F.col("emb"))).alias("cell"),
     )
-    # Probe: 2 nearest cells per query.
-    w_cell = Window.partitionBy("query_id").orderBy(
-        F.col("cell_sim").desc(), F.col("label").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id", "q_emb", "label",
-            cosine(F.col("q_emb"), F.col("cent")).alias("cell_sim"),
-        )
-        .withColumn("cell_rn", F.row_number().over(w_cell))
-        .filter(F.col("cell_rn") <= 2)
-        .select("query_id", "q_emb", "label")
-    )
-    # Fine search inside probed cells only (equi-join on label).
+    # Fine search inside probed cells only (equi-join on cell id).
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        probes.join(v, "label")
+        q.join(corpus, "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",

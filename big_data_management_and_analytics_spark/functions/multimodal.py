@@ -6,18 +6,22 @@ flattened to columns. Decode / feature-extract run as Arrow-batched
 `mapInPandas` transforms so each batch is a contiguous block of payloads —
 the exact shape a real image/audio decoder wants.
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so `decode_image_batch` raises NotImplementedError and the
-registered queries use `_fake_decode` — a deterministic md5-based feature
-extractor with the same schema, partitioning, and batch shape as the real
-thing. Swapping in a real decoder changes ONE function body, nothing else.
+The payload is a REAL image format: each document's bytes are laid out as
+a valid binary PGM (Netpbm "P5", one gray byte per pixel — the standard
+uncompressed raster interchange format), 32 pixels wide, space-padded to a
+whole row. The encode happens JVM-side (binary concat of header + pixel
+bytes, zero Python), and `decode_image_batch` is a genuine pure-Python
+PGM parser: it reads the magic/width/height/maxval header and computes
+luma statistics from the actual pixel payload with numpy. Swapping in a
+compressed codec (JPEG via PIL, etc.) changes ONE function body — the
+schema, partitioning, and Arrow batch shape stay identical.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -26,34 +30,47 @@ from pyspark.sql import DataFrame, SparkSession
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
 
+PGM_WIDTH = 32
+
 
 def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """REAL decode step — requires an image library not in this container.
+    """Pure-Python binary PGM (P5) decoder.
 
-    Contract: payloads is a Series of bytes; returns a DataFrame with
-    columns (width:int32, height:int32, mean_luma:float64) aligned to the
-    input index.
+    Parses the Netpbm header (magic, width, height, maxval — whitespace
+    separated ASCII) and computes pixel statistics from the raster bytes.
+    Returns a DataFrame with columns (width:int32, height:int32,
+    mean_luma:float64) aligned to the input index; malformed payloads
+    raise ValueError (fail loud — a silent default poisons training data).
     """
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv — not available in this "
-        "environment; use _fake_decode (deterministic stub) instead"
-    )
-
-
-def _fake_decode(payloads: pd.Series) -> pd.DataFrame:
-    """Deterministic stand-in with the real decoder's schema and batch shape."""
-
-    def feats(b: bytes):
-        h = hashlib.md5(b).digest()
-        return (
-            16 + h[0] % 64,  # width
-            16 + h[1] % 64,  # height
-            round(int.from_bytes(h[2:4], "big") / 65535.0, 6),  # mean_luma
-        )
-
-    w, ht, luma = zip(*(feats(b) for b in payloads)) if len(payloads) else ((), (), ())
+    widths, heights, lumas = [], [], []
+    for b in payloads:
+        if not b.startswith(b"P5"):
+            raise ValueError(f"not a binary PGM payload: {b[:16]!r}")
+        # Header: P5 <ws> width <ws> height <ws> maxval <single ws> raster
+        fields: list[bytes] = []
+        pos = 2
+        while len(fields) < 3:
+            while b[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(b[start:pos])
+        pos += 1  # the single whitespace byte that terminates the header
+        w, h, maxval = (int(f) for f in fields)
+        raster = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=pos)
+        if raster.size != w * h:
+            raise ValueError(f"PGM raster truncated: {raster.size} != {w}x{h}")
+        widths.append(w)
+        heights.append(h)
+        lumas.append(round(float(raster.mean()) / maxval, 6))
     return pd.DataFrame(
-        {"width": w, "height": ht, "mean_luma": luma}, index=payloads.index
+        {
+            "width": pd.array(widths, dtype="int32"),
+            "height": pd.array(heights, dtype="int32"),
+            "mean_luma": lumas,
+        },
+        index=payloads.index,
     )
 
 
@@ -70,14 +87,29 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents re-cast as a multimodal table: text bytes as the opaque
-    payload (stands in for image bytes), plus typed metadata columns."""
+    """Documents re-cast as a multimodal table: each document's bytes laid
+    out as a valid binary PGM image (PGM_WIDTH px wide, space-padded to a
+    whole row), plus typed metadata columns.
+
+    The encode is all JVM-side binary concat — header string + pixel bytes
+    + pad — so building a 100 TB media column is a map-only codegen pass.
+    """
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    pix = F.encode("text", "UTF-8")
+    n = F.octet_length(pix)
+    h = F.ceil(n / PGM_WIDTH).cast("int")
+    pad = (h * PGM_WIDTH - n).cast("int")
+    header = F.concat(
+        F.lit(f"P5\n{PGM_WIDTH} "), h.cast("string"), F.lit("\n255\n")
+    )
+    payload = F.concat(
+        F.encode(header, "UTF-8"), pix, F.encode(F.repeat(F.lit(" "), pad), "UTF-8")
+    )
+    return d.filter(n > 0).select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-        F.lit("image/fake").alias("media_type"),
-        F.octet_length("text").alias("byte_len"),
+        payload.alias("payload"),
+        F.lit("image/x-portable-graymap").alias("media_type"),
+        F.octet_length(payload).alias("byte_len"),
     )
 
 
@@ -85,9 +117,12 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_decode_features",
     "K",
     doc=(
-        "Multimodal decode pipeline: binary payload → mapInPandas batch "
-        "decode (stubbed deterministically) → typed feature columns. "
-        "Rows-tier: features depend on the stub, not SQL-expressible."
+        "Multimodal decode pipeline: binary PGM payload → mapInPandas "
+        "batch decode (real pure-Python Netpbm parser + numpy pixel "
+        "stats) → typed feature columns. Map-only: decode is "
+        "embarrassingly parallel, no shuffle anywhere. Rows-tier: the "
+        "decoder is not SQL-expressible; tests recompute every feature "
+        "from the raw bytes with numpy and require exact equality."
     ),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +130,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _fake_decode(pdf["payload"])
+            feats = decode_image_batch(pdf["payload"])
             out = pdf[["doc_id", "media_type", "byte_len"]].copy()
             out[["width", "height", "mean_luma"]] = feats
             yield out
@@ -106,16 +141,28 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_binary_meta",
     "K",
-    oracle="""
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   'P5\n{PGM_WIDTH} ' ||
+                   CAST(CAST(ceil(octet_length(encode(text)) / {PGM_WIDTH}.0) AS BIGINT) AS VARCHAR)
+                   || '\n255\n' || text ||
+                   repeat(' ', CAST(ceil(octet_length(encode(text)) / {PGM_WIDTH}.0) AS INT) * {PGM_WIDTH}
+                               - octet_length(encode(text))) AS payload
+            FROM documents
+            WHERE octet_length(encode(text)) > 0
+        )
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS INT) AS byte_len,
-               md5(text) AS payload_md5,
-               (octet_length(encode(text)) > 256) AS is_large
-        FROM documents
+               CAST(octet_length(encode(payload)) AS INT) AS byte_len,
+               md5(payload) AS payload_md5,
+               (octet_length(encode(payload)) > 256) AS is_large
+        FROM m
     """,
     doc=(
         "Opaque-binary metadata path: byte length + content hash + size "
-        "flag computed on the payload column — all JVM-side."
+        "flag computed on the PGM payload column — all JVM-side. The "
+        "oracle rebuilds the identical PGM bytes in SQL, so the hash "
+        "verifies the encoder byte-for-byte."
     ),
 )
 def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,8 +186,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Empty payloads yield zero frames (sequence(0,-1) would count down).
-    media = _media_table(spark, sf_dir).filter(F.col("byte_len") > 0)
+    media = _media_table(spark, sf_dir)
     n_frames = F.ceil(F.col("byte_len") / 128).cast("int")
     frames = media.select(
         "doc_id",

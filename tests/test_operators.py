@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import numpy as np
 import pyspark.sql.functions as F
 
 
@@ -218,6 +219,73 @@ def test_lsh_knn_recall_against_brute_force(spark):
     for r in approx_rows:
         per_query.setdefault(r.query_id, 0)
         per_query[r.query_id] += 1
+        assert -1.0 <= r.cos_sim <= 1.0
+    assert all(n <= 5 for n in per_query.values())
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_pgm_decode_matches_numpy_recompute(spark):
+    """The multimodal decoder is a REAL binary-PGM parser: every feature it
+    emits must equal an independent numpy recomputation from the raw
+    document text (the pixel source), exactly."""
+    from big_data_management_and_analytics_spark.functions import multimodal
+    from tests.conftest import SF_SMALL
+
+    feats = {
+        r.doc_id: r for r in multimodal.mm_decode_features(spark, SF_SMALL).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    assert len(feats) > 0
+    w = multimodal.PGM_WIDTH
+    checked = 0
+    for d in docs:
+        raw = d.text.encode("utf-8")
+        if not raw:
+            continue
+        h = -(-len(raw) // w)
+        pixels = np.frombuffer(raw + b" " * (h * w - len(raw)), dtype=np.uint8)
+        r = feats[d.doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_luma == round(float(pixels.mean()) / 255, 6)
+        header = f"P5\n{w} {h}\n255\n".encode()
+        assert r.byte_len == len(header) + h * w
+        checked += 1
+    assert checked == len(feats)
+
+
+def test_pgm_payload_is_wellformed_image(spark):
+    """The encoded payload must be parseable by the decoder standalone
+    (header fields + raster length), i.e. a valid Netpbm P5 file."""
+    import pandas as pd
+
+    from big_data_management_and_analytics_spark.functions import multimodal
+    from tests.conftest import SF_SMALL
+
+    rows = multimodal._media_table(spark, SF_SMALL).limit(20).collect()
+    payloads = pd.Series([bytes(r.payload) for r in rows])
+    decoded = multimodal.decode_image_batch(payloads)
+    assert (decoded["width"] == multimodal.PGM_WIDTH).all()
+    assert (decoded["mean_luma"].between(0, 1)).all()
+
+
+def test_ivf_knn_recall_against_brute_force(spark):
+    """IVF ANN (unsupervised k-means quantizer — must not read `label`)
+    returns <=5 ranked neighbors per query and recovers a meaningful
+    fraction of the exact top-5 with 3-of-8 cells probed (the fixture's
+    embeddings are near-isotropic, so cell pruning costs real recall —
+    measured ~0.6 here; 0.4 guards regressions without flaking)."""
+    from big_data_management_and_analytics_spark.functions import llm_sim
+    from tests.conftest import SF_T2
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in llm_sim.llm_sim_knn(spark, SF_T2).collect()
+    }
+    approx_rows = llm_sim.llm_sim_knn_ivf(spark, SF_T2).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    per_query = {}
+    for r in approx_rows:
+        per_query[r.query_id] = per_query.get(r.query_id, 0) + 1
         assert -1.0 <= r.cos_sim <= 1.0
     assert all(n <= 5 for n in per_query.values())
     assert len(exact & approx) / len(exact) >= 0.4
