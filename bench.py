@@ -28,6 +28,9 @@ HEADLINE = [
     "llm_dedup_minhash",      # scalable near-dup (signatures + banding)
     "tpch_q3_shipping",       # composite pipeline: 3-way join + top-k
     "tpch_q18_bigorders",     # composite pipeline: pre-agg + HAVING + dims
+    "llm_dedup_components",   # iterative min-label propagation (cache loop)
+    "llm_embed_pca",          # Arrow partial-covariance + driver eigensolve
+    "llm_dedup_near_exact",   # O(n²) exact Jaccard baseline (parallelized BNLJ)
 ]
 
 RUNS = 3

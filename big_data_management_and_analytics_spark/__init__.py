@@ -3,8 +3,9 @@
 
 The reference repo (`/root/reference/README.md:1-2`, `.gitignore:1-49`) is an
 empty course stub, so the authoritative capability surface is the declared
-operator inventory in ``SURVEY.md §2`` — 95 query ids spanning scans, the
-relational algebra, window/analytic SQL, scalar function families, UDFs,
+operator inventory in ``SURVEY.md §2`` (115 declared ids; the registry holds
+those plus extras — ``len(all_queries())`` is the live count) spanning scans,
+the relational algebra, window/analytic SQL, scalar function families, UDFs,
 streaming semantics, and LLM-data-pipeline operators (dedup, similarity
 search, multimodal columns, text analysis).
 

@@ -78,13 +78,19 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok"))
-    a = toks.alias("a")
+    # The theta join is a broadcast nested loop; the streamed side inherits
+    # the scan's partitioning (ONE file partition at small sf), which would
+    # serialize the O(n²) comparison onto a single task. Repartition the
+    # streamed side so the quadratic work spreads across the cluster —
+    # O(n²/p) per task — and broadcast the other side explicitly.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = toks.repartition(n_parts, "doc_id").alias("a")
     b = toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
     union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
     jaccard = inter.cast("double") / union
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(jaccard >= 0.8)
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -276,16 +282,21 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # membership: (doc, bucket) incidence — the bipartite edge list.
-    # Cached: reused by every iteration. Labels are localCheckpoint-ed per
-    # iteration so lineage (and re-execution) doesn't grow with the loop —
-    # the standard pattern for iterative DataFrame algorithms.
+    # Cached: reused by every iteration. Each iteration's labels are
+    # cached and materialized (truncating recompute cost), and the
+    # SUPERSEDED iteration's cache is unpersisted immediately — executor
+    # storage holds at most two label tables at any time, not one per
+    # iteration. Only the final labels stay cached (the return value
+    # reads them lazily; Spark evicts LRU under pressure and the
+    # deterministic plan recomputes correctly if that happens).
     member = sigs.select("doc_id", F.explode(bands).alias("bucket")).cache()
     labels = (
         member.select("doc_id")
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
+        .cache()
     )
+    labels.count()
     try:
         for _ in range(8):  # diameter bound; fixture clusters converge in ≤3
             bucket_min = (
@@ -297,7 +308,7 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 member.join(bucket_min, "bucket")
                 .groupBy("doc_id")
                 .agg(F.min("bucket_label").alias("label"))
-                .localCheckpoint()
+                .cache()
             )
             changed = (
                 new_labels.alias("n")
@@ -305,6 +316,7 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
+            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break

@@ -148,8 +148,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         return cached
     if len(_LOAD_CACHE) > 256:
         # Bound the cache: long-lived processes cycling sessions/dirs must
-        # not pin plan references (and stopped sessions) forever.
-        _LOAD_CACHE.clear()
+        # not pin plan references (and stopped sessions) forever. Evict
+        # only OTHER sessions' entries so the live session keeps its
+        # memoization mid-run; fall back to a full clear if one session
+        # alone overflows the bound (256 > tables × plausible sf dirs).
+        stale = [k for k in _LOAD_CACHE if k[0] != id(spark)]
+        for k in stale:
+            del _LOAD_CACHE[k]
+        if len(_LOAD_CACHE) > 256:
+            _LOAD_CACHE.clear()
     tune(spark)
     path = os.path.join(sf_dir, f"{table}.parquet")
     df = spark.read.parquet(path)

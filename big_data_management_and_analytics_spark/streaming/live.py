@@ -317,11 +317,15 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(120)
+        # Fail loud on timeout (mirrors _run_to_memory): a silent timeout
+        # would report a truncated sink row count as if it were complete.
+        if not q.awaitTermination(120):
+            raise TimeoutError("foreachBatch parquet sink did not finish")
     finally:
         q.stop()
     n_sink = spark.read.parquet(sink).count() if os.path.isdir(sink) else 0
     shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
     results.append(("foreach_batch_parquet", n_sink))
 
     return spark.createDataFrame(results, schema="mode string, n_rows long")
@@ -431,9 +435,14 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()
     shutil.copy(events_file, os.path.join(src, "batch_b.parquet"))
     run_once()
-    shutil.rmtree(src, ignore_errors=True)
-    return (
+    # Materialize the counts BEFORE cleanup so no temp dir has to outlive
+    # the lazy return (same discipline as stream_watermark_late).
+    rows = (
         spark.read.parquet(sink)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
     )
+    for d in (src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema="event_type string, n_events long")
