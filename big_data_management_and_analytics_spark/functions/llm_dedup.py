@@ -434,3 +434,61 @@ def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.least(F.col("vec_id"), F.coalesce("best_match", "vec_id")).alias("dup_group"),
     )
+
+
+@register(
+    "llm_dedup_passage",
+    "K",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+            WHERE len(string_split_regex(lower(text), '\\s+')) >= 10
+        ),
+        passages AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(t, s, s + 9), ' ') AS passage
+            FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 9, 10)) AS s
+            ) w
+        )
+        SELECT md5(passage) AS passage_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM passages
+        GROUP BY md5(passage)
+        HAVING COUNT(*) > 1
+    """,
+    doc=(
+        "Sub-document (passage) dedup — the C4/RefinedWeb repeated-"
+        "boilerplate pass: each doc splits into non-overlapping 10-token "
+        "passages, which are hashed and kept when they occur more than "
+        "once corpus-wide, with occurrence/doc counts and the canonical "
+        "first doc. One explode + one hash groupBy — linear work, "
+        "map-side combinable, no pair joins; at 100 TB this is the "
+        "standard way to find shared headers/footers across shards."
+    ),
+)
+def llm_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = d.select("doc_id", t.alias("t")).filter(F.size("t") >= 10)
+    starts = F.sequence(F.lit(1), F.size("t") - 9, F.lit(10))
+    passages = base.select(
+        "doc_id", F.explode(starts).alias("s"), "t"
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), F.lit(10))).alias(
+            "passage"
+        ),
+    )
+    return (
+        passages.groupBy(F.md5("passage").alias("passage_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

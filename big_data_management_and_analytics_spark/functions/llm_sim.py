@@ -521,3 +521,46 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, loading double, explained_share double"
     )
+
+
+@register(
+    "llm_embed_kmeans",
+    "K",
+    doc=(
+        "Distributed k-means clustering surfaced as a first-class result: "
+        "the same spherical-k-means quantizer llm_sim_knn_ivf uses (3 "
+        "Lloyd iterations, Arrow-batched assignment, k·d driver state), "
+        "reported per cluster as (cell, n_vecs, min_vec_id, "
+        "mean_cos_to_centroid). Rows-tier: iterative + float means are "
+        "partition-order sensitive. The per-cell mean cosine is the "
+        "cluster-coherence diagnostic a corpus-curation pipeline reads "
+        "before trusting cluster-level sampling decisions."
+    ),
+)
+def llm_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir).select("vec_id", "emb")
+    cent = _kmeans_centroids(v, k=8, iters=3)
+
+    C = cent  # rows are unit-normalized centroids
+    CT = C.T.copy()
+
+    @pandas_udf(T.DoubleType())
+    def cos_to_own_cell(emb: pd.Series) -> pd.Series:
+        A = np.stack(emb.to_numpy())
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        sims = A @ CT
+        return pd.Series(sims.max(axis=1))
+
+    assigned = v.select(
+        _nearest_cell_udf(cent)(F.col("emb")).alias("cell"),
+        "vec_id",
+        cos_to_own_cell(F.col("emb")).alias("cos_own"),
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.round(F.avg("cos_own"), 4).alias("mean_cos_to_centroid"),
+        )
+    )

@@ -739,3 +739,95 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "llm_text_normalize",
+    "K",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                   '\\s+', ' ', 'g')) AS norm_text,
+               CAST(length(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                   '\\s+', ' ', 'g'))) AS INT) AS n_norm_chars
+        FROM documents
+    """,
+    doc=(
+        "Canonical text normalization for dedup/tokenizer front-ends: "
+        "lowercase, strip non-alphanumerics, collapse whitespace runs, "
+        "trim. Pure codegen regexp_replace chain — map-only, no shuffle, "
+        "embarrassingly parallel at 100 TB (this exact pass typically "
+        "precedes content-hash dedup so byte-identical-after-normalize "
+        "docs collide)."
+    ),
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("n_norm_chars"),
+    )
+
+
+@register(
+    "llm_text_unigram_lm",
+    "K",
+    oracle=f"""
+        WITH occ AS (
+            SELECT doc_id, UNNEST({SQL_TOKENS.format(col='text')}) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ GROUP BY tok
+        ),
+        n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
+        SELECT o.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(v.cnt) AS BIGINT) AS sum_freq,
+               ROUND(CAST(SUM(v.cnt) AS DOUBLE) / (COUNT(*) * ANY_VALUE(n.total)), 9)
+                   AS mean_token_prob
+        FROM occ o JOIN vocab v USING (tok), n
+        GROUP BY o.doc_id
+    """,
+    doc=(
+        "Unigram language-model commonness score: each document's mean "
+        "corpus-frequency of its tokens — the cheap LM-quality signal "
+        "(low = rare-token gibberish, high = boilerplate). All-integer "
+        "accumulation (token counts summed as BIGINT) with ONE terminal "
+        "double division, so the hash is partition-order invariant — no "
+        "float-sum nondeterminism. Scale: vocabulary aggregate + "
+        "broadcast vocab join + per-doc integer agg; the vocab table is "
+        "Zipf-bounded (≪ corpus), the per-doc agg combines map-side."
+    ),
+)
+def llm_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        occ.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("cnt").alias("sum_freq"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tok",
+        "sum_freq",
+        F.round(
+            F.col("sum_freq") / (F.col("n_tok") * F.col("total")), 9
+        ).alias("mean_token_prob"),
+    )

@@ -237,3 +237,31 @@ def llm_multimodal_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(l2, 6).alias("emb_l2"),
         )
     )
+
+
+@register(
+    "mm_luma_histogram",
+    "K",
+    doc=(
+        "Corpus-level decoded-feature distribution: the PGM decode "
+        "pipeline's mean_luma binned into 20 buckets with image counts "
+        "and pixel-area sums — the dataset-curation dashboard aggregate "
+        "(brightness skew detection) over decoded media features. "
+        "Rows-tier (depends on the binary decoder); bin counts and "
+        "areas are integers, so the result is partition-order exact."
+    ),
+)
+def mm_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = mm_decode_features(spark, sf_dir)
+    bin_ = F.least(F.floor(F.col("mean_luma") * 20), F.lit(19)).cast("int")
+    return (
+        feats.select(
+            bin_.alias("luma_bin"),
+            (F.col("width").cast("long") * F.col("height")).alias("area"),
+        )
+        .groupBy("luma_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("area").alias("total_pixels"),
+        )
+    )
