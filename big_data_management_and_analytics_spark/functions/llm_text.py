@@ -812,15 +812,21 @@ def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # Single tokenize+explode pass → tf per (doc, tok); vocabulary counts,
+    # the corpus total, and the per-doc sums all derive from tf (the same
+    # one-materialization discipline as llm_text_tfidf) — the exploded
+    # corpus is shuffled once and the exchange is runtime-reused, instead
+    # of re-tokenizing the corpus per branch.
     occ = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    vocab = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     per_doc = (
-        occ.join(F.broadcast(vocab), "tok")
+        tf.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.sum("cnt").alias("sum_freq"),
+            F.sum("tf").alias("n_tok"),
+            F.sum(F.col("tf") * F.col("cnt")).alias("sum_freq"),
         )
     )
     return per_doc.crossJoin(F.broadcast(total)).select(

@@ -169,6 +169,22 @@ def test_global_rank_is_range_partitioned(spark, registry):
         assert f"rangepartitioning({key}" in plan, f"{name}: no range exchange"
 
 
+def test_near_exact_parallelizes_nested_loop(spark, registry):
+    """The O(n²) exact-Jaccard baseline must stream a REPARTITIONED side
+    through the broadcast nested loop (one task would otherwise do all n²
+    comparisons — measured 12× slower at sf0.1)."""
+    plan = _plan(registry["llm_dedup_near_exact"].fn(spark, SF_T2))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(doc_id" in plan, "streamed side not repartitioned"
+
+
+def test_unigram_lm_broadcasts_vocab(spark, registry):
+    """The vocabulary join must broadcast (Zipf-bounded dim side), never
+    shuffle the exploded corpus on the token key a second time."""
+    plan = _plan(registry["llm_text_unigram_lm"].fn(spark, SF_T2))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_contamination_broadcasts_eval_grams(spark, registry):
     """llm_contamination claim: the eval-side gram set joins broadcast
     (map-side hash join), never a shuffle join on gram."""
