@@ -296,7 +296,21 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("label"))
         .cache()
     )
-    labels.count()
+
+    def label_sum(df: DataFrame):
+        # decimal(38,0) so the sum is exact at any corpus size (1e12 docs
+        # × 1e12 max id would overflow a long).
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    # Convergence via the label-sum invariant: min-propagation can only
+    # DECREASE a doc's label, so labels are pointwise monotone
+    # non-increasing and sum(labels) is strictly decreasing until the
+    # fixpoint — equal sums ⟺ no label changed. One cheap aggregate per
+    # iteration (which also materializes the cache) instead of a
+    # new-vs-old join + filter + count.
+    prev_sum = label_sum(labels)
     try:
         for _ in range(8):  # diameter bound; fixture clusters converge in ≤3
             bucket_min = (
@@ -310,16 +324,12 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.min("bucket_label").alias("label"))
                 .cache()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            new_sum = label_sum(new_labels)
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
     finally:
         member.unpersist()
     return labels.select("doc_id", F.col("label").alias("component_rep"))
