@@ -478,3 +478,65 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"COUNT(*) {over} AS n_1h",
         f"CAST(SUM(vc) {over} / 100.0 AS DOUBLE) AS sum_1h",
     )
+
+
+@register(
+    "win_gaps_islands",
+    "E",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS new_island
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ts) AS island_start, MAX(ts) AS island_end
+        FROM islands
+        GROUP BY user_id, island_id
+    """,
+    doc=(
+        "Gaps-and-islands sessionization via window functions: a lag-"
+        "detected strict 30-minute gap starts a new island; the running "
+        "sum of gap flags numbers islands per user; one groupBy summarizes "
+        "each island. The window-function formulation of what "
+        "session_window computes natively (whose merge boundary is "
+        "INCLUSIVE — this one is strict >, matching the SQL convention). "
+        "Scale: both windows and the final agg share ONE hash shuffle on "
+        "user_id — the exchange is reused; integer flags/counts only, so "
+        "partition-order exact."
+    ),
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("ts").over(w)
+    new_island = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > gap_us),
+        1,
+    ).otherwise(0)
+    flagged = ev.select("user_id", "ts", "event_id", new_island.alias("new_island"))
+    island = F.sum("new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "ts", island.alias("island_id")
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("island_start"),
+        F.max("ts").alias("island_end"),
+    )
