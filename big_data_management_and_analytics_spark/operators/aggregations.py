@@ -825,3 +825,42 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bdma_topk_words
         """
     ).select(F.col("item").alias("word"), F.col("count").alias("n"))
+
+
+@register(
+    "agg_weighted_avg",
+    "D",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+               ROUND(CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     / (SUM(CAST(l_quantity AS BIGINT)) * 100.0), 4)
+                   AS qty_weighted_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Quantity-weighted average price per return flag — the weighted "
+        "mean every pricing rollup needs, computed EXACTLY: integer cents "
+        "× integer quantity summed as BIGINT (l_quantity is whole-valued "
+        "in the fixture), one terminal double division — partition-order "
+        "invariant with no decimal column in flight. Map-side combinable "
+        "single shuffle."
+    ),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    # Product terms accumulate in decimal(28,0) (cents×qty ≈ 5e8/row
+    # would overflow a long sum around 2e10 rows); DuckDB's BIGINT sum
+    # widens to HUGEINT, so both sides are exact until the one terminal
+    # double division.
+    wsum = F.sum((cents("l_extendedprice") * qty).cast("decimal(28,0)"))
+    tot = F.sum(qty)
+    return li.groupBy("l_returnflag").agg(
+        tot.alias("total_qty"),
+        F.round(wsum.cast("double") / (tot * 100.0), 4).alias(
+            "qty_weighted_avg_price"
+        ),
+    )
