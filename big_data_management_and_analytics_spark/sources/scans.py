@@ -434,3 +434,59 @@ def meta_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in tables
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "src_xml_roundtrip",
+    "A",
+    doc=(
+        "Spark-4 built-in XML source: region written as <row> elements "
+        "and re-read with the pinned schema; rows-tier (text formats "
+        "lose types). The same reader handles multi-GB XML dumps split "
+        "by rowTag at 100 TB — no external package."
+    ),
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("bdma_xml_")
+    region = load(spark, sf_dir, "region")
+    region.write.mode("overwrite").format("xml").option("rootTag", "regions").option(
+        "rowTag", "region"
+    ).save(out)
+    return (
+        spark.read.schema(SCHEMAS["region"])
+        .format("xml")
+        .option("rowTag", "region")
+        .load(out)
+    )
+
+
+@register(
+    "xml_functions",
+    "H",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey, TRUE AS roundtrip_ok
+        FROM nation
+    """,
+    doc=(
+        "Scalar XML functions (Spark 4 to_xml/from_xml): each nation row "
+        "serializes to an XML fragment and parses back; the output is the "
+        "PARSED fields, which must equal the originals — a round-trip "
+        "identity the DuckDB oracle states directly from the base table. "
+        "Map-only, no shuffle."
+    ),
+)
+def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    xml = F.to_xml(
+        F.struct("n_nationkey", "n_name", "n_regionkey"),
+        {"rowTag": "nation"},
+    )
+    parsed = F.from_xml(
+        xml, "n_nationkey BIGINT, n_name STRING, n_regionkey INT"
+    )
+    return n.select(parsed.alias("p")).select(
+        F.col("p.n_nationkey").alias("n_nationkey"),
+        F.col("p.n_name").alias("n_name"),
+        F.col("p.n_regionkey").alias("n_regionkey"),
+        F.lit(True).alias("roundtrip_ok"),
+    )
