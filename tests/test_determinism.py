@@ -31,6 +31,14 @@ SENSITIVE = [
     "agg_moments",
     "tpch_q3_shipping",
     "llm_text_repetition",
+    # round 2 additions
+    "sort_multikey",       # two-pass global rank (range partitions + offsets)
+    "win_ntile",           # closed-form ntile over (rn, total)
+    "win_pct_cume",        # closed-form percent_rank/cume_dist/decile
+    "llm_text_unigram_lm", # integer accumulation + terminal division
+    "agg_weighted_avg",    # decimal cents×qty products
+    "win_gaps_islands",    # lag+cumsum islands (integer flags)
+    "llm_dedup_passage",   # hash groupBy counts
 ]
 
 
