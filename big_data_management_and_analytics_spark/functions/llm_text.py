@@ -837,3 +837,76 @@ def llm_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_freq") / (F.col("n_tok") * F.col("total")), 9
         ).alias("mean_token_prob"),
     )
+
+
+@register(
+    "llm_decontaminate",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(t) - 4),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4])) AS gs
+            FROM toks
+        ),
+        eval_grams AS (
+            SELECT DISTINCT UNNEST(gs) AS gram FROM grams WHERE doc_id % 50 = 0
+        ),
+        dirty AS (
+            SELECT DISTINCT tg.doc_id
+            FROM (SELECT doc_id, UNNEST(gs) AS gram FROM grams
+                  WHERE doc_id % 50 <> 0) tg
+            JOIN eval_grams eg ON tg.gram = eg.gram
+        )
+        SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d
+        WHERE d.doc_id % 50 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+    doc=(
+        "Decontamination filter — the ACTION its sibling check "
+        "(llm_contamination) informs: emit the training corpus with every "
+        "document sharing any 5-gram with the held-out eval split removed "
+        "(left_anti join against the contaminated id set). Same broadcast "
+        "gram-set plan plus one anti-join on doc_id; at 100 TB this runs "
+        "as the final gate before shard writing."
+    ),
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    five = F.when(
+        F.size("t") >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("t"), i + k) for k in range(5)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", t.alias("t")).withColumn("gs", five)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    dirty = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode("gs").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )
