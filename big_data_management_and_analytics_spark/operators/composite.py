@@ -430,3 +430,209 @@ def tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_yearly")
     )
+
+
+@register(
+    "tpch_q5_localsupp",
+    "L",
+    oracle=f"""
+        SELECT n_name, {_SQL_REVENUE} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    doc=(
+        "TPC-H Q5 shape: local-supplier volume — revenue per nation where "
+        "customer and supplier share the nation, region + year qualified. "
+        "Facts (lineitem⋈orders) shuffle on orderkey once; supplier/"
+        "nation/region broadcast; the c_nationkey = s_nationkey locality "
+        "predicate rides the customer join. Exact 4-decimal revenue."
+    ),
+)
+def tpch_q5_localsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue_sum("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_marketshare",
+    "L",
+    oracle="""
+        WITH all_sales AS (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                   n2.n_name AS supp_nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'STANDARD'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+        )
+        SELECT o_year,
+               ROUND(
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                                 THEN volume ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        FROM all_sales
+        GROUP BY o_year
+    """,
+    doc=(
+        "TPC-H Q8 shape: national market share — NATION_1's fraction of "
+        "AMERICA-market STANDARD-part revenue per order year. Two nation "
+        "roles (customer side filters the market, supplier side labels "
+        "volume); numerator and denominator are both exact decimal sums "
+        "converted to double before the one division (round 6). Dims "
+        "broadcast; facts shuffle once per join key."
+    ),
+)
+def tpch_q8_marketshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    prod = (cents("l_extendedprice") * (100 - cents("l_discount"))).cast(
+        "decimal(28,0)"
+    )
+    sales = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            prod.alias("vol4"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("vol4")).otherwise(
+            F.lit(0).cast("decimal(28,0)")
+        )
+    )
+    den = F.sum(F.col("vol4"))
+    return sales.groupBy("o_year").agg(
+        F.round(
+            (num / F.lit(10000)).cast("double") / (den / F.lit(10000)).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q14_promo",
+    "L",
+    oracle="""
+        SELECT
+            ROUND(
+                100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                4) AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    doc=(
+        "TPC-H Q14 shape: promotion revenue share for one ship month — "
+        "conditional revenue over total revenue, both exact decimal sums "
+        "with one terminal double division (round 4). Part broadcast, "
+        "single aggregate, month filter pushed to the lineitem scan."
+    ),
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    prod = (cents("l_extendedprice") * (100 - cents("l_discount"))).cast(
+        "decimal(28,0)"
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        prod.alias("vol4"), "p_type"
+    )
+    num = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("vol4")).otherwise(
+            F.lit(0).cast("decimal(28,0)")
+        )
+    )
+    den = F.sum(F.col("vol4"))
+    return joined.agg(
+        F.round(
+            100.0
+            * (num / F.lit(10000)).cast("double")
+            / (den / F.lit(10000)).cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
