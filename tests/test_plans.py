@@ -139,6 +139,14 @@ def test_map_only_claims_have_no_exchange(spark, registry):
         assert "Exchange" not in tree, f"{name} claims map-only but shuffles"
 
 
+def test_new_tpch_composites_broadcast_dims(spark, registry):
+    """Q5/Q8/Q14 claims: dimension sides broadcast, no nested loop."""
+    for name in ("tpch_q5_localsupp", "tpch_q8_marketshare", "tpch_q14_promo"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast dim join"
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
+
+
 def test_no_single_partition_windows(spark, registry):
     """The global-order operators use the two-pass range-partitioned rank
     (operators/global_rank.py) — every Window spec in their plans must be
