@@ -137,10 +137,11 @@ _LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one fixture table with the pinned schema.
 
-    events: parquet stores ts as TIMESTAMP(NANOS) which Spark 4 rejects;
-    with nanosAsLong it reads as int64 nanoseconds, converted here via
-    integer division to µs (matches DuckDB's ns→µs truncation exactly —
-    SURVEY.md §0 P1).
+    events: if the parquet stores ts as TIMESTAMP(NANOS) (which Spark 4
+    rejects), nanosAsLong reads it as int64 nanoseconds and it is converted
+    here via integer division to µs (matches DuckDB's ns→µs truncation
+    exactly — SURVEY.md §0 P1). TIMESTAMP(MICROS) fixtures read as
+    timestamp directly and skip the conversion.
     """
     key = (id(spark), os.path.abspath(sf_dir), table)
     cached = _LOAD_CACHE.get(key)

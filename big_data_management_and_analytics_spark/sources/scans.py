@@ -62,9 +62,10 @@ def scan_pushdown_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A",
     oracle="SELECT event_id, ts FROM events",
     doc=(
-        "ns-timestamp ingestion: parquet TIMESTAMP(NANOS) read via "
-        "nanosAsLong + timestamp_micros(ts div 1000); DuckDB truncates "
-        "ns→µs identically (SURVEY.md §0 P1)."
+        "events-timestamp ingestion: TIMESTAMP(NANOS) fixtures read via "
+        "nanosAsLong + timestamp_micros(ts div 1000) (DuckDB truncates "
+        "ns→µs identically, SURVEY.md §0 P1); TIMESTAMP(MICROS) fixtures "
+        "read natively — load() dispatches on the resolved dtype."
     ),
 )
 def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,9 +5,11 @@ Each query replays the events parquet through ``readStream`` with the
 the materialized result. The aggregation specs are shared with
 batch_twins.py so stream and batch semantics cannot drift.
 
-The ns-timestamp recipe applies on the stream path too: the pinned
-readStream schema declares ``ts`` as LONG (nanos) and converts via
-``timestamp_micros(ts div 1000)`` — same as sources/io.py.
+Timestamp units: readStream needs an explicit schema, so it is derived
+from a batch read of the same file — that honors whatever physical type
+the parquet carries (TIMESTAMP(MICROS) reads as timestamp; legacy
+TIMESTAMP(NANOS) reads as int64 under nanosAsLong and is converted via
+``timestamp_micros(ts div 1000)``, same recipe as sources/io.py).
 """
 
 from __future__ import annotations
@@ -26,27 +28,33 @@ from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.session import tune
 from big_data_management_and_analytics_spark.streaming.batch_twins import tumbling_agg
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _batch_schema(spark: SparkSession, sample_file: str) -> T.StructType:
+    """Schema a batch read resolves for the file — the unit-correct source
+    of truth for the explicit schema readStream requires."""
+    return spark.read.parquet(sample_file).schema
+
+
+def _with_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to TimestampType regardless of parquet physical type:
+    bigint means TIMESTAMP(NANOS) read under nanosAsLong → truncate ns→µs
+    (bit-identical to DuckDB's ns→µs truncation); otherwise it is already a
+    timestamp."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     # FileStreamSource needs a directory; glob-filter to the events file.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(
+            _batch_schema(spark, os.path.join(sf_dir, "events.parquet"))
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _with_event_ts(raw)
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -121,13 +129,11 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(late_path, (now, now))
 
         raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(_batch_schema(spark, recent_path))
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        ev = raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).withWatermark("ts", "10 minutes")
+        ev = _with_event_ts(raw).withWatermark("ts", "10 minutes")
         counts = ev.groupBy(F.window("ts", "1 hour").alias("win")).agg(
             F.count(F.lit(1)).alias("n_events")
         )
@@ -414,7 +420,7 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run_once() -> None:
         raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(_batch_schema(spark, events_file))
             .option("pathGlobFilter", "*.parquet")
             .parquet(src)
         )
