@@ -3,8 +3,8 @@
 
 The reference repo (`/root/reference/README.md:1-2`, `.gitignore:1-49`) is an
 empty course stub, so the authoritative capability surface is the declared
-operator inventory in ``SURVEY.md §2`` (115 declared ids; the registry holds
-those plus extras — ``len(all_queries())`` is the live count) spanning scans,
+operator inventory in ``SURVEY.md §2`` (the registry holds those plus extras
+— ``len(all_queries())`` is the live count) spanning scans,
 the relational algebra, window/analytic SQL, scalar function families, UDFs,
 streaming semantics, and LLM-data-pipeline operators (dedup, similarity
 search, multimodal columns, text analysis).
@@ -32,6 +32,7 @@ def load_all() -> None:
         sorts,
         setops,
         composite,
+        composite_full,
     )
     from big_data_management_and_analytics_spark.functions import (  # noqa: F401
         strings,

@@ -1,0 +1,651 @@
+"""Category L (continued) — the remaining TPC-H query shapes (Q2, Q9, Q11,
+Q12, Q16, Q19, Q20, Q21, Q22), fixture-adapted.
+
+With these the engine covers all 22 TPC-H query shapes (Q1 is
+`agg_pricing_summary`). The fixture schema has no ``partsupp`` table and no
+``l_shipmode``/``l_commitdate``/``l_receiptdate``/``c_phone`` columns
+(FIXTURES.md is ground truth), so the adaptations preserve each query's
+*plan shape* — the joins, subquery correlations, and aggregation structure
+that make it interesting — with fixture-derivable stand-ins:
+
+- partsupp        → distinct (l_partkey, l_suppkey) pairs from lineitem,
+                    with MIN(l_extendedprice) as the supply-cost stand-in
+                    (deterministic, exact: min of doubles).
+- shipmode lanes  → shipping-speed class derived from
+                    datediff(l_shipdate, o_orderdate).
+- receipt lateness→ l_shipdate > o_orderdate + 60 days.
+- phone country   → c_nationkey % 5 as the country code.
+
+Scale posture matches composite.py: dims broadcast, facts shuffle on their
+join key once, aggregate-before-join where the grouping key is the join
+key, money arithmetic on the integer-cents fast path. The reference repo is
+an empty course stub (`/root/reference/README.md:1-2`); these realize the
+TPC-H-ish workload its fixtures mandate (`/root/repo/TESTDATA.md:3`).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_management_and_analytics_spark.plans.determinism import cents
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+_SQL_REVENUE = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+def _revenue4(alias: str) -> F.Column:
+    prod = (cents("l_extendedprice") * (100 - cents("l_discount"))).cast(
+        "decimal(28,0)"
+    )
+    return (F.sum(prod) / F.lit(10000)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated scalar-min subquery)
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+    SELECT l_partkey AS pk, l_suppkey AS sk, MIN(l_extendedprice) AS cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+@register(
+    "tpch_q2_mincost",
+    "L",
+    oracle=f"""
+        WITH ps AS ({_PS_SQL}),
+        euro AS (
+            SELECT pk, sk, cost, s_acctbal, s_name, n_name
+            FROM ps
+            JOIN supplier ON sk = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+        FROM part
+        JOIN euro ON p_partkey = pk
+        WHERE p_size = 15 AND p_type = 'STANDARD'
+          AND cost = (SELECT MIN(e2.cost) FROM euro e2 WHERE e2.pk = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q2 shape: min-cost supplier per qualified part in one region "
+        "— correlated scalar-MIN subquery decorrelated into a per-part min "
+        "aggregate joined back on (part, cost). partsupp stands in as "
+        "distinct lineitem (part, supplier) pairs costed at "
+        "MIN(l_extendedprice). Supplier/nation/region and the part filter "
+        "broadcast; the only fact shuffle is the pair-dedup groupBy."
+    ),
+)
+def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min("l_extendedprice").alias("cost"))
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    euro = (
+        ps.join(F.broadcast(s), ps.sk == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("pk", "cost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = euro.groupBy(F.col("pk").alias("mc_pk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        euro.join(
+            min_cost,
+            (euro.pk == min_cost.mc_pk) & (euro.cost == min_cost.min_cost),
+        )
+        .join(F.broadcast(p), euro.pk == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q9_profit",
+    "L",
+    oracle="""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(SUM(
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   - CAST(0.1 AS DECIMAL(2,1))
+                       * CAST(p_retailprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))
+               ) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    doc=(
+        "TPC-H Q9 shape: profit per supplier nation per order year for one "
+        "part family — revenue minus cost where, absent ps_supplycost, "
+        "cost is 10% of retail value (0.1 * p_retailprice * l_quantity). "
+        "All arithmetic in 10^-5-dollar integer units (pc*(100-dc)*10 - "
+        "rc*qc), one terminal division — bit-identical to the oracle's "
+        "DECIMAL formulation. Part/supplier/nation broadcast; lineitem "
+        "shuffles once on orderkey."
+    ),
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # 10^-5-dollar integer units: pc*(100-dc) is 10^-4 units (*10), and
+    # rc*qc = (retail*100)*(qty*100) is already 10^-4 units of the 0.1-scaled
+    # cost (0.1 * retail * qty * 10^5 = rc * qc * 10 / 10 = rc*qc... exact:
+    # 0.1*retail*qty in 10^-5 units = retail*qty*10^4 = rc*qc).
+    profit5 = (
+        cents("l_extendedprice") * (100 - cents("l_discount")) * 10
+        - cents("p_retailprice") * cents("l_quantity")
+    ).cast("decimal(28,0)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(profit5) / F.lit(100000)).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock (global-total scalar subquery + HAVING)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q11_stockvalue",
+    "L",
+    oracle="""
+        WITH natps AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT pk AS p_partkey, CAST(value AS DOUBLE) AS value
+        FROM natps
+        WHERE value > (SELECT SUM(value) * 0.001 FROM natps)
+        ORDER BY value DESC, p_partkey
+    """,
+    doc=(
+        "TPC-H Q11 shape: parts representing a significant share of one "
+        "nation's stock value — per-part exact sums filtered against a "
+        "0.001 fraction of the global total (scalar subquery → one-row "
+        "broadcast crossJoin). Threshold compare stays integral "
+        "(1000 * part_cents > total_cents); supplier/nation broadcast."
+    ),
+)
+def tpch_q11_stockvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    natps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents("l_extendedprice")).alias("value_c"))
+    )
+    total = natps.agg(F.sum("value_c").alias("total_c"))
+    return (
+        natps.crossJoin(F.broadcast(total))
+        # value > 0.001 * total  ⇔  1000 * value_cents > total_cents (exact).
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select(
+            "p_partkey", (F.col("value_c") / 100.0).cast("double").alias("value")
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping lanes vs order priority (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q12_shiplane",
+    "L",
+    oracle="""
+        SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) <= 30
+                    THEN 'QUICK' ELSE 'SLOW' END AS ship_class,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY ship_class
+    """,
+    doc=(
+        "TPC-H Q12 shape: line counts by priority class per shipping lane "
+        "— absent l_shipmode, the lane is the shipping-speed class "
+        "(order→ship latency ≤ 30 days = QUICK). Conditional dual counts "
+        "in one aggregate; year filter pushed to the lineitem scan; the "
+        "only shuffle is the orderkey join (orders side pre-projected to "
+        "two columns)."
+    ),
+)
+def tpch_q12_shiplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lane = F.when(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        <= 30,
+        F.lit("QUICK"),
+    ).otherwise(F.lit("SLOW"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(lane.alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier counts per part descriptor (count-distinct + NOT IN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q16_partsupp",
+    "L",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT sk) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem) ps
+        JOIN part ON pk = p_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+          AND sk NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc=(
+        "TPC-H Q16 shape: how many suppliers can supply each qualified part "
+        "descriptor — distinct (part, supplier) pairs from lineitem, "
+        "NOT-IN exclusion of negative-balance suppliers as a broadcast "
+        "anti-join (the excluded-key set is null-free, so anti-join ≡ "
+        "NOT IN), count-distinct per (brand, type, size)."
+    ),
+)
+def tpch_q16_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_sk"))
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.sk == bad.bad_sk, "left_anti")
+        .join(F.broadcast(p), ps.pk == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("sk").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive brand/size/quantity predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q19_brandrev",
+    "L",
+    oracle=f"""
+        SELECT {_SQL_REVENUE} AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc=(
+        "TPC-H Q19 shape: revenue under three OR'd brand/size/quantity "
+        "conjunctions — the disjunction splits across the join: part-side "
+        "terms (brand, size) prune the broadcast build side to the union "
+        "of the three brand-size boxes before the join; the mixed "
+        "part+lineitem residual applies post-join. Exact cents revenue."
+    ),
+)
+def tpch_q19_brandrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+            | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_revenue4("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested semi-joins + threshold)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q20_promosupp",
+    "L",
+    oracle="""
+        SELECT s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (
+            SELECT sk FROM (
+                SELECT l_partkey AS pk, l_suppkey AS sk,
+                       SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                                 AND l_shipdate <  TIMESTAMP '1998-01-01'
+                                THEN CAST(l_quantity AS DECIMAL(18,2))
+                                ELSE 0 END) AS qty_1997,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ) t
+            WHERE pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              AND 10 * qty_1997 > 3 * qty_all
+          )
+        ORDER BY s_name
+    """,
+    doc=(
+        "TPC-H Q20 shape: suppliers in one region with excess shipments of "
+        "a part family in one year — per-(part, supplier) conditional "
+        "quantity sums, integral threshold (10*qty_1997 > 3*qty_all ⇔ "
+        "1997 share > 30%), part-family semi-join, then a supplier "
+        "semi-join into the region-filtered dim. Absent ps_availqty, the "
+        "all-years shipped quantity is the availability stand-in."
+    ),
+)
+def tpch_q20_promosupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_1997 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qc = cents("l_quantity")
+    t = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(F.when(in_1997, qc).otherwise(F.lit(0))).alias("q1997_c"),
+        F.sum(qc).alias("qall_c"),
+    )
+    small = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    excess_sk = (
+        t.join(F.broadcast(small), t.pk == small.p_partkey, "left_semi")
+        .filter(F.col("q1997_c") * 10 > F.col("qall_c") * 3)
+        .select("sk")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(excess_sk, s.s_suppkey == F.col("sk"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q21_waiting",
+    "L",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q21 shape: suppliers solely responsible for late multi-"
+        "supplier orders — the EXISTS / NOT-EXISTS pair decorrelates into "
+        "one per-order aggregate (distinct suppliers ≥ 2 AND distinct "
+        "LATE suppliers = 1: if this line is late and only one supplier "
+        "is late, the other-supplier NOT-EXISTS holds exactly). Lateness "
+        "= shipped > 60 days after order date, order status F. One "
+        "orderkey shuffle for the aggregate, reused by the join; "
+        "supplier broadcast."
+    ),
+)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = j.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    lone_late = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        j.filter(F.col("is_late"))
+        .join(lone_late, F.col("l_orderkey") == F.col("po_key"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (anti-join + global-avg scalar subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q22_opportunity",
+    "L",
+    oracle="""
+        WITH qualified AS (
+            SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
+            FROM customer
+            WHERE c_nationkey % 5 IN (0, 1, 2)
+        )
+        SELECT cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM qualified q
+        WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                           / COUNT(*)
+                FROM qualified WHERE c_acctbal > 0
+            )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = q.c_custkey
+                AND o_orderdate >= TIMESTAMP '1999-01-01'
+          )
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
+    doc=(
+        "TPC-H Q22 shape: promising inactive customers per country code — "
+        "absent c_phone, the code is c_nationkey % 5 (the fixture's "
+        "nation→region residue). Above-average balance via an exact "
+        "cents-sum / count scalar (one-row broadcast crossJoin); "
+        "inactivity = no orders since 1999 (every fixture customer has "
+        "SOME order, so the classic no-orders-ever anti-join would be "
+        "vacuously empty), as a left-anti join on the filtered orders "
+        "projection. totacctbal is an exact cents sum."
+    ),
+)
+def tpch_q22_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qualified = (
+        load(spark, sf_dir, "customer")
+        .filter((F.col("c_nationkey") % 5).isin(0, 1, 2))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("c_nationkey") % 5).alias("cntrycode"),
+        )
+    )
+    # Exact global average: cents sum / 100 → double, / count (same op
+    # order as the oracle, so the doubles are bit-identical).
+    avg_row = qualified.filter(F.col("c_acctbal") > 0).agg(
+        ((F.sum(cents("c_acctbal")) / 100.0) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        qualified.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, qualified.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents("c_acctbal")) / 100.0).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -147,6 +147,34 @@ def test_new_tpch_composites_broadcast_dims(spark, registry):
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
 
 
+def test_full_tpch_composites_plan_shape(spark, registry):
+    """The TPC-H completion set (composite_full.py): dimension sides
+    broadcast, no nested loop — except Q11/Q22, whose one-row scalar
+    subquery legitimately appears as a single broadcast nest-loop
+    crossJoin (one row × N is a map-side operation, not a blow-up)."""
+    strict = (
+        "tpch_q2_mincost",
+        "tpch_q9_profit",
+        "tpch_q12_shiplane",
+        "tpch_q16_partsupp",
+        "tpch_q19_brandrev",
+        "tpch_q20_promosupp",
+        "tpch_q21_waiting",
+    )
+    for name in strict:
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast dim join"
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
+    for name in ("tpch_q11_stockvalue", "tpch_q22_opportunity"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "CartesianProduct" not in plan, name
+        # Tree section only (the formatted detail section repeats each node).
+        tree = plan.split("\n\n(")[0]
+        assert tree.count("BroadcastNestedLoopJoin") <= 1, (
+            f"{name}: only the one-row scalar-subquery crossJoin may nest-loop"
+        )
+
+
 def test_no_single_partition_windows(spark, registry):
     """The global-order operators use the two-pass range-partitioned rank
     (operators/global_rank.py) — every Window spec in their plans must be
