@@ -39,6 +39,13 @@ SENSITIVE = [
     "agg_weighted_avg",    # decimal cents×qty products
     "win_gaps_islands",    # lag+cumsum islands (integer flags)
     "llm_dedup_passage",   # hash groupBy counts
+    # TPC-H completion set (composite_full.py): float-bearing money sums,
+    # double-keyed join-back (Q2), scalar-subquery division (Q22)
+    "tpch_q2_mincost",     # min-cost double equality join-back + top-100
+    "tpch_q9_profit",      # 10^-5-unit profit sums per nation-year
+    "tpch_q11_stockvalue", # integral threshold vs broadcast total
+    "tpch_q21_waiting",    # per-order distinct-count decorrelation
+    "tpch_q22_opportunity",# exact global-avg scalar + anti-join
 ]
 
 
