@@ -563,20 +563,7 @@ def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    five = F.when(
-        F.size("t") >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(F.col("t"), i + k) for k in range(5)],
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", t.alias("t")).withColumn("gs", five)
+    grams = _five_grams(d)
     eval_grams = (
         grams.filter(F.col("doc_id") % 50 == 0)
         .select(F.explode("gs").alias("gram"))
@@ -598,6 +585,115 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
             (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def _five_grams(d: DataFrame) -> DataFrame:
+    """doc_id + distinct 5-gram array (shared by the exact and bloom
+    contamination operators so both see identical grams)."""
+    t = tokens(F.col("text"))
+    five = F.when(
+        F.size("t") >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("t"), i + k) for k in range(5)],
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", t.alias("t")).withColumn("gs", five)
+
+
+# Bloom geometry: m = 2^20 bits (16,384 longs = 128 KB broadcast), k = 5
+# probes per gram. At the fixture's eval-gram cardinality (~10^4) the
+# fill ratio is < 5%, giving a false-positive rate well under 1e-5; at
+# 100 TB you grow m, not the plan.
+_BLOOM_BITS = 1 << 20
+_BLOOM_BLOCKS = _BLOOM_BITS // 64
+_BLOOM_K = 5
+
+
+# k bit positions via Kirsch–Mitzenmacher double hashing,
+# pos_i = (h1 + i*h2) mod m, with both hashes pre-reduced mod m so the
+# arithmetic stays far from long overflow (ANSI-mode safe). SQL text
+# because the probe needs shiftleft by an *expression*, which the classic
+# pyspark ``F.shiftleft`` (int-only shift) can't build.
+_BLOOM_POS_SQL = (
+    f"transform(sequence(0, {_BLOOM_K - 1}), i -> "
+    f"pmod(pmod(xxhash64({{gram}}), {_BLOOM_BITS})"
+    f" + i * pmod(xxhash64({{gram}}, 1), {_BLOOM_BITS}), {_BLOOM_BITS}))"
+)
+
+# True iff every probed bit of the broadcast `bloom` array is set.
+_BLOOM_HIT_SQL = (
+    f"aggregate({_BLOOM_POS_SQL.format(gram='gram')}, true, (acc, pos) -> "
+    "acc AND (element_at(bloom, CAST(pos DIV 64 AS INT) + 1)"
+    " & shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))) != 0)"
+)
+
+
+@register(
+    "llm_contamination_bloom",
+    "K",
+    doc=(
+        "Bloom-filter contamination check — the 100 TB form of "
+        "llm_contamination (whose docstring promises exactly this plan "
+        "swap). Eval-side distinct 5-grams hash into a 2^20-bit bloom "
+        "(xxhash64 double hashing, k=5), OR-aggregated into 64-bit blocks "
+        "(~16 K rows), densified on the driver (128 KB — dimension-bounded "
+        "like PCA), and broadcast. The train side probes all k bits with "
+        "pure codegen array/bit expressions — no UDF, no shuffle beyond "
+        "the per-doc count. Deterministic (seeded hashes): rows-tier only "
+        "because DuckDB lacks xxhash64; tests assert the exact-operator "
+        "hits are a SUBSET (no false negatives) and bound the FP count."
+    ),
+)
+def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _five_grams(load(spark, sf_dir, "documents"))
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    # Build: gram → k positions → (block, bit) → bit_or per block.
+    blocks = (
+        eval_grams.select(
+            F.explode(F.expr(_BLOOM_POS_SQL.format(gram="gram"))).alias("pos")
+        )
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("block"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("bits"),
+        )
+        .groupBy("block")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    )
+    dense = [0] * _BLOOM_BLOCKS
+    for r in blocks:
+        dense[r["block"]] = r["bits"]
+    bloom = spark.createDataFrame([(dense,)], "bloom array<long>")
+
+    # Probe: a gram hits iff all k probed bits are set.
+    hit = F.expr(_BLOOM_HIT_SQL)
+    train_grams = grams.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("gs").alias("gram")
+    )
+    flagged = (
+        train_grams.crossJoin(F.broadcast(bloom))
+        .select("doc_id", hit.alias("hit"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("hit").cast("long")).alias("n_flagged_grams"))
+    )
+    train_docs = grams.filter(F.col("doc_id") % 50 != 0).select("doc_id")
+    return train_docs.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_flagged_grams", F.lit(0)).cast("long").alias("n_flagged_grams"),
+        (F.coalesce("n_flagged_grams", F.lit(0)) > 0).alias("contaminated"),
     )
 
 

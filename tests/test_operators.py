@@ -438,3 +438,21 @@ def test_pca_matches_numpy_eigendecomposition(spark, registry):
     got = np.array([r.loading for r in rows])
     assert np.abs(got - v).max() < 1e-5
     assert abs(rows[0].explained_share - vals[-1] / np.trace(cov)) < 1e-5
+
+
+def test_bloom_contamination_has_no_false_negatives(spark, registry):
+    """llm_contamination_bloom must flag a SUPERSET of the exact operator's
+    hits (a bloom filter can only err toward false positives), with the FP
+    count bounded far below the corpus size, and per-doc flagged-gram
+    counts at least the exact shared-gram counts."""
+    from tests.conftest import SF_T2
+
+    exact = registry["llm_contamination"].fn(spark, SF_T2).toPandas()
+    bloom = registry["llm_contamination_bloom"].fn(spark, SF_T2).toPandas()
+    e = set(exact[exact.contaminated].doc_id)
+    b = set(bloom[bloom.contaminated].doc_id)
+    assert e <= b, f"false negatives: {sorted(e - b)[:5]}"
+    # 2^20-bit bloom at the fixture's gram cardinality: FPs should be rare.
+    assert len(b - e) <= max(5, len(exact) // 100), f"{len(b - e)} FP docs"
+    m = exact.merge(bloom, on="doc_id")
+    assert (m.n_flagged_grams >= m.n_shared_grams).all()
