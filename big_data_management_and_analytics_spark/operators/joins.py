@@ -565,3 +565,142 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_purchase_ts",
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    "C",
+    oracle="""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             s AS (SELECT * FROM events WHERE event_type = 'signup'),
+             cand AS (
+                 SELECT p.event_id, s.ts AS signup_ts,
+                        ROW_NUMBER() OVER (
+                            PARTITION BY p.event_id
+                            ORDER BY abs(date_diff('microsecond', s.ts, p.ts)),
+                                     s.ts
+                        ) AS rn
+                 FROM p JOIN s ON p.user_id = s.user_id
+             )
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.signup_ts
+        FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+          ON p.event_id = c.event_id
+    """,
+    doc=(
+        "Nearest-as-of join: each purchase → the temporally CLOSEST signup "
+        "of the same user in either direction (ties → the earlier signup). "
+        "One union-tag pass with two directional windows over the same "
+        "user_id partitioning — backward last(ignorenulls) + forward "
+        "first(ignorenulls) share a single shuffle — then a closed-form "
+        "pick of the nearer side. The oracle pays an O(pairs-per-user) "
+        "candidate join; this plan stays linear per user timeline."
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("s_ts"),
+        F.lit(1).alias("tag"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("s_ts"),
+        F.lit(0).alias("tag"),
+    )
+    # Signups sort before purchases at equal ts (tag 0 < 1): an equal-ts
+    # signup lands in the backward window with distance 0, which is
+    # unbeatable, so the forward window needn't see it.
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.unix_micros
+    prev_c, next_c, ts_c = F.col("prev_ts"), F.col("next_ts"), F.col("ts")
+    nearest = (
+        F.when(prev_c.isNull(), next_c)
+        .when(next_c.isNull(), prev_c)
+        # tie → earlier signup (matches the oracle's ORDER BY abs, ts).
+        .when(us(ts_c) - us(prev_c) <= us(next_c) - us(ts_c), prev_c)
+        .otherwise(next_c)
+    )
+    return (
+        purchases.unionByName(signups)
+        .withColumn("prev_ts", F.last("s_ts", ignorenulls=True).over(back))
+        .withColumn("next_ts", F.first("s_ts", ignorenulls=True).over(fwd))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            nearest.alias("signup_ts"),
+        )
+    )
+
+
+@register(
+    "join_fuzzy_editdist",
+    "C",
+    oracle="""
+        SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM customer a
+        JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc=(
+        "Fuzzy self-join: customer-name pairs within Levenshtein distance "
+        "1, WITHOUT the O(n²) comparison the oracle runs. Candidate keys = "
+        "the name plus its single-character deletions (distance-≤1 pairs — "
+        "substitution, insertion, or deletion — must share one: delete the "
+        "edited position from both sides); equi-join on the key buckets, "
+        "dedup, then the exact levenshtein residual. Work is "
+        "O(n·len + candidate pairs) — a shuffled hash join at any scale. "
+        "Skew note: exact-duplicate names all share their full-string key; "
+        "a production corpus caps or salts that bucket (fixture names are "
+        "unique)."
+    ),
+)
+def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # Deletion variants in SQL (substring needs expression offsets).
+    cand = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "array_union(array(c_name), transform("
+                "sequence(1, length(c_name)), i -> concat("
+                "substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, length(c_name) - i))))"
+            )
+        ).alias("k"),
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("k1"),
+            F.col("b.c_custkey").alias("k2"),
+            F.col("a.c_name").alias("n1"),
+            F.col("b.c_name").alias("n2"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.filter(F.levenshtein("n1", "n2") <= 1)
+        .select("k1", "k2", F.levenshtein("n1", "n2").cast("int").alias("dist"))
+    )

@@ -175,6 +175,27 @@ def test_full_tpch_composites_plan_shape(spark, registry):
         )
 
 
+def test_asof_nearest_single_shuffle_no_join(spark, registry):
+    """join_asof_nearest claims both directional windows share one
+    user_id shuffle and there is no join operator at all."""
+    plan = _plan(registry["join_asof_nearest"].fn(spark, SF_T2))
+    tree = plan.split("\n\n(")[0]
+    assert "Join" not in tree, "nearest-asof must be window-based, not a join"
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_fuzzy_editdist_is_hash_join_not_nested_loop(spark, registry):
+    """join_fuzzy_editdist's deletion-bucket candidate join must be an
+    equi join (hash/merge), never the O(n²) nested loop the oracle runs."""
+    plan = _plan(registry["join_fuzzy_editdist"].fn(spark, SF_T2))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
 def test_no_single_partition_windows(spark, registry):
     """The global-order operators use the two-pass range-partitioned rank
     (operators/global_rank.py) — every Window spec in their plans must be
