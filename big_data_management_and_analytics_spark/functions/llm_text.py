@@ -564,13 +564,9 @@ def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     grams = _five_grams(d)
-    eval_grams = (
-        grams.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode("gs").alias("gram"))
-        .distinct()
-    )
-    train_grams = grams.filter(F.col("doc_id") % 50 != 0).select(
-        "doc_id", F.explode("gs").alias("gram")
+    eval_grams = _explode_grams(grams.filter(F.col("doc_id") % 50 == 0)).distinct()
+    train_grams = _explode_grams(
+        grams.filter(F.col("doc_id") % 50 != 0), "doc_id"
     )
     hits = (
         train_grams.join(F.broadcast(eval_grams), "gram")
@@ -590,7 +586,20 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _five_grams(d: DataFrame) -> DataFrame:
     """doc_id + distinct 5-gram array (shared by the exact and bloom
-    contamination operators so both see identical grams)."""
+    contamination operators so both see identical grams).
+
+    The gram expression is the expensive part (per-position concat over
+    the token array), so spread the scan FIRST: the fixture is one small
+    parquet file = one input partition, and without the repartition the
+    whole corpus tokenizes in a single task (measured 28 s at sf0.1 —
+    ~1 s spread across 32). At real scale the file count provides the
+    parallelism and the cheap pre-gram shuffle still hashes only raw
+    text bytes. The partition count is explicit because AQE would
+    coalesce a keyed repartition of ~1 MB of text right back to one
+    partition — size-based coalescing is wrong when the cost is
+    downstream CPU per row, not bytes."""
+    n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = d.repartition(n, "doc_id")
     t = tokens(F.col("text"))
     five = F.when(
         F.size("t") >= 5,
@@ -605,6 +614,24 @@ def _five_grams(d: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return d.select("doc_id", t.alias("t")).withColumn("gs", five)
+
+
+def _explode_grams(grams: DataFrame, *cols: str) -> DataFrame:
+    """Explode the gram array WITHOUT re-evaluating it in the scan task.
+
+    A plain ``explode`` makes Spark infer ``size(gs) > 0 AND
+    isnotnull(gs)`` and push that filter below _five_grams' repartition
+    exchange — with the entire gram expression inlined, the whole corpus
+    grams (several times over) inside the single-file scan task, undoing
+    the repartition (measured: 34 s single-task vs ~1 s spread).
+    ``explode_outer`` infers no filter; the explicit isNotNull below
+    applies to the GENERATED column, which cannot be pushed under the
+    Generate, so the expensive expression runs exactly once, post-
+    shuffle."""
+    return (
+        grams.select(*cols, F.explode_outer("gs").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
 
 
 # Bloom geometry: m = 2^20 bits (16,384 longs = 128 KB broadcast), k = 5
@@ -653,11 +680,7 @@ _BLOOM_HIT_SQL = (
 )
 def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _five_grams(load(spark, sf_dir, "documents"))
-    eval_grams = (
-        grams.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode("gs").alias("gram"))
-        .distinct()
-    )
+    eval_grams = _explode_grams(grams.filter(F.col("doc_id") % 50 == 0)).distinct()
     # Build: gram → k positions → (block, bit) → bit_or per block.
     blocks = (
         eval_grams.select(
@@ -680,8 +703,8 @@ def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Probe: a gram hits iff all k probed bits are set.
     hit = F.expr(_BLOOM_HIT_SQL)
-    train_grams = grams.filter(F.col("doc_id") % 50 != 0).select(
-        "doc_id", F.explode("gs").alias("gram")
+    train_grams = _explode_grams(
+        grams.filter(F.col("doc_id") % 50 != 0), "doc_id"
     )
     flagged = (
         train_grams.crossJoin(F.broadcast(bloom))
@@ -975,28 +998,10 @@ def llm_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    five = F.when(
-        F.size("t") >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 4),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(F.col("t"), i + k) for k in range(5)],
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = d.select("doc_id", t.alias("t")).withColumn("gs", five)
-    eval_grams = (
-        grams.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode("gs").alias("gram"))
-        .distinct()
-    )
+    grams = _five_grams(d)
+    eval_grams = _explode_grams(grams.filter(F.col("doc_id") % 50 == 0)).distinct()
     dirty = (
-        grams.filter(F.col("doc_id") % 50 != 0)
-        .select("doc_id", F.explode("gs").alias("gram"))
+        _explode_grams(grams.filter(F.col("doc_id") % 50 != 0), "doc_id")
         .join(F.broadcast(eval_grams), "gram")
         .select("doc_id")
         .distinct()
