@@ -399,6 +399,40 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_pipe_syntax",
+    "A",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem
+        WHERE l_quantity < 25
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Spark 4 SQL pipe syntax (|> WHERE / |> AGGREGATE): the same "
+        "logical plan as the classic formulation — Catalyst parses pipes "
+        "into ordinary operators, so pushdown/pruning/codegen are "
+        "identical (verified: the oracle runs the classic SQL)."
+    ),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity < 25
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_qty
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_lines, sum_qty
+        """
+    )
+
+
+@register(
     "meta_table_stats",
     "A",
     oracle="""

@@ -213,6 +213,14 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(sessions, "update")
 
 
+# Note: Spark 4's transformWithStateInPandas (the applyInPandasWithState
+# successor) is NOT registered: its state-server protocol requires the
+# protobuf runtime, absent from this environment (import of
+# google.protobuf.descriptor fails in the streaming driver worker).
+# stream_stateful_sessions covers arbitrary stateful processing via the
+# stable applyInPandasWithState API.
+
+
 def _purchase_click_stream_join(
     spark: SparkSession, sf_dir: str, how: str
 ) -> DataFrame:
