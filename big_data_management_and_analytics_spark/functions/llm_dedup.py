@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from big_data_management_and_analytics_spark.functions.strings import tokens
 from big_data_management_and_analytics_spark.plans.registry import register
-from big_data_management_and_analytics_spark.sources.io import load
+from big_data_management_and_analytics_spark.sources.io import load, spread
 
 N_HASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
@@ -145,20 +145,35 @@ def llm_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = tokens(F.col("text"))
-    shingle = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(tok, i + 1),
-                F.element_at(tok, i + 2),
-                F.element_at(tok, i + 3),
-            ),
-        )
-    )
-    sh = d.filter(F.size(tok) >= 3).select("doc_id", shingle.alias("sh"))
-    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    # Total expression (empty array under 3 tokens) instead of a filter:
+    # a size(tok) >= 3 predicate would be pushed below the spread()
+    # exchange by substitution, re-tokenizing the corpus in the single
+    # scan task. Shingle-less docs can't share a shingle, so keeping
+    # their empty rows changes nothing downstream.
+    shingle = F.when(
+        F.size(tok) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tok, i + 1),
+                    F.element_at(tok, i + 2),
+                    F.element_at(tok, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = spread(d, "doc_id").select("doc_id", shingle.alias("sh"))
+    # explode_outer: plain explode infers size(sh) > 0 and pushes the
+    # whole shingle expression below the exchange (same trap as the
+    # filter above); the isNotNull guard sits on the GENERATED column.
+    exploded = sh.select(
+        "doc_id", F.explode_outer("sh").alias("s")
+    ).filter(F.col("s").isNotNull())
+    # |shingle set| per doc from the exploded rows (sh is distinct), so
+    # the shingle expression is evaluated once, not once per branch.
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -353,9 +368,18 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     import pyspark.sql.types as T
 
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    # spread + explode_outer: keep the tokenize/distinct CPU off the
+    # single-file scan task and stop the inferred size>0 filter from
+    # sinking the expression below the exchange (see llm_dedup_shingle).
+    words = (
+        spread(d, "doc_id")
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
 
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     out_schema = T.StructType(

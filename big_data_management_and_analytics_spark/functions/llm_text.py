@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_management_and_analytics_spark.functions.strings import SQL_TOKENS, tokens
 from big_data_management_and_analytics_spark.plans.registry import register
-from big_data_management_and_analytics_spark.sources.io import load
+from big_data_management_and_analytics_spark.sources.io import load, spread
 
 
 @register(
@@ -280,8 +280,13 @@ def llm_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(t) - 1),
         lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
     )
+    # spread + explode_outer: see _explode_grams — keeps the bigram
+    # expression off the single-file scan task and out of the inferred
+    # size>0 pushdown filter.
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        spread(d, "doc_id")
+        .select(F.explode_outer(bigrams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -594,12 +599,8 @@ def _five_grams(d: DataFrame) -> DataFrame:
     whole corpus tokenizes in a single task (measured 28 s at sf0.1 —
     ~1 s spread across 32). At real scale the file count provides the
     parallelism and the cheap pre-gram shuffle still hashes only raw
-    text bytes. The partition count is explicit because AQE would
-    coalesce a keyed repartition of ~1 MB of text right back to one
-    partition — size-based coalescing is wrong when the cost is
-    downstream CPU per row, not bytes."""
-    n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    d = d.repartition(n, "doc_id")
+    text bytes (see sources/io.py::spread)."""
+    d = spread(d, "doc_id")
     t = tokens(F.col("text"))
     five = F.when(
         F.size("t") >= 5,

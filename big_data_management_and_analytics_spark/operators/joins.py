@@ -23,7 +23,7 @@ from big_data_management_and_analytics_spark.plans.determinism import (
     money_sum_fast,
 )
 from big_data_management_and_analytics_spark.plans.registry import register
-from big_data_management_and_analytics_spark.sources.io import load
+from big_data_management_and_analytics_spark.sources.io import load, spread
 
 
 @register(
@@ -673,17 +673,23 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     # Deletion variants in SQL (substring needs expression offsets).
-    cand = c.select(
-        "c_custkey",
-        "c_name",
-        F.explode(
-            F.expr(
-                "array_union(array(c_name), transform("
-                "sequence(1, length(c_name)), i -> concat("
-                "substring(c_name, 1, i - 1), "
-                "substring(c_name, i + 1, length(c_name) - i))))"
-            )
-        ).alias("k"),
+    # spread + explode_outer: keep variant generation off the single-file
+    # scan task and out of the inferred size>0 pushdown (io.py::spread).
+    cand = (
+        spread(c, "c_custkey")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.explode_outer(
+                F.expr(
+                    "array_union(array(c_name), transform("
+                    "sequence(1, length(c_name)), i -> concat("
+                    "substring(c_name, 1, i - 1), "
+                    "substring(c_name, i + 1, length(c_name) - i))))"
+                )
+            ).alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
     )
     a, b = cand.alias("a"), cand.alias("b")
     pairs = (

@@ -182,3 +182,17 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register every fixture table as a temp view (SQL entry point)."""
     for t in tables:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit-count keyed repartition ahead of CPU-heavy row expressions.
+
+    A single-file fixture scan is one input partition, so tokenize/
+    shingle/hash expressions would otherwise run in one task regardless
+    of cluster width. The count is explicit because AQE's size-based
+    coalescing folds a few MB of text right back to one partition —
+    correct for shuffle bytes, wrong when the cost is downstream CPU per
+    row. At production scale the file count already provides parallelism
+    and this becomes a cheap row-spread of raw columns."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)
