@@ -540,3 +540,64 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("island_start"),
         F.max("ts").alias("island_end"),
     )
+
+
+@register(
+    "win_funnel_steps",
+    "E",
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END)
+                       AS first_click
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT e.user_id, MIN(e.ts) AS first_purchase
+            FROM events e JOIN f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= f.first_click
+            GROUP BY e.user_id
+        )
+        SELECT f.user_id, f.first_click, c.first_purchase,
+               CAST(date_diff('microsecond', f.first_click, c.first_purchase)
+                    AS BIGINT) AS conv_us
+        FROM f LEFT JOIN conv c ON f.user_id = c.user_id
+        WHERE f.first_click IS NOT NULL
+    """,
+    doc=(
+        "Funnel analysis: per user, the first click and the first purchase "
+        "AT OR AFTER it, with conversion latency — the standard two-step "
+        "conversion query. One user_id shuffle total: a running min-click "
+        "window marks each row's earliest prior click (clicks sort before "
+        "other types at equal ts, matching the oracle's inclusive >=), so "
+        "the conditional purchase-min in the same-keyed groupBy needs no "
+        "self-join; window and aggregate reuse one partitioning. The "
+        "oracle's formulation re-joins events against first clicks."
+    ),
+)
+def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    flagged = ev.withColumn(
+        "click_so_far", F.min(F.when(is_click, F.col("ts"))).over(w)
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.min(F.when(is_click, F.col("ts"))).alias("first_click"),
+        F.min(
+            F.when(is_purchase & F.col("click_so_far").isNotNull(), F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    return per_user.filter(F.col("first_click").isNotNull()).select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        (F.unix_micros("first_purchase") - F.unix_micros("first_click")).alias(
+            "conv_us"
+        ),
+    )
