@@ -175,6 +175,14 @@ def test_full_tpch_composites_plan_shape(spark, registry):
         )
 
 
+def test_topk_per_group_uses_window_group_limit(spark, registry):
+    """rank()-then-filter top-k must engage Spark's WindowGroupLimit
+    rewrite (per-partition partial top-k before the shuffle), not rank
+    every row — the difference between O(k) and O(group) state at scale."""
+    plan = _plan(registry["win_topk_per_group"].fn(spark, SF_T2))
+    assert "WindowGroupLimit" in plan
+
+
 def test_asof_nearest_single_shuffle_no_join(spark, registry):
     """join_asof_nearest claims both directional windows share one
     user_id shuffle and there is no join operator at all."""
