@@ -46,6 +46,12 @@ SENSITIVE = [
     "tpch_q11_stockvalue", # integral threshold vs broadcast total
     "tpch_q21_waiting",    # per-order distinct-count decorrelation
     "tpch_q22_opportunity",# exact global-avg scalar + anti-join
+    # round-2 session additions
+    "win_funnel_steps",    # running min-click window + conditional agg
+    "join_fuzzy_editdist", # deletion-bucket candidates + dedup + residual
+    "join_asof_nearest",   # two directional windows, closed-form pick
+    "llm_dedup_shingle",   # spread + explode_outer restructure
+    "llm_text_ngram",      # spread + explode_outer restructure
 ]
 
 
