@@ -216,3 +216,76 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "c_name", "c_acctbal"
     )
     return survivors.unionByName(upserts)
+
+
+@register(
+    "cdc_incremental_agg",
+    "G",
+    oracle="""
+        WITH applied AS (
+            SELECT o_orderpriority,
+                   CASE WHEN o_orderkey % 100 = 1 THEN o_totalprice + 50
+                        ELSE o_totalprice END AS price
+            FROM orders
+            WHERE o_orderkey % 100 <> 0
+            UNION ALL
+            SELECT o_orderpriority, 100.0 AS price
+            FROM orders WHERE o_orderkey % 100 = 2
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM applied
+        GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Incremental materialized-view maintenance: a per-priority "
+        "count/sum view is maintained from a derived I/U/D changelog "
+        "(okey%100: 0=delete, 1=update price+50, 2=insert a $100 order) "
+        "by aggregating SIGNED deltas (-1/-old for D, +diff for U, "
+        "+1/+new for I) and merging them into the stored view with one "
+        "same-key union+re-aggregate — the base is NOT rescanned. The "
+        "oracle applies the changelog row-wise and recomputes from "
+        "scratch, proving delta maintenance ≡ full recompute. All money "
+        "in integer cents; at 100 TB the delta side is the day's "
+        "changelog while the base aggregate is O(groups)."
+    ),
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    # The stored view (in production: read back, not recomputed).
+    base = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum(cents("o_totalprice")).alias("dc"),
+    )
+    mod = F.col("o_orderkey") % 100
+    # Signed per-row deltas straight off the changelog.
+    deltas = o.filter(mod.isin(0, 1, 2)).select(
+        "o_orderpriority",
+        F.when(mod == 0, F.lit(-1)).when(mod == 1, F.lit(0)).otherwise(1).alias(
+            "dn"
+        ),
+        F.when(mod == 0, -cents("o_totalprice"))
+        .when(mod == 1, F.lit(5000))
+        .otherwise(F.lit(10000))
+        .cast("long")
+        .alias("dc"),
+    )
+    delta_agg = deltas.groupBy("o_orderpriority").agg(
+        F.sum("dn").alias("dn"), F.sum("dc").alias("dc")
+    )
+    return (
+        base.unionByName(delta_agg)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dc").alias("c"))
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            (F.col("c") / 100.0).cast("double").alias("total_price"),
+        )
+    )

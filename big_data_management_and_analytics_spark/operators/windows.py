@@ -601,3 +601,90 @@ def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_us"
         ),
     )
+
+
+@register(
+    "win_interpolate",
+    "E",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+            FROM events WHERE event_type = 'view'
+        ),
+        f AS (
+            SELECT user_id, ts, event_id, v,
+                   last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+                       OVER w_prev AS pt,
+                   last_value(v IGNORE NULLS) OVER w_prev AS pv,
+                   first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+                       OVER w_next AS nt,
+                   first_value(v IGNORE NULLS) OVER w_next AS nv
+            FROM s
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, ts, event_id,
+               ROUND(CASE WHEN v IS NOT NULL THEN v
+                          WHEN pv IS NULL THEN nv
+                          WHEN nv IS NULL THEN pv
+                          WHEN pt = nt THEN pv
+                          ELSE pv + (nv - pv)
+                               * (CAST(date_diff('microsecond', pt, ts) AS DOUBLE)
+                                  / CAST(date_diff('microsecond', pt, nt) AS DOUBLE))
+                     END, 6) AS v_filled
+        FROM f
+    """,
+    doc=(
+        "Time-weighted linear interpolation of missing samples (every "
+        "5th view's value nulled): two directional windows over one "
+        "user_id shuffle carry the flanking (ts, value) anchors, then a "
+        "closed-form lerp weighted by microsecond offsets fills the gap "
+        "(edges forward/back-fill; identical expression order on both "
+        "engines keeps the doubles bit-equal, rounded 6 as the spec). "
+        "The standard sensor-series gap-fill — beyond win_fill_forward's "
+        "step function."
+    ),
+)
+def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    not_null_ts = F.when(F.col("v").isNotNull(), F.col("ts"))
+    f = (
+        s.withColumn("pt", F.last(not_null_ts, ignorenulls=True).over(w_prev))
+        .withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("nt", F.first(not_null_ts, ignorenulls=True).over(w_next))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+    )
+    frac = (F.unix_micros("ts") - F.unix_micros("pt")).cast("double") / (
+        F.unix_micros("nt") - F.unix_micros("pt")
+    ).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("pt") == F.col("nt"), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return f.select(
+        "user_id", "ts", "event_id", F.round(filled, 6).alias("v_filled")
+    )
