@@ -688,3 +688,63 @@ def win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "user_id", "ts", "event_id", F.round(filled, 6).alias("v_filled")
     )
+
+
+@register(
+    "win_ohlc_resample",
+    "E",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, date_trunc('minute', ts) AS minute, ts, event_id,
+                   value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id, minute
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id, minute
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM v
+        )
+        SELECT user_id, minute,
+               MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n_ticks
+        FROM r
+        GROUP BY user_id, minute
+    """,
+    doc=(
+        "Time-series resampling to 1-minute OHLC bars per user: open and "
+        "close via min_by/max_by on a (ts, event_id) struct key (total "
+        "order — ties cannot flip the answer), high/low/count in the same "
+        "single-shuffle aggregate over the tumbling window. The oracle "
+        "pays two ranking windows + an aggregate for the same bars; "
+        "min_by/max_by keep it one hash aggregate, partial-aggregated "
+        "map-side — the shape that survives a billion ticks per key."
+    ),
+)
+def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id", F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("minute"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )
