@@ -239,3 +239,49 @@ def str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask(F.col("c_name")).alias("name_masked"),
         F.expr("mask(c_name, NULL, NULL, '*')").alias("digits_starred"),
     )
+
+
+@register(
+    "str_collation",
+    "H",
+    oracle="""
+        WITH mixed AS (
+            SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                        ELSE p_name END AS name
+            FROM part
+        )
+        SELECT lower(name) AS name_ci,
+               COUNT(*) AS n,
+               MIN(name) AS min_cased
+        FROM mixed
+        GROUP BY lower(name)
+    """,
+    doc=(
+        "Spark 4 collation-aware grouping: half the part names uppercased, "
+        "then grouped under the UTF8_LCASE collation — the engine-level "
+        "form of case-insensitive semantics (comparisons, joins and aggs "
+        "all honor the collated type, no per-row lower() rewrite needed). "
+        "Output keys are canonicalized with lower() so the hash compare "
+        "is representative-independent; the oracle expresses the same "
+        "grouping with lower()."
+    ),
+)
+def str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name"))
+        .otherwise(F.col("p_name"))
+        .alias("name")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("name"), "UTF8_LCASE").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("name").alias("min_cased"))
+        .select(
+            # Canonical, binary-collated output key (collated strings keep
+            # their collation through lower(); cast back for a stable wire
+            # representation).
+            F.lower(F.col("k")).cast("string").alias("name_ci"),
+            "n",
+            "min_cased",
+        )
+    )

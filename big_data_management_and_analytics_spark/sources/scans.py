@@ -525,3 +525,32 @@ def xml_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.n_regionkey").alias("n_regionkey"),
         F.lit(True).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "sql_parameterized",
+    "A",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > 50000
+        GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Parameterized SQL (spark.sql named-parameter binding): the "
+        ":min_price marker binds server-side — injection-safe and "
+        "plan-cache friendly — and resolves to the same plan as the "
+        "literal formulation the oracle runs."
+    ),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 50000},
+    )
