@@ -285,3 +285,52 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", to_cents(F.col("o_totalprice")).alias("price_cents")
     )
+
+
+@register(
+    "udtf_analyze",
+    "J",
+    oracle="""
+        SELECT p_partkey,
+               substr(p_name, 1, 4) AS c0,
+               substr(p_name, 5, 4) AS c1,
+               substr(p_name, 9, 4) AS c2
+        FROM part
+    """,
+    doc=(
+        "Polymorphic Python UDTF (Spark 4): the output schema is computed "
+        "at plan time by a static analyze() from the literal n_cols "
+        "argument — call it with 3 and the UDTF emits columns c0..c2, "
+        "with 5 it would emit c0..c4, no code change. The oracle "
+        "replicates the 3-column fixed-width slicing with substr."
+    ),
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SliceName:
+        @staticmethod
+        def analyze(name: AnalyzeArgument, n_cols: AnalyzeArgument) -> AnalyzeResult:
+            n = n_cols.value
+            return AnalyzeResult(
+                schema=T.StructType(
+                    [T.StructField(f"c{i}", T.StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, name: str, n_cols: int):
+            if name is None:
+                yield tuple("" for _ in range(n_cols))
+                return
+            yield tuple(name[4 * i : 4 * i + 4] for i in range(n_cols))
+
+    spark.udtf.register("slice_name", SliceName)
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    p.createOrReplaceTempView("part_slice_v")
+    return spark.sql(
+        """
+        SELECT v.p_partkey, s.c0, s.c1, s.c2
+        FROM part_slice_v v, LATERAL slice_name(p_name, 3) AS s
+        """
+    )
