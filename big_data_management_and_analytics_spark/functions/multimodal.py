@@ -33,34 +33,40 @@ from big_data_management_and_analytics_spark.sources.io import load
 PGM_WIDTH = 32
 
 
+def parse_pgm(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Parse one binary PGM (P5): returns (width, height, maxval, raster)
+    with raster shaped (height, width); malformed payloads raise
+    ValueError (fail loud — a silent default poisons training data)."""
+    if not b.startswith(b"P5"):
+        raise ValueError(f"not a binary PGM payload: {b[:16]!r}")
+    # Header: P5 <ws> width <ws> height <ws> maxval <single ws> raster
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while b[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(b[start:pos])
+    pos += 1  # the single whitespace byte that terminates the header
+    w, h, maxval = (int(f) for f in fields)
+    raster = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=pos)
+    if raster.size != w * h:
+        raise ValueError(f"PGM raster truncated: {raster.size} != {w}x{h}")
+    return w, h, maxval, raster.reshape(h, w)
+
+
 def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     """Pure-Python binary PGM (P5) decoder.
 
-    Parses the Netpbm header (magic, width, height, maxval — whitespace
-    separated ASCII) and computes pixel statistics from the raster bytes.
-    Returns a DataFrame with columns (width:int32, height:int32,
-    mean_luma:float64) aligned to the input index; malformed payloads
-    raise ValueError (fail loud — a silent default poisons training data).
+    Parses the Netpbm header and computes pixel statistics from the
+    raster bytes. Returns a DataFrame with columns (width:int32,
+    height:int32, mean_luma:float64) aligned to the input index.
     """
     widths, heights, lumas = [], [], []
     for b in payloads:
-        if not b.startswith(b"P5"):
-            raise ValueError(f"not a binary PGM payload: {b[:16]!r}")
-        # Header: P5 <ws> width <ws> height <ws> maxval <single ws> raster
-        fields: list[bytes] = []
-        pos = 2
-        while len(fields) < 3:
-            while b[pos : pos + 1].isspace():
-                pos += 1
-            start = pos
-            while not b[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(b[start:pos])
-        pos += 1  # the single whitespace byte that terminates the header
-        w, h, maxval = (int(f) for f in fields)
-        raster = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=pos)
-        if raster.size != w * h:
-            raise ValueError(f"PGM raster truncated: {raster.size} != {w}x{h}")
+        w, h, maxval, raster = parse_pgm(b)
         widths.append(w)
         heights.append(h)
         lumas.append(round(float(raster.mean()) / maxval, 6))
@@ -265,3 +271,69 @@ def mm_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("area").alias("total_pixels"),
         )
     )
+
+
+RESIZE_W = RESIZE_H = 8
+
+
+def resize_image_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Nearest-neighbor downscale of binary PGM payloads to 8×8, re-encoded
+    as valid PGM. Deterministic integer index map (i*src)//dst — the same
+    pixels regardless of partitioning or platform."""
+    outs, means = [], []
+    for b in payloads:
+        w, h, maxval, raster = parse_pgm(b)
+        ys = (np.arange(RESIZE_H) * h) // RESIZE_H
+        xs = (np.arange(RESIZE_W) * w) // RESIZE_W
+        small = raster[np.ix_(ys, xs)]
+        outs.append(b"P5\n%d %d\n%d\n" % (RESIZE_W, RESIZE_H, maxval) + small.tobytes())
+        means.append(round(float(small.mean()) / maxval, 6))
+    return pd.DataFrame(
+        {"payload_small": outs, "mean_luma_small": means}, index=payloads.index
+    )
+
+
+@register(
+    "mm_resize",
+    "K",
+    doc=(
+        "Multimodal resize pipeline (mandate: decode / feature-extract / "
+        "RESIZE / frame-sample): each PGM payload is decoded, downscaled "
+        "to 8×8 by deterministic nearest-neighbor indexing ((i*src)//dst "
+        "— partition- and platform-invariant), and re-encoded as a valid "
+        "PGM binary with its resized luma. Map-only mapInPandas, no "
+        "shuffle; swapping in a real interpolating resampler (PIL/cv2) "
+        "changes one function body. Rows-tier: tests re-derive every "
+        "resized raster from the original bytes with numpy and require "
+        "byte equality."
+    ),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_table(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("byte_len_orig", T.IntegerType()),
+            T.StructField("payload_small", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_luma_small", T.DoubleType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            small = resize_image_batch(pdf["payload"])
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len_orig": pdf["byte_len"].astype("int32"),
+                    "payload_small": small["payload_small"],
+                    "width": pd.array([RESIZE_W] * len(pdf), dtype="int32"),
+                    "height": pd.array([RESIZE_H] * len(pdf), dtype="int32"),
+                    "mean_luma_small": small["mean_luma_small"],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(resize, out_schema)

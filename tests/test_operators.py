@@ -456,3 +456,30 @@ def test_bloom_contamination_has_no_false_negatives(spark, registry):
     assert len(b - e) <= max(5, len(exact) // 100), f"{len(b - e)} FP docs"
     m = exact.merge(bloom, on="doc_id")
     assert (m.n_flagged_grams >= m.n_shared_grams).all()
+
+
+def test_resize_matches_numpy_reference(spark, registry):
+    """mm_resize's 8x8 payloads must equal a from-scratch numpy
+    nearest-neighbor re-derivation from the ORIGINAL payload bytes, and
+    every output must itself be a valid PGM."""
+    import numpy as np
+
+    from big_data_management_and_analytics_spark.functions import multimodal
+    from tests.conftest import SF_SMALL
+
+    orig = {
+        r.doc_id: bytes(r.payload)
+        for r in multimodal._media_table(spark, SF_SMALL).collect()
+    }
+    out = registry["mm_resize"].fn(spark, SF_SMALL).collect()
+    assert len(out) == len(orig)
+    for r in out[:100]:
+        w, h, maxval, raster = multimodal.parse_pgm(orig[r.doc_id])
+        ys = (np.arange(multimodal.RESIZE_H) * h) // multimodal.RESIZE_H
+        xs = (np.arange(multimodal.RESIZE_W) * w) // multimodal.RESIZE_W
+        small = raster[np.ix_(ys, xs)]
+        expect = b"P5\n8 8\n%d\n" % maxval + small.tobytes()
+        assert bytes(r.payload_small) == expect
+        rw, rh, _, rr = multimodal.parse_pgm(bytes(r.payload_small))
+        assert (rw, rh) == (8, 8) and rr.shape == (8, 8)
+        assert r.mean_luma_small == round(float(small.mean()) / maxval, 6)
