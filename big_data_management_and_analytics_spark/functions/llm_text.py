@@ -1012,3 +1012,58 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dirty, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+@register(
+    "llm_corpus_temperature",
+    "K",
+    oracle=f"""
+        WITH per_lang AS (
+            SELECT lang,
+                   CAST(SUM(len({SQL_TOKENS.format(col='text')})) AS BIGINT)
+                       AS n_tokens
+            FROM documents
+            GROUP BY lang
+        ),
+        shares AS (
+            SELECT lang, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share
+            FROM per_lang
+        )
+        SELECT lang, n_tokens,
+               ROUND(share, 6) AS token_share,
+               ROUND(POW(share, 0.7) / SUM(POW(share, 0.7)) OVER (), 6)
+                   AS sample_prob,
+               ROUND((POW(share, 0.7) / SUM(POW(share, 0.7)) OVER ()) / share,
+                     6) AS resample_weight
+        FROM shares
+    """,
+    doc=(
+        "Temperature-based corpus mixing (the multilingual-LM recipe: "
+        "sampling probability ∝ share^α, here α = 0.7 — up-weights tail "
+        "languages without flattening to uniform). Exact integer token "
+        "sums; one groupBy plus a window over the O(languages) group "
+        "table; per-document weights then join back broadcast. "
+        "Generalizes llm_corpus_mix's uniform target to any exponent."
+    ),
+)
+def llm_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_lang = (
+        spread(d, "doc_id")
+        .select("lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    shares = per_lang.select("lang", "n_tokens", share.alias("share"))
+    powed = F.pow(F.col("share"), 0.7)
+    prob = powed / F.sum(powed).over(w)
+    return shares.select(
+        "lang",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(prob, 6).alias("sample_prob"),
+        F.round(prob / F.col("share"), 6).alias("resample_weight"),
+    )
