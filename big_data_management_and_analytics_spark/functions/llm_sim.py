@@ -564,3 +564,73 @@ def llm_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("cos_own"), 4).alias("mean_cos_to_centroid"),
         )
     )
+
+
+# Index directories from the last llm_index_persist call; dropped on the
+# next call (the returned DataFrame lazily reads this run's files, so they
+# must outlive the return — same discipline as sink_bucketed_join).
+_PREV_INDEX_DIRS: list[str] = []
+
+
+@register(
+    "llm_index_persist",
+    "K",
+    doc=(
+        "IVF index persistence — build once, serve many: the k-means "
+        "assignment table is WRITTEN partitioned by cell (plus a "
+        "centroids side table), then the query path reads the index back "
+        "and probes 3 cells per query through the cell equi-join, never "
+        "touching un-probed partitions (directory-level pruning at scan "
+        "time; at 100 TB each cell is a file group and a query scans "
+        "n_probe/k of the corpus). Same centroids and probe discipline "
+        "as llm_sim_knn_ivf — tests assert the served top-5 equals the "
+        "in-memory IVF exactly. Rows-tier (k-means not SQL-expressible)."
+    ),
+)
+def llm_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    for d in _PREV_INDEX_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _PREV_INDEX_DIRS.clear()
+    base = tempfile.mkdtemp(prefix="bdma_ivf_idx_")
+    _PREV_INDEX_DIRS.append(base)
+
+    v = _vecs(spark, sf_dir).select("vec_id", "emb")
+    cent = _kmeans_centroids(v, k=8, iters=3)
+
+    # Build: assignments partitioned by cell + centroid side table.
+    (
+        v.select(_nearest_cell_udf(cent)(F.col("emb")).alias("cell"), "vec_id", "emb")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{base}/assignments")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cent)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{base}/centroids")
+
+    # Serve: read the persisted index; only probed cells' partitions scan.
+    idx = spark.read.parquet(f"{base}/assignments")
+    q = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.explode(_top_cells_udf(cent, 3)(F.col("emb"))).alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(idx, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_batch(F.col("q_emb"), F.col("emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )

@@ -483,3 +483,15 @@ def test_resize_matches_numpy_reference(spark, registry):
         rw, rh, _, rr = multimodal.parse_pgm(bytes(r.payload_small))
         assert (rw, rh) == (8, 8) and rr.shape == (8, 8)
         assert r.mean_luma_small == round(float(small.mean()) / maxval, 6)
+
+
+def test_persisted_ivf_serves_identical_results(spark, registry):
+    """llm_index_persist (build → write partitioned index → read → serve)
+    must return exactly llm_sim_knn_ivf's top-5 — persistence cannot
+    change the math."""
+    from tests.conftest import SF_T2
+
+    served = registry["llm_index_persist"].fn(spark, SF_T2)
+    direct = registry["llm_sim_knn_ivf"].fn(spark, SF_T2)
+    assert served.exceptAll(direct).count() == 0
+    assert direct.exceptAll(served).count() == 0
