@@ -337,3 +337,99 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return media.mapInPandas(resize, out_schema)
+
+
+def parse_pcm(b: bytes) -> tuple[int, np.ndarray]:
+    """Parse the fixture's PCM16 payload: 8-byte ASCII header 'PCM16 ' +
+    sample-rate digits + '\\n', then little-endian int16 samples."""
+    if not b.startswith(b"PCM16 "):
+        raise ValueError(f"not a PCM16 payload: {b[:16]!r}")
+    nl = b.index(b"\n")
+    rate = int(b[6:nl])
+    samples = np.frombuffer(b, dtype="<i2", offset=nl + 1)
+    return rate, samples
+
+
+def audio_features_batch(payloads: pd.Series) -> pd.DataFrame:
+    """RMS energy (normalized to int16 full scale) and zero-crossing rate
+    — the two classic cheap audio-quality features."""
+    rates, n_samples, rms, zcr = [], [], [], []
+    for b in payloads:
+        rate, s = parse_pcm(b)
+        x = s.astype(np.float64) / 32768.0
+        rates.append(rate)
+        n_samples.append(len(s))
+        rms.append(round(float(np.sqrt(np.mean(x * x))), 6) if len(s) else 0.0)
+        signs = np.signbit(x)
+        zcr.append(
+            round(float(np.mean(signs[1:] != signs[:-1])), 6) if len(s) > 1 else 0.0
+        )
+    return pd.DataFrame(
+        {
+            "sample_rate": pd.array(rates, dtype="int32"),
+            "n_samples": pd.array(n_samples, dtype="int32"),
+            "rms": rms,
+            "zcr": zcr,
+        },
+        index=payloads.index,
+    )
+
+
+def _audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-cast as an audio table: each text's bytes become
+    little-endian int16 samples under a 'PCM16 <rate>\\n' header — all
+    JVM-side binary concat, like the PGM encoder. Odd byte counts drop
+    the trailing byte (int16 alignment)."""
+    d = load(spark, sf_dir, "documents")
+    pix = F.encode("text", "UTF-8")
+    n = F.octet_length(pix)
+    even = (n - (n % 2)).cast("int")
+    payload = F.concat(
+        F.encode(F.lit("PCM16 16000\n"), "UTF-8"),
+        F.expr("substring(encode(text, 'UTF-8'), 1, "
+               "CAST(octet_length(encode(text, 'UTF-8'))"
+               " - octet_length(encode(text, 'UTF-8')) % 2 AS INT))"),
+    )
+    return d.filter(even > 0).select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("audio/x-pcm16").alias("media_type"),
+        F.octet_length(payload).alias("byte_len"),
+    )
+
+
+@register(
+    "mm_audio_features",
+    "K",
+    doc=(
+        "Audio-modality pipeline: PCM16 payloads (JVM-side binary encode "
+        "with an ASCII rate header) decoded in Arrow-batched mapInPandas "
+        "by a pure-numpy parser into RMS energy and zero-crossing rate — "
+        "the cheap audio-quality filters of a speech-data pipeline. "
+        "Map-only, no shuffle; swapping in a real codec (wav/flac via "
+        "soundfile) changes one function body, as with the image path. "
+        "Rows-tier: tests re-derive features from the raw bytes with an "
+        "independent numpy path and require exact equality."
+    ),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audio = _audio_table(spark, sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            f = audio_features_batch(pdf["payload"])
+            out = pdf[["doc_id", "media_type"]].copy()
+            out[["sample_rate", "n_samples", "rms", "zcr"]] = f
+            yield out
+
+    return audio.mapInPandas(feats, out_schema)

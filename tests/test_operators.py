@@ -495,3 +495,28 @@ def test_persisted_ivf_serves_identical_results(spark, registry):
     direct = registry["llm_sim_knn_ivf"].fn(spark, SF_T2)
     assert served.exceptAll(direct).count() == 0
     assert direct.exceptAll(served).count() == 0
+
+
+def test_audio_features_match_numpy_reference(spark, registry):
+    """mm_audio_features must equal an independent numpy re-derivation
+    from the raw payload bytes (RMS + zero-crossing rate, exact)."""
+    import numpy as np
+
+    from big_data_management_and_analytics_spark.functions import multimodal
+    from tests.conftest import SF_SMALL
+
+    orig = {
+        r.doc_id: bytes(r.payload)
+        for r in multimodal._audio_table(spark, SF_SMALL).collect()
+    }
+    out = registry["mm_audio_features"].fn(spark, SF_SMALL).collect()
+    assert len(out) == len(orig) > 0
+    for r in out[:100]:
+        b = orig[r.doc_id]
+        assert b.startswith(b"PCM16 16000\n")
+        s = np.frombuffer(b, dtype="<i2", offset=b.index(b"\n") + 1)
+        x = s.astype(np.float64) / 32768.0
+        assert r.sample_rate == 16000 and r.n_samples == len(s)
+        assert r.rms == round(float(np.sqrt(np.mean(x * x))), 6)
+        signs = np.signbit(x)
+        assert r.zcr == round(float(np.mean(signs[1:] != signs[:-1])), 6)
