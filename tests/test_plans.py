@@ -175,6 +175,12 @@ def test_full_tpch_composites_plan_shape(spark, registry):
         )
 
 
+def test_zorder_layout_is_range_partitioned(spark, registry):
+    """part_zorder_layout claims repartitionByRange on the z-value."""
+    plan = _plan(registry["part_zorder_layout"].fn(spark, SF_T2))
+    assert "rangepartitioning(zval" in plan.lower(), plan[:800]
+
+
 def test_topk_per_group_uses_window_group_limit(spark, registry):
     """rank()-then-filter top-k must engage Spark's WindowGroupLimit
     rewrite (per-partition partial top-k before the shuffle), not rank
