@@ -33,6 +33,7 @@ def load_all() -> None:
         setops,
         composite,
         composite_full,
+        graph,
     )
     from big_data_management_and_analytics_spark.functions import (  # noqa: F401
         strings,

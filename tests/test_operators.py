@@ -520,3 +520,19 @@ def test_audio_features_match_numpy_reference(spark, registry):
         assert r.rms == round(float(np.sqrt(np.mean(x * x))), 6)
         signs = np.signbit(x)
         assert r.zcr == round(float(np.mean(signs[1:] != signs[:-1])), 6)
+
+
+def test_pagerank_conserves_mass_and_ranks_degree(spark, registry):
+    """Decimal-exact PageRank: total rank mass stays 1 (to rounding), all
+    ranks positive, and the highest-degree node out-ranks the median."""
+    from tests.conftest import SF_T2
+
+    rows = registry["graph_pagerank"].fn(spark, SF_T2).collect()
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    assert all(r.pagerank > 0 for r in rows)
+    supp = sorted(r.pagerank for r in rows if r.node_type == "supplier")
+    cust = sorted(r.pagerank for r in rows if r.node_type == "customer")
+    # 100 suppliers absorb the mass of ~1500 customers: any supplier
+    # should out-rank the median customer.
+    assert supp[0] > cust[len(cust) // 2]
