@@ -554,3 +554,79 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 50000},
     )
+
+
+# Snapshot dirs from the last sink_table_versions call (next call drops
+# them; the returned DataFrame lazily reads this run's snapshots).
+_PREV_VERSION_DIRS: list[str] = []
+
+
+@register(
+    "sink_table_versions",
+    "A",
+    oracle="""
+        WITH v2 AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100
+                        ELSE c_acctbal END AS c_acctbal
+            FROM customer
+            WHERE NOT (c_custkey % 10 = 0)
+        )
+        SELECT 1 AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_acctbal
+        FROM customer
+        UNION ALL
+        SELECT 2 AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_acctbal
+        FROM v2
+        ORDER BY version
+    """,
+    doc=(
+        "Snapshot versioning with as-of reads (time travel without a "
+        "transactional table format): v1 = the customer base written as "
+        "a full parquet snapshot; a derived changelog (okey%10: 0=delete, "
+        "1=update +100) applies onto it and the result is written as the "
+        "v2 snapshot in a sibling directory. Both versions are then read "
+        "BACK FROM DISK and summarized — per-version row count and exact "
+        "cents balance, hash-verified against an oracle that derives "
+        "both versions from the fixture. The version-directory layout is "
+        "Delta/Iceberg's reader view flattened to plain parquet: readers "
+        "pin a snapshot path, writers only ever add directories."
+    ),
+)
+def sink_table_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    for d in _PREV_VERSION_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _PREV_VERSION_DIRS.clear()
+    base = _roundtrip_dir("bdma_versions_")
+    _PREV_VERSION_DIRS.append(base)
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    c.write.mode("overwrite").parquet(f"{base}/v=1")
+
+    v1 = spark.read.parquet(f"{base}/v=1")
+    v2 = v1.filter((F.col("c_custkey") % 10) != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when((F.col("c_custkey") % 10) == 1, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    v2.write.mode("overwrite").parquet(f"{base}/v=2")
+
+    def summarize(version: int) -> DataFrame:
+        snap = spark.read.parquet(f"{base}/v={version}")
+        return snap.agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(cents("c_acctbal")) / 100.0).cast("double").alias(
+                "total_acctbal"
+            ),
+        )
+    return summarize(1).unionByName(summarize(2)).orderBy("version")
