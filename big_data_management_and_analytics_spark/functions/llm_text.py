@@ -33,7 +33,9 @@ from big_data_management_and_analytics_spark.sources.io import load, spread
 def llm_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        spread(d, "doc_id")
+        .select(F.explode_outer(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("word").asc())
@@ -74,7 +76,11 @@ def llm_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    words = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df derives from tf (distinct (doc,term) already materialized) — avoids
     # a second tokenize+explode scan of the corpus.
@@ -937,7 +943,11 @@ def llm_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-materialization discipline as llm_text_tfidf) — the exploded
     # corpus is shuffled once and the exchange is runtime-reused, instead
     # of re-tokenizing the corpus per branch.
-    occ = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    occ = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
     tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))

@@ -10,7 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from big_data_management_and_analytics_spark.plans.registry import register
-from big_data_management_and_analytics_spark.sources.io import load
+from big_data_management_and_analytics_spark.sources.io import load, spread
 
 # THE canonical tokenizer for every text operator (SURVEY.md §7 M5: one
 # regex, one lowercase rule, used identically in Spark and oracle SQL).
@@ -68,7 +68,13 @@ def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    # spread + explode_outer: see sources/io.py::spread — keeps tokenize
+    # off the single-file scan task and out of the inferred size>0 filter.
+    return (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").isNotNull())
+    )
 
 
 @register(
