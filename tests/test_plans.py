@@ -175,6 +175,38 @@ def test_full_tpch_composites_plan_shape(spark, registry):
         )
 
 
+def test_runtime_bloom_filter_engages(spark):
+    """Under join_runtime_bloom's conf overrides, Catalyst must inject a
+    bloom might_contain onto the fact-side scan of a selective join."""
+    import pyspark.sql.functions as F
+
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        o = (
+            load(spark, SF_T2, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = load(spark, SF_T2, "lineitem").select("l_orderkey", "l_extendedprice")
+        plan = _plan(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "might_contain" in plan or "bloomfilter" in plan.lower(), plan[:600]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_zorder_layout_is_range_partitioned(spark, registry):
     """part_zorder_layout claims repartitionByRange on the z-value."""
     plan = _plan(registry["part_zorder_layout"].fn(spark, SF_T2))
