@@ -39,8 +39,10 @@ SCALE = 1_000_000_000_000_000  # 1e15
         "exact, so ranks are partition-invariant where double "
         "accumulation would drift (floor loss only ever SHRINKS mass, "
         "bounded by edges·10^-15 per pass — asserted in tests). Per "
-        "iteration one join rank⋈edges + one dst groupBy; the edge table "
-        "is cached once and superseded rank tables unpersist immediately "
+        "iteration ONE join rank⋈edges + one dst groupBy — the degree is "
+        "folded into the edge table before the loop and the edges cached "
+        "pre-partitioned on the join key, so each pass shuffles only the "
+        "small rank table; superseded rank tables unpersist immediately "
         "(bounded executor storage, as llm_dedup_components). Rows-tier: "
         "iterative ranking is not single-statement SQL; tests assert "
         "rank-mass conservation and supplier/customer rank separation."
@@ -58,12 +60,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .cache()
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # Fold the degree into the edge table ONCE (instead of a second join
+    # every iteration) and pin its partitioning on the join key so each
+    # pass shuffles only the small rank table, never the edges. Explicit
+    # count: AQE would coalesce the small fixture shuffle and the join
+    # would then re-partition both sides anyway.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edgew = (
+        edges.join(deg, "src")
+        .select("src", "dst", "out_deg")
+        .repartition(n_parts, "src")
+        .cache()
+    )
     nodes = deg.select("src")
     n_nodes = nodes.count()
     teleport_fp = (SCALE * 15 // 100) // n_nodes  # (1-α)/n at fixed point
@@ -73,10 +85,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     ranks.count()
     for _ in range(10):
-        contribs = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
-            .select("dst", F.expr("rank_fp DIV out_deg").alias("w"))
+        contribs = edgew.join(ranks, "src").select(
+            "dst", F.expr("rank_fp DIV out_deg").alias("w")
         )
         new_ranks = (
             contribs.groupBy(F.col("dst").alias("src"))
@@ -92,7 +102,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_ranks.count()
         ranks.unpersist()
         ranks = new_ranks
-    edges.unpersist()
+    edgew.unpersist()
     is_supp = F.col("src") % 2 == 1
     return ranks.select(
         (F.col("src") / 2).cast("long").alias("node_id"),
