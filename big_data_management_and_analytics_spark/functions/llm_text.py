@@ -1077,3 +1077,45 @@ def llm_corpus_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 6).alias("sample_prob"),
         F.round(prob / F.col("share"), 6).alias("resample_weight"),
     )
+
+
+@register(
+    "llm_eval_split",
+    "K",
+    oracle="""
+        WITH tagged AS (
+            SELECT lang,
+                   CASE WHEN CAST(('0x' || substr(md5(text), 1, 2)) AS INT) < 250
+                        THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(text), 1, 2)) AS INT) < 253
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, lang, COUNT(*) AS n_docs
+        FROM tagged
+        GROUP BY split, lang
+        ORDER BY split, lang
+    """,
+    doc=(
+        "Deterministic train/val/test split: the first md5 byte of the "
+        "CONTENT routes each document (~97.7/1.2/1.2) — content-hashed, "
+        "not id-hashed, so exact duplicates land in the same split and "
+        "can never leak train→test; stable across engines, reruns, and "
+        "partitionings (md5 is bit-identical in Spark and DuckDB, which "
+        "the hash compare proves). Map-only tag + one small groupBy."
+    ),
+)
+def llm_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < 250, F.lit("train"))
+        .when(bucket < 253, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
