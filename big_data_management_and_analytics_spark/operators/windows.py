@@ -748,3 +748,79 @@ def win_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ticks",
         )
     )
+
+
+@register(
+    "win_anomaly_mad",
+    "E",
+    oracle="""
+        WITH med AS (
+            SELECT user_id, quantile_cont(value, 0.5) AS med
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        dev AS (
+            SELECT e.user_id,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+                   ANY_VALUE(m.med) AS med
+            FROM events e JOIN med m ON e.user_id = m.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.user_id
+        )
+        SELECT e.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(ANY_VALUE(d.med), 6) AS median_value,
+               ROUND(ANY_VALUE(d.mad), 6) AS mad,
+               CAST(SUM(CASE WHEN abs(e.value - d.med) > 3 * d.mad
+                             AND d.mad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM events e JOIN dev d ON e.user_id = d.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+        ORDER BY e.user_id
+    """,
+    doc=(
+        "Robust anomaly detection: per-user median and median-absolute-"
+        "deviation (the outlier-resistant z-score), flagging values more "
+        "than 3 MADs from the median. Two exact interpolated percentiles "
+        "per user (Spark percentile ≡ DuckDB quantile_cont, the parity "
+        "agg_percentile_exact establishes) + one re-join of the small "
+        "per-user stats — grouped medians shuffle once on user_id and "
+        "the stats table broadcasts back."
+    ),
+)
+def win_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    # Deviation projected first, then aggregated — percentile over a
+    # plain column keeps the aggregate codegen-friendly.
+    dev = (
+        ev.join(F.broadcast(med), "user_id")
+        .select("user_id", "med", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("percentile(adev, 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    flagged = (
+        ev.join(F.broadcast(dev), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+                    & (F.col("mad") > 0),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+    return flagged.orderBy("user_id")
