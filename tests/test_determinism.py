@@ -52,6 +52,12 @@ SENSITIVE = [
     "join_asof_nearest",   # two directional windows, closed-form pick
     "llm_dedup_shingle",   # spread + explode_outer restructure
     "llm_text_ngram",      # spread + explode_outer restructure
+    "win_interpolate",     # lerp doubles (identical expression order)
+    "win_ohlc_resample",   # min_by/max_by total-order key
+    "win_anomaly_mad",     # two interpolated percentiles per user
+    "cdc_incremental_agg", # signed cents deltas + same-key merge
+    "llm_eval_split",      # content-md5 routing
+    "part_zorder_layout",  # magic-mask morton codes
 ]
 
 
