@@ -824,3 +824,70 @@ def win_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return flagged.orderBy("user_id")
+
+
+@register(
+    "win_retention_cohorts",
+    "E",
+    oracle="""
+        WITH first_week AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+            FROM events
+        ),
+        cohort_size AS (
+            SELECT cohort_week, COUNT(*) AS n_users
+            FROM first_week GROUP BY cohort_week
+        )
+        SELECT f.cohort_week,
+               CAST((epoch(a.act_week) - epoch(f.cohort_week)) / 604800
+                    AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+               ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE)
+                     / ANY_VALUE(s.n_users), 6) AS retention
+        FROM activity a
+        JOIN first_week f ON a.user_id = f.user_id
+        JOIN cohort_size s ON f.cohort_week = s.cohort_week
+        GROUP BY f.cohort_week, week_offset
+        ORDER BY f.cohort_week, week_offset
+    """,
+    doc=(
+        "Cohort retention: users cohorted by first-activity week, "
+        "retention = share of the cohort active k weeks later. Both "
+        "engines truncate to ISO Monday weeks, so the week offset is an "
+        "exact integer division of epoch seconds. One user_id shuffle "
+        "builds first-activity and distinct-week activity together; the "
+        "O(weeks²) result joins the tiny cohort-size table broadcast. "
+        "The product-analytics staple on the engine's exact-arithmetic "
+        "terms."
+    ),
+)
+def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_week = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    cohort_size = first_week.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    offset = (
+        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return (
+        activity.join(first_week, "user_id")
+        .join(F.broadcast(cohort_size), "cohort_week")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.round(
+                F.countDistinct("user_id").cast("double") / F.first("n_users"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
