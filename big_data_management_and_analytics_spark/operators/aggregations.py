@@ -13,7 +13,7 @@ high-cardinality key to exercise the spillable sort-agg path.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_management_and_analytics_spark.plans.determinism import (
     DEC,
@@ -863,4 +863,52 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wsum.cast("double") / (tot * 100.0), 4).alias(
             "qty_weighted_avg_price"
         ),
+    )
+
+
+@register(
+    "agg_benford",
+    "D",
+    oracle="""
+        WITH digits AS (
+            SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                          1, 1) AS d
+            FROM orders WHERE o_totalprice >= 1
+        )
+        SELECT d AS leading_digit,
+               COUNT(*) AS n,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / SUM(COUNT(*)) OVER (), 6) AS observed,
+               ROUND(log10(1.0 + 1.0 / CAST(d AS INT)), 6) AS benford_expected
+        FROM digits
+        GROUP BY d
+        ORDER BY d
+    """,
+    doc=(
+        "Benford first-digit audit (fraud/quality analytics): leading "
+        "digit taken from the DECIMAL string rendering — no float log10 "
+        "of the value anywhere, so no boundary hazard at powers of ten — "
+        "counted against the Benford expectation log10(1 + 1/d). One "
+        "tiny groupBy + a 9-row window."
+    ),
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+    w = Window.partitionBy()
+    return (
+        o.select(d.alias("leading_digit"))
+        .groupBy("leading_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "leading_digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+                "observed"
+            ),
+            F.round(
+                F.log10(1.0 + 1.0 / F.col("leading_digit").cast("int")), 6
+            ).alias("benford_expected"),
+        )
+        .orderBy("leading_digit")
     )
