@@ -31,6 +31,9 @@ HEADLINE = [
     "llm_dedup_components",   # iterative min-label propagation (cache loop)
     "llm_embed_pca",          # Arrow partial-covariance + driver eigensolve
     "llm_dedup_near_exact",   # O(n²) exact Jaccard baseline (parallelized BNLJ)
+    "tpch_q9_profit",         # 5-way join, 3 broadcast dims, nation-year agg
+    "tpch_q21_waiting",       # decorrelated EXISTS pair (per-order agg reuse)
+    "llm_contamination_bloom",# bloom build + codegen probe (100 TB plan form)
 ]
 
 RUNS = 3
