@@ -912,3 +912,58 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leading_digit")
     )
+
+
+@register(
+    "agg_gini",
+    "D",
+    oracle="""
+        WITH pos AS (
+            SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+            FROM customer WHERE c_acctbal > 0
+        ),
+        ranked AS (
+            SELECT bal,
+                   ROW_NUMBER() OVER (ORDER BY bal, c_custkey) AS rn
+            FROM pos
+        )
+        SELECT ROUND(
+                   (2.0 * CAST(SUM(rn * bal) AS DOUBLE))
+                       / (COUNT(*) * CAST(SUM(bal) AS DOUBLE))
+                   - (COUNT(*) + 1.0) / COUNT(*),
+               6) AS gini
+        FROM ranked
+    """,
+    doc=(
+        "Gini concentration index of positive account balances — the "
+        "inequality audit of a spend distribution. The rank-weighted sum "
+        "uses the engine's two-pass global row_number (range partitions "
+        "+ broadcast offsets, no single-partition window) and exact "
+        "integer-cents products (rn·cents fits a long at any fixture "
+        "scale); one terminal double expression in the same operation "
+        "order as the oracle, rounded 6."
+    ),
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    pos = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    ranked = with_global_row_number(
+        pos, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], rn="rn"
+    )
+    agg = ranked.agg(
+        F.sum(F.col("rn") * cents("c_acctbal")).alias("srx_c"),
+        F.sum(cents("c_acctbal")).alias("sx_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    gini = (
+        (2.0 * (F.col("srx_c") / 100.0)) / (F.col("n") * (F.col("sx_c") / 100.0))
+        - (F.col("n") + 1.0) / F.col("n")
+    )
+    return agg.select(F.round(gini, 6).alias("gini"))
