@@ -7,13 +7,21 @@ order is the queue. To get every SURVEY §2 operator a driver-green row,
 reached a CORRECTNESS file enqueue first (SURVEY §2 oracle-tier ids ahead
 of extras, rows-tier last within the unverified block).
 
-Append each new round's CORRECTNESS keys below after the driver runs.
+The verified set is derived DYNAMICALLY at queries() time by globbing the
+``CORRECTNESS_r*.json`` files the driver writes next to
+``__spark_entry__.py`` and unioning their key sets — so each new round's
+green rows automatically drop out of the queue prefix with no manual
+bookkeeping (round-2 verdict item 1: the previous hardcoded frozenset
+would have made round 3 re-verify round 2's exact 50 ids).
 """
 
 from __future__ import annotations
 
-# Keys of CORRECTNESS_r01.json (driver round 1): 41 hash-verified +
-# 9 rows-only. All were enqueued first by original registration order.
+import json
+from pathlib import Path
+
+# Fallback snapshot: keys of CORRECTNESS_r01.json (driver round 1).
+# Only used if no CORRECTNESS_r*.json file is readable at runtime.
 VERIFIED_R01: frozenset[str] = frozenset(
     {
         "src_custom_datasource",
@@ -69,24 +77,52 @@ VERIFIED_R01: frozenset[str] = frozenset(
     }
 )
 
-DRIVER_VERIFIED: frozenset[str] = VERIFIED_R01
+# Repo root = two levels above this package (…/plans/ -> package -> repo).
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
 
-def queue_order(registry, survey_ids: set[str]) -> list[str]:
-    """Order query ids for the driver queue: never-verified SURVEY §2
-    oracle ids first, then never-verified extra oracle ids, then
-    never-verified rows-tier ids, then everything already verified
-    (original registration order within each block)."""
+def driver_verified(repo_root: Path | None = None) -> frozenset[str]:
+    """Union of keys across every readable CORRECTNESS_r*.json in the repo
+    root (where the driver writes them, next to ``__spark_entry__.py``).
+    Falls back to the round-1 snapshot if none are readable so the queue
+    still de-prioritizes at least the known-verified block."""
+    root = repo_root if repo_root is not None else _REPO_ROOT
+    keys: set[str] = set()
+    found = False
+    try:
+        paths = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        paths = []
+    for p in paths:
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            keys.update(k for k in data if isinstance(k, str))
+            found = True
+    if not found:
+        return VERIFIED_R01
+    return frozenset(keys)
+
+
+def queue_order(
+    registry, survey_ids: set[str], verified: frozenset[str] | None = None
+) -> list[str]:
+    """Order query ids for the driver queue: never-verified SURVEY §2 ids
+    first (oracle-tier before rows-tier), then never-verified extras
+    (oracle before rows), then everything already verified (original
+    registration order within each block). ALL §2 ids outrank extras so
+    the full §2 contract reaches driver-green in the fewest rounds."""
+    done = verified if verified is not None else driver_verified()
 
     def prio(name: str) -> int:
         q = registry[name]
-        if name in DRIVER_VERIFIED:
-            return 3
-        if q.oracle and name in survey_ids:
-            return 0
-        if q.oracle:
-            return 1
-        return 2
+        if name in done:
+            return 4
+        if name in survey_ids:
+            return 0 if q.oracle else 1
+        return 2 if q.oracle else 3
 
     reg_pos = {n: i for i, n in enumerate(registry)}
     return sorted(registry, key=lambda n: (prio(n), reg_pos[n]))

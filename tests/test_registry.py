@@ -26,6 +26,43 @@ def test_driver_contract_shape():
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
 
 
+def test_driver_queue_rotates(registry, tmp_path):
+    """Round-2 verdict item 1: the verified set must derive from the
+    CORRECTNESS_r*.json files on disk, and the next round's ~50-slot
+    prefix must contain zero already-verified ids — with every
+    never-verified SURVEY §2 id (oracle AND rows tier) ahead of extras."""
+    import json
+
+    import __spark_entry__ as entry_mod
+    from big_data_management_and_analytics_spark.plans.driver_history import (
+        VERIFIED_R01,
+        driver_verified,
+        queue_order,
+    )
+
+    # Dynamic set = union of the real files' keys (round 1 + round 2 here).
+    done = driver_verified()
+    assert VERIFIED_R01 <= done, "round-1 keys must stay verified"
+    assert len(done) > len(VERIFIED_R01), "round-2 keys must be unioned in"
+
+    survey = entry_mod._survey_ids()
+    order = queue_order(registry, survey, verified=done)
+    prefix = set(order[:50])
+    assert not (prefix & done), "prefix re-verifies already-green ids"
+    unverified_survey = {n for n in survey if n in registry and n not in done}
+    assert unverified_survey <= prefix or len(unverified_survey) > 50, (
+        "all never-verified SURVEY §2 ids must enqueue before extras"
+    )
+
+    # Fallback: with no readable CORRECTNESS files, use the r01 snapshot.
+    assert driver_verified(repo_root=tmp_path) == VERIFIED_R01
+    # A synthetic round file in an empty root is picked up dynamically.
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"some_id": {"rows_match": True}})
+    )
+    assert driver_verified(repo_root=tmp_path) == frozenset({"some_id"})
+
+
 def test_entry_runs(spark):
     import __spark_entry__ as entry_mod
 
