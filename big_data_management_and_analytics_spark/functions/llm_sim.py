@@ -18,6 +18,8 @@ cells before scoring, turning O(Q·N) into O(Q·N/cells·probes).
 
 from __future__ import annotations
 
+import atexit
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -568,8 +570,19 @@ def llm_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Index directories from the last llm_index_persist call; dropped on the
 # next call (the returned DataFrame lazily reads this run's files, so they
-# must outlive the return — same discipline as sink_bucketed_join).
+# must outlive the return — same discipline as sink_bucketed_join). The
+# FINAL call's directory is reclaimed at interpreter exit (round-2 advice:
+# it previously leaked one directory per process).
 _PREV_INDEX_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_index_dirs() -> None:
+    import shutil
+
+    for d in _PREV_INDEX_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _PREV_INDEX_DIRS.clear()
 
 
 @register(

@@ -282,10 +282,18 @@ def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
+    # Total guard (round-2 advice): for docs with <= 1 token,
+    # sequence(1, size-1) would descend and element_at(t, 0) raises under
+    # ANSI mode — emit an empty array instead, same as the shingle ops.
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # spread + explode_outer: see _explode_grams — keeps the bigram
     # expression off the single-file scan task and out of the inferred
     # size>0 pushdown filter.

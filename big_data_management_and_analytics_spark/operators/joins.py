@@ -732,49 +732,48 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mechanism that replaces manual semi-join prefilters at 100 TB. "
         "Conf-gated (thresholds lowered because local fixture scans are "
         "below the 10 GB default application-side threshold; a real "
-        "cluster hits it naturally) and restored after eager "
-        "materialization so no other query inherits the overrides. "
+        "cluster hits it naturally). The overrides are scoped to a CLONED "
+        "session (spark.newSession(): isolated SQLConf, shared "
+        "SparkContext), so queries planned concurrently on the caller's "
+        "session can never inherit them (round-2 advice — the previous "
+        "set/restore pattern raced under concurrent planning). "
         "Exact cents sums; bloom false positives cannot change the "
         "result — the join still verifies keys exactly."
     ),
 )
 def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_management_and_analytics_spark.plans.determinism import cents
+    from big_data_management_and_analytics_spark.sources.session import tune
 
-    overrides = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in overrides}
-    for k, v in overrides.items():
-        spark.conf.set(k, v)
-    try:
-        o = (
-            load(spark, sf_dir, "orders")
-            .filter(F.col("o_orderpriority") == "1-URGENT")
-            .select("o_orderkey", "o_orderpriority")
+    # Isolated-conf clone: overrides live and die with this session object;
+    # the caller's session conf is never touched.
+    s = tune(spark.newSession())
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "0",
+    )
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = (
+        load(s, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = load(s, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # Runtime filters inject at PHYSICAL planning, i.e. at action
+    # time — materialize eagerly on the cloned session.
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(cents("l_extendedprice")) / 100.0)
+            .cast("double")
+            .alias("total_price"),
         )
-        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-        # Runtime filters inject at PHYSICAL planning, i.e. at action
-        # time — materialize eagerly while the overrides are active.
-        rows = (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .groupBy("o_orderpriority")
-            .agg(
-                F.count(F.lit(1)).alias("n_lines"),
-                (F.sum(cents("l_extendedprice")) / 100.0)
-                .cast("double")
-                .alias("total_price"),
-            )
-            .collect()
-        )
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+        .collect()
+    )
     return spark.createDataFrame(
         rows, schema="o_orderpriority string, n_lines long, total_price double"
     )

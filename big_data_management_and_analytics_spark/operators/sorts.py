@@ -111,14 +111,18 @@ def part_range_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zspread_sql(col: str) -> str:
-    """Spread a 16-bit value's bits to even positions (Morton interleave
-    half) via constant-shift magic masks — pure integer codegen, the same
-    closed form on both engines."""
+    """Spread a 32-bit value's bits to even positions of a 64-bit word
+    (Morton interleave half) via constant-shift magic masks — pure integer
+    codegen, the same closed form on both engines. Precondition: keys must
+    fit in 31 bits (true for all TPC-H surrogate keys well past sf100k);
+    bits >= 2^32 would alias. The previous 16-bit form silently dropped
+    bits >= 2^16 (round-2 advice)."""
     x = f"CAST({col} AS BIGINT)"
-    x = f"(({x} | ({x} << 8)) & 16711935)"        # 0x00FF00FF
-    x = f"(({x} | ({x} << 4)) & 252645135)"       # 0x0F0F0F0F
-    x = f"(({x} | ({x} << 2)) & 858993459)"       # 0x33333333
-    x = f"(({x} | ({x} << 1)) & 1431655765)"      # 0x55555555
+    x = f"(({x} | ({x} << 16)) & {0x0000FFFF0000FFFF})"
+    x = f"(({x} | ({x} << 8)) & {0x00FF00FF00FF00FF})"
+    x = f"(({x} | ({x} << 4)) & {0x0F0F0F0F0F0F0F0F})"
+    x = f"(({x} | ({x} << 2)) & {0x3333333333333333})"
+    x = f"(({x} | ({x} << 1)) & {0x5555555555555555})"
     return x
 
 

@@ -8,6 +8,7 @@ tests/test_plans.py.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -95,9 +96,21 @@ def sink_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROUNDTRIP_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_roundtrip_dirs() -> None:
+    for d in _ROUNDTRIP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _ROUNDTRIP_DIRS.clear()
+
+
 def _roundtrip_dir(prefix: str) -> str:
     base = tempfile.mkdtemp(prefix=prefix)
     shutil.rmtree(base, ignore_errors=True)
+    # DROP TABLE on external tables leaves files behind; reclaim at exit.
+    _ROUNDTRIP_DIRS.append(base)
     return base
 
 
@@ -557,8 +570,17 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Snapshot dirs from the last sink_table_versions call (next call drops
-# them; the returned DataFrame lazily reads this run's snapshots).
+# them; the returned DataFrame lazily reads this run's snapshots). The
+# final call's snapshots are reclaimed at interpreter exit (round-2
+# advice: they previously leaked one directory per process).
 _PREV_VERSION_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_version_dirs() -> None:
+    for d in _PREV_VERSION_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _PREV_VERSION_DIRS.clear()
 
 
 @register(

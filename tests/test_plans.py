@@ -207,6 +207,30 @@ def test_runtime_bloom_filter_engages(spark):
                 spark.conf.set(k, v)
 
 
+def test_runtime_bloom_conf_isolated(spark, registry):
+    """join_runtime_bloom must not leak its conf overrides into the
+    caller's session — even mid-flight. The overrides are scoped to a
+    cloned session, so the caller's autoBroadcastJoinThreshold and bloom
+    flag must be unchanged after (and another query planned right after
+    must still broadcast small dims)."""
+    before = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", None
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", None
+        ),
+    }
+    df = registry["join_runtime_bloom"].fn(spark, SF_T2)
+    assert df.count() >= 1
+    for k, v in before.items():
+        assert spark.conf.get(k, None) == v, f"{k} leaked"
+    # A star join planned on the caller's session immediately after must
+    # still broadcast its dims (threshold not stuck at -1).
+    plan = _plan(registry["join_broadcast_star"].fn(spark, SF_T2))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_zorder_layout_is_range_partitioned(spark, registry):
     """part_zorder_layout claims repartitionByRange on the z-value."""
     plan = _plan(registry["part_zorder_layout"].fn(spark, SF_T2))
