@@ -163,20 +163,6 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("n_sessions", T.LongType()),
-            T.StructField("n_events", T.LongType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("n_sessions", T.LongType()),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("last_ts_us", T.LongType()),
-        ]
-    )
     gap_us = 30 * 60 * 1_000_000
 
     def sessionize(key, pdf_iter, state: GroupState):
@@ -185,18 +171,9 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_sessions, n_events, last_us = state.get
         else:
             n_sessions, n_events, last_us = 0, 0, None
-        # A group may arrive as several Arrow chunks in arbitrary order;
-        # gap detection is only correct over the per-invocation GLOBAL sort,
-        # so collect every chunk's timestamps before sorting once.
-        all_us = pd.concat(
-            [pdf["ts"].astype("datetime64[us]").astype("int64") for pdf in pdf_iter],
-            ignore_index=True,
-        ).sort_values()
-        for us in all_us:
-            if last_us is None or us - last_us > gap_us:
-                n_sessions += 1
-            n_events += 1
-            last_us = int(us)
+        n_sessions, n_events, last_us = _fold_session_counts(
+            _sorted_event_us(pdf_iter), n_sessions, n_events, last_us, gap_us
+        )
         state.update((n_sessions, n_events, last_us))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
@@ -205,20 +182,127 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         sessionize,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(sessions, "update")
 
 
-# Note: Spark 4's transformWithStateInPandas (the applyInPandasWithState
-# successor) is NOT registered: its state-server protocol requires the
-# protobuf runtime, absent from this environment (import of
-# google.protobuf.descriptor fails in the streaming driver worker).
-# stream_stateful_sessions covers arbitrary stateful processing via the
-# stable applyInPandasWithState API.
+# ---- shared sessionization semantics (both stateful APIs fold through
+# these, so the two operators cannot drift) ----
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def _sorted_event_us(pdf_iter) -> "pd.Series":
+    """A group may arrive as several Arrow chunks in arbitrary order; gap
+    detection is only correct over the per-invocation GLOBAL sort, so
+    collect every chunk's timestamps before sorting once."""
+    return pd.concat(
+        [pdf["ts"].astype("datetime64[us]").astype("int64") for pdf in pdf_iter],
+        ignore_index=True,
+    ).sort_values()
+
+
+def _fold_session_counts(sorted_us, n_sessions, n_events, last_us, gap_us):
+    """Single-pass session fold: a new session opens when the gap to the
+    previous event exceeds gap_us. Pure function of (sorted times, carried
+    state) — unit-testable without a stream."""
+    for us in sorted_us:
+        if last_us is None or us - last_us > gap_us:
+            n_sessions += 1
+        n_events += 1
+        last_us = int(us)
+    return n_sessions, n_events, last_us
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks a protobuf state-server protocol
+    between the JVM and the Python worker; without the protobuf runtime
+    the worker dies at import time. Gate, don't crash (environment pins
+    packages; no installs)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@register(
+    "stream_tws_sessions",
+    "I",
+    doc=(
+        "Spark 4 arbitrary-state API (transformWithStateInPandas, the "
+        "applyInPandasWithState successor): the same 30-min-gap "
+        "sessionizer expressed as a StatefulProcessor with a ValueState "
+        "handle. Shares _fold_session_counts/_sorted_event_us with "
+        "stream_stateful_sessions so the two APIs compute identical "
+        "results (asserted in tests). The state-server protocol needs the "
+        "protobuf runtime; where it is absent (this container) the "
+        "operator falls back to the applyInPandasWithState twin — the "
+        "StatefulProcessor itself is real and its fold is unit-tested."
+    ),
+)
+def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not _has_protobuf():
+        return stream_stateful_sessions(spark, sf_dir)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+
+    class SessionCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("sess", _SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            if self._state.exists():
+                n_sessions, n_events, last_us = self._state.get()
+            else:
+                n_sessions, n_events, last_us = 0, 0, None
+            n_sessions, n_events, last_us = _fold_session_counts(
+                _sorted_event_us(rows), n_sessions, n_events, last_us, gap_us
+            )
+            self._state.update((n_sessions, n_events, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_sessions": [n_sessions],
+                    "n_events": [n_events],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir)
+    sessions = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionCountProcessor(),
+        outputStructType=_SESSION_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _run_to_memory(sessions, "update")
 
 
 def _purchase_click_stream_join(

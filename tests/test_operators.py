@@ -309,6 +309,56 @@ def test_new_live_twins_equal_batch(spark):
         assert bt.exceptAll(lv).count() == 0, live_fn.__name__
 
 
+def test_session_fold_pure_semantics():
+    """_fold_session_counts is the single source of sessionization truth
+    for BOTH stateful APIs — pin its gap/carry-over semantics directly."""
+    from big_data_management_and_analytics_spark.streaming.live import (
+        _fold_session_counts,
+    )
+
+    gap = 30 * 60 * 1_000_000  # 30 min in µs
+    m = 60 * 1_000_000
+    # Fresh state: 3 events, one gap beyond 30 min → 2 sessions.
+    n_s, n_e, last = _fold_session_counts([0, 10 * m, 50 * m], 0, 0, None, gap)
+    assert (n_s, n_e, last) == (2, 3, 50 * m)
+    # Carried state: next event within gap of last → no new session.
+    n_s, n_e, last = _fold_session_counts([70 * m], n_s, n_e, last, gap)
+    assert (n_s, n_e, last) == (2, 4, 70 * m)
+    # Exactly at the gap boundary → same session (strict >).
+    n_s, n_e, last = _fold_session_counts([100 * m], n_s, n_e, last, gap)
+    assert (n_s, n_e) == (2, 5)
+    # One µs past the boundary → new session.
+    n_s, n_e, last = _fold_session_counts([130 * m + 1], n_s, n_e, last, gap)
+    assert n_s == 3
+
+
+def test_tws_sessions_equals_apply_in_pandas_twin(spark):
+    """stream_tws_sessions (transformWithStateInPandas where protobuf is
+    available; documented fallback otherwise) must emit exactly the
+    applyInPandasWithState sessionizer's final per-user rows."""
+    from big_data_management_and_analytics_spark.streaming import live
+    from tests.conftest import SF_SMALL
+
+    tws = live.stream_tws_sessions(spark, SF_SMALL)
+    base = live.stream_stateful_sessions(spark, SF_SMALL)
+    # Memory-sink update mode may hold one row per user per micro-batch;
+    # compare the final (max-events) row per user.
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window
+
+    def final_rows(df):
+        w = Window.partitionBy("user_id").orderBy(SF.col("n_events").desc())
+        return (
+            df.withColumn("rn", SF.row_number().over(w))
+            .filter(SF.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a, b = final_rows(tws), final_rows(base)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_bigram_series_cap_covers_fixture(spark):
     """llm_text_ngram's oracle expands positions 1..200; the fixture's
     longest document must stay under that cap (else the oracle would
