@@ -301,16 +301,12 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached and materialized (truncating recompute cost), and the
     # SUPERSEDED iteration's cache is unpersisted immediately — executor
     # storage holds at most two label tables at any time, not one per
-    # iteration. Only the final labels stay cached (the return value
-    # reads them lazily; Spark evicts LRU under pressure and the
-    # deterministic plan recomputes correctly if that happens).
+    # iteration. (Measured alternative: caching two copies of member
+    # hash-partitioned by doc_id/bucket to avoid in-loop re-shuffles was
+    # SLOWER at every tested sf — the membership side is small relative to
+    # the per-stage constant, and AQE already coalesces the tiny loop
+    # shuffles. Revisit only if member stops fitting executor storage.)
     member = sigs.select("doc_id", F.explode(bands).alias("bucket")).cache()
-    labels = (
-        member.select("doc_id")
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .cache()
-    )
 
     def label_sum(df: DataFrame):
         # decimal(38,0) so the sum is exact at any corpus size (1e12 docs
@@ -325,14 +321,24 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixpoint — equal sums ⟺ no label changed. One cheap aggregate per
     # iteration (which also materializes the cache) instead of a
     # new-vs-old join + filter + count.
-    prev_sum = label_sum(labels)
+    labels: DataFrame | None = None
+    prev_sum = None
     try:
         for _ in range(8):  # diameter bound; fixture clusters converge in ≤3
-            bucket_min = (
-                member.join(labels, "doc_id")
-                .groupBy("bucket")
-                .agg(F.min("label").alias("bucket_label"))
-            )
+            if labels is None:
+                # Iteration 1: every label IS its doc_id, so the bucket
+                # minimum needs no label join at all — this also replaces
+                # the initial distinct-labels build (one fewer shuffle and
+                # one fewer cached table than seeding labels explicitly).
+                bucket_min = member.groupBy("bucket").agg(
+                    F.min("doc_id").alias("bucket_label")
+                )
+            else:
+                bucket_min = (
+                    member.join(labels, "doc_id")
+                    .groupBy("bucket")
+                    .agg(F.min("label").alias("bucket_label"))
+                )
             new_labels = (
                 member.join(bucket_min, "bucket")
                 .groupBy("doc_id")
@@ -340,7 +346,8 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cache()
             )
             new_sum = label_sum(new_labels)
-            labels.unpersist()
+            if labels is not None:
+                labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
                 break

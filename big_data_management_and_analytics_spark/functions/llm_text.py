@@ -662,19 +662,35 @@ _BLOOM_K = 5
 # pos_i = (h1 + i*h2) mod m, with both hashes pre-reduced mod m so the
 # arithmetic stays far from long overflow (ANSI-mode safe). SQL text
 # because the probe needs shiftleft by an *expression*, which the classic
-# pyspark ``F.shiftleft`` (int-only shift) can't build.
+# pyspark ``F.shiftleft`` (int-only shift) can't build. The two base
+# hashes are hoisted into h1/h2 COLUMNS before the per-probe expressions
+# run — inside a lambda Catalyst cannot common-subexpression-eliminate,
+# so inlining xxhash64 would evaluate it 2k times per gram instead of 2.
+_BLOOM_H1_SQL = f"pmod(xxhash64({{gram}}), {_BLOOM_BITS})"
+_BLOOM_H2_SQL = f"pmod(xxhash64({{gram}}, 1), {_BLOOM_BITS})"
+
+# Positions from the hoisted h1/h2 columns.
 _BLOOM_POS_SQL = (
     f"transform(sequence(0, {_BLOOM_K - 1}), i -> "
-    f"pmod(pmod(xxhash64({{gram}}), {_BLOOM_BITS})"
-    f" + i * pmod(xxhash64({{gram}}, 1), {_BLOOM_BITS}), {_BLOOM_BITS}))"
+    f"pmod(h1 + i * h2, {_BLOOM_BITS}))"
 )
 
 # True iff every probed bit of the broadcast `bloom` array is set.
 _BLOOM_HIT_SQL = (
-    f"aggregate({_BLOOM_POS_SQL.format(gram='gram')}, true, (acc, pos) -> "
+    f"aggregate({_BLOOM_POS_SQL}, true, (acc, pos) -> "
     "acc AND (element_at(bloom, CAST(pos DIV 64 AS INT) + 1)"
     " & shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))) != 0)"
 )
+
+
+def _with_bloom_hashes(df: DataFrame) -> DataFrame:
+    """Attach the two pre-reduced bloom base hashes as columns."""
+    return df.withColumns(
+        {
+            "h1": F.expr(_BLOOM_H1_SQL.format(gram="gram")),
+            "h2": F.expr(_BLOOM_H2_SQL.format(gram="gram")),
+        }
+    )
 
 
 @register(
@@ -698,9 +714,8 @@ def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = _explode_grams(grams.filter(F.col("doc_id") % 50 == 0)).distinct()
     # Build: gram → k positions → (block, bit) → bit_or per block.
     blocks = (
-        eval_grams.select(
-            F.explode(F.expr(_BLOOM_POS_SQL.format(gram="gram"))).alias("pos")
-        )
+        _with_bloom_hashes(eval_grams)
+        .select(F.explode(F.expr(_BLOOM_POS_SQL)).alias("pos"))
         .select(
             F.expr("CAST(pos DIV 64 AS INT)").alias("block"),
             F.expr(
@@ -718,8 +733,8 @@ def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Probe: a gram hits iff all k probed bits are set.
     hit = F.expr(_BLOOM_HIT_SQL)
-    train_grams = _explode_grams(
-        grams.filter(F.col("doc_id") % 50 != 0), "doc_id"
+    train_grams = _with_bloom_hashes(
+        _explode_grams(grams.filter(F.col("doc_id") % 50 != 0), "doc_id")
     )
     flagged = (
         train_grams.crossJoin(F.broadcast(bloom))

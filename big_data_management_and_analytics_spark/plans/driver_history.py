@@ -13,6 +13,14 @@ The verified set is derived DYNAMICALLY at queries() time by globbing the
 green rows automatically drop out of the queue prefix with no manual
 bookkeeping (round-2 verdict item 1: the previous hardcoded frozenset
 would have made round 3 re-verify round 2's exact 50 ids).
+
+Coverage plan at the observed ~50-ids/round driver cap (simulated with
+this module against the live registry, 251 ids):
+- r01+r02 verified 100; round 3's prefix holds the 45 never-verified
+  SURVEY §2 ids plus 5 oracle extras → 150 after r03 (127/127 §2 green).
+- Rounds 4-5 drain the remaining extras, oracle-tier first (prio 2
+  before 3), reaching 200 after r04 and 250/251 after r05 — full
+  coverage in ≤2 rounds beyond round 3, matching round-2 verdict item 4.
 """
 
 from __future__ import annotations
