@@ -225,6 +225,63 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_compaction",
+    "A",
+    doc=(
+        "Small-file compaction — the lakehouse OPTIMIZE/bin-packing "
+        "maintenance pass a 100 TB table needs after streaming or "
+        "fine-grained-partitioned ingest: a deliberately fragmented copy "
+        "of lineitem (64 writer tasks → 64 small files) is rewritten to "
+        "ceil(rows / 200k) right-sized files. The target file count is "
+        "derived from the ROW count (deterministic; at a fixed schema "
+        "rows proxy bytes — real systems aim ~128 MiB/file the same "
+        "way), and _metadata.file_path counts physical files on each "
+        "side. Row counts must survive both rewrites (asserted in "
+        "tests); rows-tier (file geometry is environment-specific)."
+    ),
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    frag_dir = _roundtrip_dir("bdma_frag_")
+    compact_dir = _roundtrip_dir("bdma_compact_")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    # Fragmented ingest: 64 writer tasks → 64 small files.
+    li.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    n_rows = frag.count()
+    files_before = (
+        frag.select(F.col("_metadata.file_path").alias("f")).distinct().count()
+    )
+    # Compact: bin-pack to ~200k rows per file (schema-fixed row→byte
+    # proxy; a real table would target ~128 MiB the same way).
+    n_out = max(1, math.ceil(n_rows / 200_000))
+    frag.repartition(n_out).write.mode("overwrite").parquet(compact_dir)
+
+    compacted = spark.read.parquet(compact_dir)
+    rows = [
+        (
+            n_rows,
+            files_before,
+            compacted.count(),
+            compacted.select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .count(),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "n_rows long, n_files_before long, n_rows_after long, "
+            "n_files_after long"
+        ),
+    )
+
+
+@register(
     "src_text_roundtrip",
     "A",
     doc=(

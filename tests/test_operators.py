@@ -359,6 +359,18 @@ def test_tws_sessions_equals_apply_in_pandas_twin(spark):
     assert b.exceptAll(a).count() == 0
 
 
+def test_sink_compaction_preserves_rows_and_packs(spark, registry):
+    """Compaction must keep every row and strictly reduce file count to
+    the row-derived target."""
+    from tests.conftest import SF_T2
+
+    row = registry["sink_compaction"].fn(spark, SF_T2).collect()[0]
+    assert row.n_rows == row.n_rows_after, "compaction lost/duplicated rows"
+    assert row.n_files_before == 64
+    assert row.n_files_after == max(1, -(-row.n_rows // 200_000))
+    assert row.n_files_after < row.n_files_before
+
+
 def test_bigram_series_cap_covers_fixture(spark):
     """llm_text_ngram's oracle expands positions 1..200; the fixture's
     longest document must stay under that cap (else the oracle would
