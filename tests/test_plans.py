@@ -175,6 +175,26 @@ def test_full_tpch_composites_plan_shape(spark, registry):
         )
 
 
+def test_q21_single_pass_no_expand(spark, registry):
+    """The reformulated Q21 claims: the fact join appears ONCE (no second
+    pass / semi-join over lineitem-orders) and there is no countDistinct
+    Expand doubling rows through the orderkey shuffle."""
+    plan = _plan(registry["tpch_q21_waiting"].fn(spark, SF_T2))
+    tree = plan.split("\n\n(")[0]
+    assert "Expand" not in tree, "countDistinct expand crept back into Q21"
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") <= 1, (
+        "Q21 should shuffle-join lineitem to orders exactly once"
+    )
+
+
+def test_bloom_probe_is_codegen_no_python(spark, registry):
+    """llm_contamination_bloom's probe must stay JVM-side: no Python/
+    Pandas UDF evaluation nodes anywhere in the plan."""
+    plan = _plan(registry["llm_contamination_bloom"].fn(spark, SF_T2))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert node not in plan, f"bloom probe left codegen: {node}"
+
+
 def test_runtime_bloom_filter_engages(spark):
     """Under join_runtime_bloom's conf overrides, Catalyst must inject a
     bloom might_contain onto the fact-side scan of a selective join."""

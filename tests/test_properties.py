@@ -62,3 +62,37 @@ def test_jaccard_bounds_and_symmetry(spark, tmp_path):
     for r in rows:
         assert 0.0 < r["jaccard"] <= 1.0
         assert r["doc_a"] < r["doc_b"]
+
+
+def test_zspread_interleave_is_bijective(spark):
+    """The widened 32-bit Morton spread must round-trip: deinterleaving
+    zval = spread(a) | spread(b)<<1 recovers (a, b) exactly for keys
+    across the full 31-bit precondition range (dense low values plus a
+    geometric sweep up to 2^31-1 — the range the round-2 advice found
+    silently truncated at 2^16)."""
+    from big_data_management_and_analytics_spark.operators.sorts import (
+        _zspread_sql,
+    )
+
+    probe = spark.range(0, 4096).selectExpr(
+        "id AS a",
+        # geometric + offset sweep reaching 2147483647
+        "CAST(pmod(id * 524287 + (id % 7) * 268435456, 2147483648) "
+        "AS BIGINT) AS b",
+    )
+    z = probe.selectExpr(
+        "a",
+        "b",
+        f"({_zspread_sql('a')} | ({_zspread_sql('b')} << 1)) AS zval",
+    )
+    # Deinterleave: gather even bits (a) and odd bits (b).
+    gather = " + ".join(
+        f"(((zval >> {2 * i}) & 1) << {i})" for i in range(32)
+    )
+    gather_b = " + ".join(
+        f"(((zval >> {2 * i + 1}) & 1) << {i})" for i in range(32)
+    )
+    bad = z.selectExpr("a", "b", f"({gather}) AS a2", f"({gather_b}) AS b2").filter(
+        "a != a2 OR b != b2"
+    )
+    assert bad.count() == 0
