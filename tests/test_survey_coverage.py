@@ -64,6 +64,18 @@ def test_implemented_totals_line_matches_registry(registry):
     )
 
 
+def test_readme_counts_match_registry(registry):
+    """README's headline counts must track the registry too (same
+    stale-count hazard as the SURVEY extras line)."""
+    n_oracle = sum(1 for q in registry.values() if q.oracle)
+    text = open("/root/repo/README.md", encoding="utf-8").read()
+    expected = f"{len(registry)} registered query ids; {n_oracle}"
+    assert expected in text, (
+        f"README counts out of lockstep: registry holds {len(registry)} ids "
+        f"({n_oracle} oracle)"
+    )
+
+
 def test_declared_tiers_match(registry):
     declared = _declared()
     wrong = []
