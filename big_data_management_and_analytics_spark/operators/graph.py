@@ -122,3 +122,98 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("rank_fp") / F.lit(float(SCALE)), 8).alias("pagerank"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    "G",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+            FROM lineitem l1
+            JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_suppkey < l2.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_totalprice > 480000
+        ),
+        deg AS (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT a AS v FROM pairs
+                UNION ALL
+                SELECT b AS v FROM pairs
+            ) GROUP BY v
+        ),
+        tri AS (
+            SELECT COUNT(*) AS t FROM pairs e1
+            JOIN pairs e2 ON e2.a = e1.b
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+               CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+               ROUND(3.0 * (SELECT t FROM tri)
+                     / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+                   AS clustering
+    """,
+    doc=(
+        "Triangle count + global clustering coefficient over the supplier "
+        "co-purchase graph (edge = two suppliers serve the same premium "
+        "order, o_totalprice > 480k to keep the projection sparse). The "
+        "id-ordered edge orientation (a < b) makes each triangle a "
+        "UNIQUE (a<b<c) chain, so the count is two equi-joins over the "
+        "oriented edge list — the standard distributed formulation; at "
+        "100 TB the refinement is degree-based orientation (orient each "
+        "edge toward the higher-degree endpoint, bounding per-vertex "
+        "fan-out by sqrt(2m)), which changes only the orientation "
+        "expression. Clustering = 3*triangles / wedges with wedges = "
+        "sum over vertices of C(deg, 2); all-integer until the terminal "
+        "rounded division."
+    ),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 480000)
+        .select("o_orderkey")
+    )
+    l1 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", F.col("l_suppkey").alias("a")
+    )
+    l2 = li.select("l_orderkey", F.col("l_suppkey").alias("b"))
+    pairs = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        # Materialized once: consumed by three join branches + the degree
+        # aggregate (same discipline as the pagerank pair set).
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("w")
+    )
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("e"))
+    return (
+        n_edges.crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            F.col("e").cast("long").alias("n_edges"),
+            F.col("t").cast("long").alias("n_triangles"),
+            F.round(F.lit(3.0) * F.col("t") / F.col("w"), 6).alias("clustering"),
+        )
+    )
