@@ -175,6 +175,19 @@ def test_full_tpch_composites_plan_shape(spark, registry):
         )
 
 
+def test_iterative_loops_truncate_lineage(spark, registry):
+    """graph_pagerank and llm_dedup_components claim localCheckpoint
+    lineage truncation: the RETURNED DataFrame's plan must read the
+    materialized checkpoint (ExistingRDD scan), not replay the iteration
+    history back to the parquet scans — the round-3 plan-growth fix."""
+    for name in ("graph_pagerank", "llm_dedup_components"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "ExistingRDD" in plan, f"{name}: loop output not checkpointed"
+        assert "parquet" not in plan.lower(), (
+            f"{name}: plan replays the full history back to the scans"
+        )
+
+
 def test_q21_single_pass_no_expand(spark, registry):
     """The reformulated Q21 claims: the fact join appears ONCE (no second
     pass / semi-join over lineitem-orders) and there is no countDistinct
