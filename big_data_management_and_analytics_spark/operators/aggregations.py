@@ -485,9 +485,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_sort_fallback",
     "D",
+    oracle="""
+        SELECT l_orderkey,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS order_value
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
     doc=(
         "High-cardinality grouping (one group per order) — exercises the "
-        "spillable aggregation path; rows-tier shape check."
+        "spillable aggregation path. Oracle-tier: exact cents sums make "
+        "the full per-order table hash-comparable, so the spill path is "
+        "verified on VALUES, not just shape."
     ),
 )
 def agg_sort_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,12 +15,13 @@ bookkeeping (round-2 verdict item 1: the previous hardcoded frozenset
 would have made round 3 re-verify round 2's exact 50 ids).
 
 Coverage plan at the observed ~50-ids/round driver cap (simulated with
-this module against the live registry, 251 ids):
-- r01+r02 verified 100; round 3's prefix holds the 45 never-verified
-  SURVEY §2 ids plus 5 oracle extras → 150 after r03 (127/127 §2 green).
-- Rounds 4-5 drain the remaining extras, oracle-tier first (prio 2
-  before 3), reaching 200 after r04 and 250/251 after r05 — full
-  coverage in ≤2 rounds beyond round 3, matching round-2 verdict item 4.
+this module against the live registry, 253 ids, tier-aware):
+- r01+r02 recorded 100 green rows (91 hash, 9 rows-only); 6 of the
+  rows-only ids have since gained oracles and re-queue for the hash
+  check. Round 3's prefix holds all 48 tier-unverified SURVEY §2 ids
+  plus 2 oracle extras → 127/127 §2 green at the proper tier after r03.
+- Rounds 4-6 drain the extras, oracle-tier first (prio 2 before 3):
+  195 after r04, 245 after r05, 253/253 after r06.
 """
 
 from __future__ import annotations
@@ -89,13 +90,18 @@ VERIFIED_R01: frozenset[str] = frozenset(
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
 
-def driver_verified(repo_root: Path | None = None) -> frozenset[str]:
-    """Union of keys across every readable CORRECTNESS_r*.json in the repo
-    root (where the driver writes them, next to ``__spark_entry__.py``).
-    Falls back to the round-1 snapshot if none are readable so the queue
-    still de-prioritizes at least the known-verified block."""
+def driver_history(
+    repo_root: Path | None = None,
+) -> tuple[frozenset[str], frozenset[str]]:
+    """Scan every readable CORRECTNESS_r*.json in the repo root (where the
+    driver writes them, next to ``__spark_entry__.py``) and return
+    ``(hash_green, any_green)``: ids whose recorded check hash-matched the
+    oracle, and ids with any green record (including rows-only checks).
+    Falls back to the round-1 snapshot (as any_green) if none are
+    readable so the queue still de-prioritizes the known-verified block."""
     root = repo_root if repo_root is not None else _REPO_ROOT
-    keys: set[str] = set()
+    hash_green: set[str] = set()
+    any_green: set[str] = set()
     found = False
     try:
         paths = sorted(root.glob("CORRECTNESS_r*.json"))
@@ -106,12 +112,23 @@ def driver_verified(repo_root: Path | None = None) -> frozenset[str]:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            keys.update(k for k in data if isinstance(k, str))
-            found = True
+        if not isinstance(data, dict):
+            continue
+        found = True
+        for k, rec in data.items():
+            if not isinstance(k, str):
+                continue
+            any_green.add(k)
+            if isinstance(rec, dict) and rec.get("hash_match") is True:
+                hash_green.add(k)
     if not found:
-        return VERIFIED_R01
-    return frozenset(keys)
+        return frozenset(), VERIFIED_R01
+    return frozenset(hash_green), frozenset(any_green)
+
+
+def driver_verified(repo_root: Path | None = None) -> frozenset[str]:
+    """Ids with any green driver record (rows-only included)."""
+    return driver_history(repo_root)[1]
 
 
 def queue_order(
@@ -121,12 +138,23 @@ def queue_order(
     first (oracle-tier before rows-tier), then never-verified extras
     (oracle before rows), then everything already verified (original
     registration order within each block). ALL §2 ids outrank extras so
-    the full §2 contract reaches driver-green in the fewest rounds."""
-    done = verified if verified is not None else driver_verified()
+    the full §2 contract reaches driver-green in the fewest rounds.
+
+    Tier-aware: an id "counts as verified" only at its CURRENT tier — an
+    oracle-tier id needs a hash-green record; a rows-only record from a
+    round before its oracle existed re-queues it for the hash check."""
+    if verified is not None:
+        hash_green = any_green = verified
+    else:
+        hash_green, any_green = driver_history()
+
+    def is_done(name: str) -> bool:
+        q = registry[name]
+        return name in (hash_green if q.oracle else any_green)
 
     def prio(name: str) -> int:
         q = registry[name]
-        if name in done:
+        if is_done(name):
             return 4
         if name in survey_ids:
             return 0 if q.oracle else 1

@@ -122,7 +122,13 @@ _PREV_BUCKET_TABLES: list[str] = []
 @register(
     "src_csv_roundtrip",
     "A",
-    doc="CSV sink + schema-given re-read; rows-tier (text formats lose types).",
+    oracle="SELECT * FROM nation",
+    doc=(
+        "CSV sink + schema-given re-read. Oracle-tier: nation is all "
+        "long/string columns, so the text round-trip is lossless and the "
+        "re-read must hash-match the base table exactly (quoting/escaping "
+        "included)."
+    ),
 )
 def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _roundtrip_dir("bdma_csv_")
@@ -134,7 +140,13 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src_json_roundtrip",
     "A",
-    doc="JSON-lines sink + re-read with pinned schema; rows-tier.",
+    oracle="SELECT * FROM customer",
+    doc=(
+        "JSON-lines sink + re-read with pinned schema. Oracle-tier: "
+        "doubles serialize via shortest-round-trip repr and every other "
+        "customer column is long/string, so the re-read hash-matches the "
+        "base table bit-for-bit."
+    ),
 )
 def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _roundtrip_dir("bdma_json_")
@@ -146,7 +158,12 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src_orc_roundtrip",
     "A",
-    doc="ORC sink + re-read (second columnar format); rows-tier.",
+    oracle="SELECT * FROM part",
+    doc=(
+        "ORC sink + re-read (second columnar format). Oracle-tier: ORC is "
+        "a typed binary format — the re-read must hash-match the base "
+        "table exactly."
+    ),
 )
 def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _roundtrip_dir("bdma_orc_")
@@ -210,10 +227,17 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_parquet_partitioned",
     "A",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
     doc=(
         "Partitioned parquet sink + partition-pruned re-read: writes events "
         "partitioned by event_type, reads back one partition (the filter "
-        "prunes directories, not row-groups)."
+        "prunes directories, not row-groups). Oracle-tier: the parquet "
+        "round-trip is lossless, so the pruned re-read hash-matches a "
+        "direct filter of the base table."
     ),
 )
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,10 +308,17 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src_text_roundtrip",
     "A",
+    oracle=r"""
+        SELECT CAST(length(text) AS INT) AS n_chars,
+               CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens
+        FROM documents
+    """,
     doc=(
         "Line-text source: document texts written as .txt lines (newlines "
-        "stripped — text files are line-delimited by definition) and "
-        "re-read with spark.read.text; rows-tier."
+        "stripped — text files are line-delimited by definition; fixture "
+        "texts contain none, so the strip is identity) and re-read with "
+        "spark.read.text. Oracle-tier: per-line char/token counts must "
+        "multiset-match the base table's."
     ),
 )
 def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,56 @@ from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
 
 
+# Oracle SQL shared between each batch twin and its live twin in live.py:
+# the live twins emit exactly the batch results on a bounded replay
+# (complete/append mode, asserted equal in tests), so one oracle serves
+# both registrations and the two tiers cannot drift.
+TUMBLING_ORACLE = """
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+"""
+
+SLIDING_ORACLE = """
+        SELECT event_type,
+               time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS window_start,
+               COUNT(*) AS n_events
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) AS k
+        GROUP BY event_type, time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes'
+"""
+
+SESSION_ORACLE = """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+"""
+
+DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def tumbling_agg(events: DataFrame) -> DataFrame:
     """Shared spec: 1-hour tumbling count+sum per event_type.
 
@@ -38,14 +88,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
 @register(
     "stream_tumbling_batch",
     "I",
-    oracle="""
-        SELECT event_type,
-               time_bucket(INTERVAL '1 hour', ts) AS window_start,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
-    """,
+    oracle=TUMBLING_ORACLE,
     doc="1-hour tumbling window count+sum per event_type (batch twin).",
 )
 def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,14 +98,7 @@ def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sliding_batch",
     "I",
-    oracle="""
-        SELECT event_type,
-               time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS window_start,
-               COUNT(*) AS n_events
-        FROM events
-        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) AS k
-        GROUP BY event_type, time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes'
-    """,
+    oracle=SLIDING_ORACLE,
     doc=(
         "10-min windows sliding by 5 min; oracle expands each event into "
         "its 2 covering windows via generate_series (P4 sliding_via_series)."
@@ -88,30 +124,7 @@ def sliding_agg(events: DataFrame) -> DataFrame:
 @register(
     "stream_session_batch",
     "I",
-    oracle="""
-        WITH flagged AS (
-            SELECT user_id, ts, event_id,
-                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                             > INTERVAL '30 minutes'
-                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                        THEN 1 ELSE 0 END AS is_new
-            FROM events
-        ),
-        numbered AS (
-            SELECT user_id, ts,
-                   SUM(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_id
-            FROM flagged
-        )
-        SELECT user_id,
-               MIN(ts) AS session_start,
-               MAX(ts) + INTERVAL '30 minutes' AS session_end,
-               COUNT(*) AS n_events
-        FROM numbered
-        GROUP BY user_id, session_id
-    """,
+    oracle=SESSION_ORACLE,
     doc=(
         "Session windows (30-min gap) per user; oracle is the classic "
         "gaps-and-islands rewrite (P4). session_end = last event + gap, and "
@@ -140,7 +153,7 @@ def session_agg(events: DataFrame) -> DataFrame:
 @register(
     "stream_dedup_batch",
     "I",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    oracle=DEDUP_ORACLE,
     doc=(
         "Keyed dedup (dropDuplicates ≡ streaming dedup state); keys-only "
         "output — which duplicate survives is nondeterministic, the key set "

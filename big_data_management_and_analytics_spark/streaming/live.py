@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.session import tune
-from big_data_management_and_analytics_spark.streaming.batch_twins import tumbling_agg
+from big_data_management_and_analytics_spark.streaming.batch_twins import (
+    DEDUP_ORACLE,
+    SESSION_ORACLE,
+    SLIDING_ORACLE,
+    TUMBLING_ORACLE,
+    tumbling_agg,
+)
 
 def _batch_schema(spark: SparkSession, sample_file: str) -> T.StructType:
     """Schema a batch read resolves for the file — the unit-correct source
@@ -83,11 +89,15 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
 @register(
     "stream_tumbling_live",
     "I",
+    oracle=TUMBLING_ORACLE,
     doc=(
         "True streaming twin of stream_tumbling_batch: readStream → "
         "watermark → window agg → memory sink, availableNow trigger. "
         "Complete mode emits every window (append would hold back windows "
-        "the final watermark hasn't passed)."
+        "the final watermark hasn't passed). Oracle-tier: complete-mode "
+        "bounded replay emits exactly the batch aggregation, so the batch "
+        "twin's oracle (shared constant) verifies the LIVE result "
+        "hash-exactly too."
     ),
 )
 def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,13 +161,38 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
 
 
+# Per-user sessionization summary — the gaps-and-islands equivalent of
+# the 30-min-gap stateful fold (strict > gap, matching
+# _fold_session_counts). A bounded replay is one micro-batch, so the
+# update-mode memory sink holds exactly the final per-user row.
+SESSION_COUNT_ORACLE = """
+        WITH marks AS (
+            SELECT user_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM marks
+        GROUP BY user_id
+"""
+
+
 @register(
     "stream_stateful_sessions",
     "I",
+    oracle=SESSION_COUNT_ORACLE,
     doc=(
         "Arbitrary stateful processing: applyInPandasWithState sessionizer "
         "(30-min gap) over the replayed stream — per-user open-session "
-        "summary emitted each micro-batch, state carried in GroupState."
+        "summary emitted each micro-batch, state carried in GroupState. "
+        "Oracle-tier: the bounded replay is one micro-batch, so the "
+        "update-mode emission is the final per-user row, which the "
+        "gaps-and-islands SQL reproduces exactly (same strict-> gap)."
     ),
 )
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +282,7 @@ def _has_protobuf() -> bool:
 @register(
     "stream_tws_sessions",
     "I",
+    oracle=SESSION_COUNT_ORACLE,
     doc=(
         "Spark 4 arbitrary-state API (transformWithStateInPandas, the "
         "applyInPandasWithState successor): the same 30-min-gap "
@@ -432,10 +468,12 @@ def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sliding_live",
     "I",
+    oracle=SLIDING_ORACLE,
     doc=(
         "True streaming twin of stream_sliding_batch: overlapping 10/5-min "
         "windows over the replayed stream, complete mode (every window "
-        "emitted; shares sliding_agg with the batch twin)."
+        "emitted; shares sliding_agg AND the oracle with the batch twin — "
+        "complete-mode bounded replay is hash-exactly the batch result)."
     ),
 )
 def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,12 +486,14 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session_live",
     "I",
+    oracle=SESSION_ORACLE,
     doc=(
         "True streaming twin of stream_session_batch: session_window "
         "aggregation is stateful-merge (sessions grow/merge across "
         "micro-batches). Session windows only support append/complete; "
         "complete emits every closed-or-open session at stream end. "
-        "Shares session_agg with the batch twin."
+        "Shares session_agg AND the gaps-and-islands oracle with the "
+        "batch twin (complete-mode bounded replay ≡ batch result)."
     ),
 )
 def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,10 +506,13 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_live",
     "I",
+    oracle=DEDUP_ORACLE,
     doc=(
         "True streaming twin of stream_dedup_batch: dropDuplicates keeps "
         "per-key state in the state store; with a bounded replay the "
-        "emitted key set equals the batch DISTINCT (asserted in tests)."
+        "emitted key set equals the batch DISTINCT (asserted in tests, "
+        "and hash-verified against the shared oracle — the append-mode "
+        "emission is exactly one row per key)."
     ),
 )
 def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:

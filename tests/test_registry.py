@@ -54,6 +54,26 @@ def test_driver_queue_rotates(registry, tmp_path):
         "all never-verified SURVEY §2 ids must enqueue before extras"
     )
 
+    # Tier-awareness: an oracle-tier id whose only driver record was a
+    # rows-only check (err: no_oracle) must RE-queue for the hash check.
+    from big_data_management_and_analytics_spark.plans.driver_history import (
+        driver_history,
+    )
+
+    hash_green, any_green = driver_history()
+    upgraded = [
+        n
+        for n in any_green - hash_green
+        if n in registry and registry[n].oracle
+    ]
+    if upgraded:
+        real_order = queue_order(registry, survey)
+        real_prefix = set(real_order[:50])
+        missing = [n for n in upgraded if n not in real_prefix]
+        assert not missing or len(real_prefix) < len(upgraded), (
+            f"tier-upgraded ids not re-queued: {missing}"
+        )
+
     # Fallback: with no readable CORRECTNESS files, use the r01 snapshot.
     assert driver_verified(repo_root=tmp_path) == VERIFIED_R01
     # A synthetic round file in an empty root is picked up dynamically.
