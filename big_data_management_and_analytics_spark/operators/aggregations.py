@@ -771,14 +771,23 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "obs_metrics",
     "D",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+               CAST(count_if(value > 0) AS BIGINT) AS rows_kept,
+               CAST(SUM(FLOOR(value * 100 + 0.5)) / 100.0 AS DOUBLE)
+                   AS value_total,
+               CAST(count_if(props IS NULL) AS BIGINT) AS null_props
+        FROM events
+    """,
     doc=(
         "Pipeline observability via df.observe(): a cleaning pass over "
         "events (drop non-positive values) streams once while an "
         "Observation accumulates rows-in, rows-kept, exact-cents value "
         "total, and null-prop count as side metrics - zero extra scans, "
         "the data-quality telemetry pattern for production pipelines. "
-        "Returns the observed metrics as a one-row DataFrame (rows-tier: "
-        "the deliverable is the metric channel, not a relation)."
+        "Returns the observed metrics as a one-row DataFrame; oracle-tier "
+        "— the metric channel itself is value-checked (cents math makes "
+        "the total exact)."
     ),
 )
 def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

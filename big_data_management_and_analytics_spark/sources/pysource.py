@@ -80,10 +80,34 @@ if _HAS_DATASOURCE_API:
 @register(
     "src_custom_datasource",
     "A",
+    oracle="""
+        WITH raw AS (
+            SELECT md5(CAST(i AS VARCHAR)) AS h
+            FROM (SELECT unnest(generate_series(0, 4999)) AS i)
+        ),
+        ev AS (
+            SELECT list_value('click','error','purchase','signup','view')[
+                       CAST(('0x' || substr(h, 5, 2)) AS BIGINT) % 5 + 1
+                   ] AS event_type,
+                   ROUND((CAST(('0x' || substr(h, 7, 4)) AS BIGINT) % 20000)
+                         / 100.0, 2) AS value
+            FROM raw
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM ev
+        GROUP BY event_type
+    """,
     doc=(
         "Custom partition-aware Python DataSource (Spark 4 DataSource API): "
         "deterministic synthetic events generated per split, aggregated by "
-        "type. Rows-tier (source data never touches parquet)."
+        "type. Oracle-tier even though the data never touches parquet: the "
+        "generator is a pure function of the row counter (md5 bytes), so "
+        "the oracle REGENERATES the same rows from generate_series and "
+        "must match count-and-sum exactly — which also proves the "
+        "partition splits cover the range exactly once (no gap, no "
+        "overlap, retry-safe)."
     ),
 )
 def src_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:

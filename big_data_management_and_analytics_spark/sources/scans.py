@@ -175,13 +175,21 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_bucketed_join",
     "A",
+    oracle="""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
     doc=(
         "Bucketed tables + co-located join: orders and customer written "
         "bucketed by customer key (8 buckets, external tables), then joined "
         "bucket-to-bucket — NO shuffle on either side (asserted in "
         "tests/test_plans.py). This is the 100 TB pattern for repeated "
         "fact⋈dim joins on a stable key: pay the shuffle once at write "
-        "time, never again at read time."
+        "time, never again at read time. Oracle-tier: the bucketed "
+        "round-trip + join must hash-match the direct join of the base "
+        "tables."
     ),
 )
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +259,14 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_compaction",
     "A",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(64 AS BIGINT) AS n_files_before,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+               CAST(GREATEST(1, CEIL(COUNT(*) / 200000.0)) AS BIGINT)
+                   AS n_files_after
+        FROM lineitem
+    """,
     doc=(
         "Small-file compaction — the lakehouse OPTIMIZE/bin-packing "
         "maintenance pass a 100 TB table needs after streaming or "
@@ -261,7 +277,9 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows proxy bytes — real systems aim ~128 MiB/file the same "
         "way), and _metadata.file_path counts physical files on each "
         "side. Row counts must survive both rewrites (asserted in "
-        "tests); rows-tier (file geometry is environment-specific)."
+        "tests). Oracle-tier: the oracle PREDICTS the measured file "
+        "counts from the row count alone — the Spark side measures them "
+        "physically, so a lost row or a mis-packed file hash-mismatches."
     ),
 )
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -382,11 +382,26 @@ def _purchase_click_stream_join(
 @register(
     "stream_stream_join_live",
     "I",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id AS p_user,
+               p.ts AS p_ts,
+               c.ts AS c_ts
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts < p.ts
+         AND c.ts >= p.ts - INTERVAL '10 minutes'
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
     doc=(
         "Stream-stream inner join with watermarks: purchases joined to the "
         "same user's clicks within the previous 10 minutes — the live twin "
-        "of join_interval_pairs' pattern; emitted pair set verified equal "
-        "to the batch join."
+        "of join_interval_pairs' pattern. Oracle-tier: inner joins emit "
+        "every match as found (no watermark holdback for matched rows), "
+        "so a bounded replay emits exactly the batch interval join the "
+        "oracle states."
     ),
 )
 def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:

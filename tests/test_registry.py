@@ -68,11 +68,16 @@ def test_driver_queue_rotates(registry, tmp_path):
     ]
     if upgraded:
         real_order = queue_order(registry, survey)
-        real_prefix = set(real_order[:50])
-        missing = [n for n in upgraded if n not in real_prefix]
-        assert not missing or len(real_prefix) < len(upgraded), (
-            f"tier-upgraded ids not re-queued: {missing}"
+        # Every re-queued id must rank before every already-at-tier
+        # verified id (it may still fall past slot 50 behind other
+        # unverified ids — that only delays it one round).
+        first_verified_pos = min(
+            real_order.index(n)
+            for n in real_order
+            if (n in hash_green if registry[n].oracle else n in any_green)
         )
+        late = [n for n in upgraded if real_order.index(n) > first_verified_pos]
+        assert not late, f"tier-upgraded ids rank behind verified ids: {late}"
 
     # Fallback: with no readable CORRECTNESS files, use the r01 snapshot.
     assert driver_verified(repo_root=tmp_path) == VERIFIED_R01
