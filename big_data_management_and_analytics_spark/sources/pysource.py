@@ -180,13 +180,28 @@ else:  # pragma: no cover
 @register(
     "src_stream_datasource",
     "A",
+    oracle="""
+        WITH raw AS (
+            SELECT md5(CAST(i AS VARCHAR)) AS h
+            FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+        )
+        SELECT list_value('click','error','purchase','signup','view')[
+                   CAST(('0x' || substr(h, 5, 2)) AS BIGINT) % 5 + 1
+               ] AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM raw
+        GROUP BY event_type
+    """,
     doc=(
         "Streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader): "
         "the synthetic-events source consumed as micro-batches with "
         "counter-based offsets and deterministic replay, aggregated to "
-        "per-type counts in update mode. The offset contract (read / "
-        "readBetweenOffsets) is what Kafka-like connectors implement; "
-        "rows-tier (true streaming has no SQL oracle)."
+        "per-type counts in complete mode. The offset contract (read / "
+        "readBetweenOffsets) is what Kafka-like connectors implement. "
+        "Oracle-tier: the generator is a pure counter function, so the "
+        "oracle regenerates the stream's rows in SQL — exactly-once "
+        "offset progression (no skipped or double-read batch) is what "
+        "makes the final counts hash-match."
     ),
 )
 def src_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
