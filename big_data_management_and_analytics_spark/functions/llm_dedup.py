@@ -7,10 +7,11 @@ Three tiers of dedup, mirroring a production training-data pipeline:
   small-scale reference implementation the MinHash path approximates.
 - minhash: MinHash+LSH banding — the 100 TB path: signatures are computed
   per document (linear), candidate pairs come from band-bucket grouping
-  (shuffle on band hash), never from a cross join. The hash family is
-  xxhash64(seed, token) — a fixed published algorithm, deterministic across
-  clusters/sessions; rows-tier, so no cross-engine oracle must reproduce it
-  (SURVEY.md §7 hard-item 6).
+  (shuffle on band hash), never from a cross join. The hash family is the
+  engine-portable md5-based universal family (portable_hash.py) —
+  deterministic across clusters/sessions AND reproducible by the DuckDB
+  oracle, so the LSH bucket assignment itself is hash-verified
+  (oracle-tier; round 3 upgraded this from the xxhash64 rows-tier form).
 """
 
 from __future__ import annotations
@@ -18,6 +19,16 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from big_data_management_and_analytics_spark.functions.portable_hash import (
+    MIX,
+    P,
+    SQL_G0,
+    SQL_G1,
+    mix_col,
+    ph0,
+    ph1,
+    sql_mix,
+)
 from big_data_management_and_analytics_spark.functions.strings import tokens
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load, spread
@@ -193,42 +204,112 @@ def llm_dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_dedup_minhash",
-    "K",
-    doc=(
-        "MinHash+LSH near-dup grouping (approximate → rows-tier §2.0.8): "
-        "16 min-hashes per doc, 4 bands of 4; docs sharing a band bucket "
-        "join a candidate group keyed by the group's min doc_id "
-        "(1-hop union). Output is (doc_id, group_rep) — linear in docs, "
-        "NOT in pairs: a cluster of k near-identical docs costs k rows, "
-        "not k², which is what survives a 100 TB corpus with degenerate "
-        "near-dup blocks. Everything is signature pass + two groupBys."
-    ),
-)
-def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-minhash signature (s0..s15) over distinct tokens, via
+    the engine-portable universal hash family (one md5 per token + 16
+    integer mixes — all whole-stage-codegen; see portable_hash.py)."""
     d = load(spark, sf_dir, "documents")
-    # Signature via explode + 16 min-aggregates: every expression here is
-    # whole-stage-codegen (higher-order lambdas would evaluate interpreted
-    # per element). xxhash64 is a fixed published hash, so signatures are
-    # deterministic across clusters/sessions; the seed family is the seed
-    # mixed into the hashed tuple.
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    words = (
+        spread(d, "doc_id")
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .select(
+            "doc_id",
+            (ph0(F.col("tok")) % P).alias("g0"),
+            (ph1(F.col("tok")) % P).alias("g1"),
+        )
     )
-    sigs = words.groupBy("doc_id").agg(
+    return words.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"s{i}")
+            F.min(mix_col(F.col("g0"), F.col("g1"), i)).alias(f"s{i}")
             for i in range(N_HASHES)
         ]
     )
+
+
+def _minhash_oracle_cte() -> str:
+    """DuckDB CTEs reproducing _minhash_sigs + band buckets bit-for-bit."""
+    sig_cols = ",\n               ".join(
+        f"MIN({sql_mix(i)}) AS s{i}" for i in range(N_HASHES)
+    )
+    band_rows = ",\n               ".join(
+        "({b}, {expr})".format(
+            b=b,
+            expr=" || ':' || ".join(
+                f"s{b * BAND_SIZE + j}" for j in range(BAND_SIZE)
+            ),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    return f"""
+        toks AS (
+            SELECT doc_id,
+                   UNNEST(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   {SQL_G0.format(col="tok")} AS g0,
+                   {SQL_G1.format(col="tok")} AS g1
+            FROM toks
+        ),
+        sig AS (
+            SELECT doc_id,
+               {sig_cols}
+            FROM g GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, bb.band, bb.bucket
+            FROM sig CROSS JOIN LATERAL (VALUES
+               {band_rows}
+            ) AS bb(band, bucket)
+        )"""
+
+
+@register(
+    "llm_dedup_minhash",
+    "K",
+    oracle=f"""
+        WITH {_minhash_oracle_cte()},
+        rep AS (
+            SELECT band, bucket, MIN(doc_id) AS bucket_rep,
+                   COUNT(*) AS bucket_n
+            FROM banded GROUP BY band, bucket
+        )
+        SELECT b.doc_id,
+               MIN(r.bucket_rep) AS group_rep,
+               MAX(r.bucket_n) AS max_bucket_size,
+               MIN(r.bucket_rep) < b.doc_id AS is_candidate_dup
+        FROM banded b JOIN rep r USING (band, bucket)
+        GROUP BY b.doc_id
+    """,
+    doc=(
+        "MinHash+LSH near-dup grouping: 16 min-hashes per doc, 4 bands "
+        "of 4; docs sharing a band bucket join a candidate group keyed "
+        "by the group's min doc_id (1-hop union). Output is (doc_id, "
+        "group_rep) — linear in docs, NOT in pairs: a cluster of k "
+        "near-identical docs costs k rows, not k², which is what "
+        "survives a 100 TB corpus with degenerate near-dup blocks. "
+        "Everything is signature pass + two groupBys, all codegen. The "
+        "hash family is the engine-portable md5-based universal family "
+        "(portable_hash.py), so the LSH bucket assignment itself is "
+        "hash-verified against the DuckDB oracle — oracle-tier, not "
+        "rows-tier."
+    ),
+)
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs(spark, sf_dir)
+    # Band bucket key = the band's 4 signature values joined as a string
+    # (no re-hash needed — grouping on the tuple is exact and portable).
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b),
-                    *[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+                F.concat_ws(
+                    ":", *[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
                 ).alias("bucket"),
             )
             for b in range(N_HASHES // BAND_SIZE)
@@ -267,31 +348,41 @@ def _bucket_group_assign(
 @register(
     "llm_dedup_components",
     "K",
+    oracle=f"""
+        WITH RECURSIVE {_minhash_oracle_cte()},
+        edges AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM banded a JOIN banded b USING (band, bucket)
+        ),
+        reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, MIN(v) AS component_rep
+        FROM reach GROUP BY u
+    """,
     doc=(
         "Connected-component dedup clusters: the transitive closure of "
         "llm_dedup_minhash's 1-hop groups, via iterative min-label "
         "propagation over bucket edges (label ← min(label) over each "
         "bucket's members, to a fixpoint). Loop control is driver-side but "
         "every iteration is one distributed join+aggregate — the standard "
-        "DataFrame formulation of an iterative graph algorithm. Rows-tier "
-        "(iterative, not SQL-expressible)."
+        "DataFrame formulation of an iterative graph algorithm. The "
+        "portable hash family makes even this iterative result "
+        "hash-verifiable: the oracle computes the same buckets and takes "
+        "the transitive closure with a recursive CTE (fine at oracle "
+        "scale; the distributed loop is the 100 TB path)."
     ),
 )
 def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    )
-    sigs = words.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"s{i}")
-            for i in range(N_HASHES)
-        ]
-    )
+    sigs = _minhash_sigs(spark, sf_dir)
     bands = F.array(
         *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+            F.concat_ws(
+                ":",
+                F.lit(b),
+                *[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
             )
             for b in range(N_HASHES // BAND_SIZE)
         ]
@@ -359,16 +450,93 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("component_rep"))
 
 
+def _simhash_oracle() -> str:
+    """DuckDB oracle reproducing the portable SimHash bit-for-bit: 64
+    conditional-sum aggregates (bit j of the per-token 120-bit md5 pair:
+    h0 bits 0–59, h1 bits 0–3), strict-majority vote, 4×16-bit band
+    pack, then the same bucket-rep grouping as the Spark side."""
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+
+    def bit_expr(j: int) -> str:
+        if j < 60:
+            return f"(h0 >> {j}) & 1"
+        return f"(h1 >> {j - 60}) & 1"
+
+    vote_cols = ",\n               ".join(
+        f"CASE WHEN SUM(CASE WHEN {bit_expr(j)} = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN 1 ELSE 0 END AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    pack_cols = ",\n               ".join(
+        "("
+        + " + ".join(
+            f"b{b * SIMHASH_BAND_BITS + j} * {1 << j}"
+            for j in range(SIMHASH_BAND_BITS)
+        )
+        + f")::BIGINT AS band{b}"
+        for b in range(n_bands)
+    )
+    hex_expr = " || ".join(
+        f"lpad(hex(band{b}), 4, '0')" for b in range(n_bands - 1, -1, -1)
+    )
+    band_rows = ",\n               ".join(
+        f"({b}, band{b})" for b in range(n_bands)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h0,
+                   ('0x' || substr(md5(tok), 17, 15))::BIGINT AS h1
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id,
+               {vote_cols}
+            FROM h GROUP BY doc_id
+        ),
+        packed AS (
+            SELECT doc_id,
+               {pack_cols}
+            FROM bits
+        ),
+        banded AS (
+            SELECT doc_id, {hex_expr} AS simhash_hex, bb.band, bb.bucket
+            FROM packed CROSS JOIN LATERAL (VALUES
+               {band_rows}
+            ) AS bb(band, bucket)
+        ),
+        rep AS (
+            SELECT band, bucket, MIN(doc_id) AS bucket_rep,
+                   COUNT(*) AS bucket_n
+            FROM banded GROUP BY band, bucket
+        )
+        SELECT b.doc_id,
+               MIN(b.simhash_hex) AS simhash_hex,
+               MIN(r.bucket_rep) AS group_rep,
+               MIN(r.bucket_rep) < b.doc_id AS is_candidate_dup
+        FROM banded b JOIN rep r USING (band, bucket)
+        GROUP BY b.doc_id
+    """
+
+
 @register(
     "llm_dedup_simhash",
     "K",
+    oracle=_simhash_oracle(),
     doc=(
-        "SimHash near-dup grouping (approximate → rows-tier): 64-bit "
-        "fingerprint where bit i = sign of Σ over tokens of ±1 by bit i of "
-        "xxhash64(token); split into 4×16-bit bands for LSH candidate "
-        "grouping (docs agreeing on any band ≈ hamming-close). All codegen: "
-        "explode → 64 conditional-sum aggregates → band pack → bucket "
-        "grouping. Output (doc_id, simhash_hex, group_rep)."
+        "SimHash near-dup grouping: 64-bit fingerprint where bit i = sign "
+        "of Σ over tokens of ±1 by bit i of the portable per-token hash "
+        "(md5-derived 60+4 bits — engine-portable, so the fingerprint AND "
+        "the LSH grouping are hash-verified against DuckDB); split into "
+        "4×16-bit bands for LSH candidate grouping (docs agreeing on any "
+        "band ≈ hamming-close). Explode → numpy bit-majority per doc (one "
+        "Arrow crossing; a 64-expression codegen aggregate compiles for "
+        "seconds) → band pack → bucket grouping."
     ),
 )
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,7 +555,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select("doc_id", ph0(F.col("tok")).alias("h0"), ph1(F.col("tok")).alias("h1"))
     )
 
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
@@ -398,10 +566,19 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Bit-majority vote per doc as one numpy pass (a 64-expression codegen
     # aggregate compiles for seconds; this is one Arrow crossing instead).
+    # Bits 0–59 come from h0, bits 60–63 from h1's low 4 bits (both
+    # non-negative 60-bit ints, so int64 shifts are exact).
     def simhash_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["h"].to_numpy().astype(np.uint64)
-        bits = (h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & np.uint64(1)
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        h0 = pdf["h0"].to_numpy().astype(np.int64)
+        h1 = pdf["h1"].to_numpy().astype(np.int64)
+        bits = np.concatenate(
+            [
+                (h0[:, None] >> np.arange(60, dtype=np.int64)) & 1,
+                (h1[:, None] >> np.arange(4, dtype=np.int64)) & 1,
+            ],
+            axis=1,
+        )
+        votes = (2 * bits - 1).sum(axis=0)
         fp_bits = (votes > 0).astype(np.int64)
         row = {"doc_id": [int(pdf["doc_id"].iloc[0])]}
         for b in range(n_bands):
