@@ -649,12 +649,17 @@ def _explode_grams(grams: DataFrame, *cols: str) -> DataFrame:
     )
 
 
-# Bloom geometry: m = 2^20 bits (16,384 longs = 128 KB broadcast), k = 5
-# probes per gram. At the fixture's eval-gram cardinality (~10^4) the
-# fill ratio is < 5%, giving a false-positive rate well under 1e-5; at
-# 100 TB you grow m, not the plan.
+# Bloom geometry: m = 2^20 bits packed 63 per long (16,645 longs =
+# 130 KB broadcast), k = 5 probes per gram. At the fixture's eval-gram
+# cardinality (~10^4) the fill ratio is < 5%, giving a false-positive
+# rate well under 1e-5; at 100 TB you grow m, not the plan. 63 bits per
+# block (not 64) keeps every shift amount ≤ 62, so `1 << bit` never
+# overflows a signed long — which lets the DuckDB oracle build the SAME
+# bloom (DuckDB raises on 1::BIGINT << 63) and keeps all block values
+# non-negative in both engines.
 _BLOOM_BITS = 1 << 20
-_BLOOM_BLOCKS = _BLOOM_BITS // 64
+_BLOOM_WORD = 63
+_BLOOM_BLOCKS = (_BLOOM_BITS + _BLOOM_WORD - 1) // _BLOOM_WORD
 _BLOOM_K = 5
 
 
@@ -665,9 +670,17 @@ _BLOOM_K = 5
 # pyspark ``F.shiftleft`` (int-only shift) can't build. The two base
 # hashes are hoisted into h1/h2 COLUMNS before the per-probe expressions
 # run — inside a lambda Catalyst cannot common-subexpression-eliminate,
-# so inlining xxhash64 would evaluate it 2k times per gram instead of 2.
-_BLOOM_H1_SQL = f"pmod(xxhash64({{gram}}), {_BLOOM_BITS})"
-_BLOOM_H2_SQL = f"pmod(xxhash64({{gram}}, 1), {_BLOOM_BITS})"
+# so inlining the base hash would evaluate it 2k times per gram instead
+# of 2. The hash basis is the engine-portable md5 pair (portable_hash.py)
+# so the DuckDB oracle reproduces the filter bit-for-bit.
+_BLOOM_H1_SQL = (
+    f"pmod(cast(conv(substring(md5({{gram}}), 1, 15), 16, 10) as bigint),"
+    f" {_BLOOM_BITS})"
+)
+_BLOOM_H2_SQL = (
+    f"pmod(cast(conv(substring(md5({{gram}}), 17, 15), 16, 10) as bigint),"
+    f" {_BLOOM_BITS})"
+)
 
 # Positions from the hoisted h1/h2 columns.
 _BLOOM_POS_SQL = (
@@ -678,9 +691,69 @@ _BLOOM_POS_SQL = (
 # True iff every probed bit of the broadcast `bloom` array is set.
 _BLOOM_HIT_SQL = (
     f"aggregate({_BLOOM_POS_SQL}, true, (acc, pos) -> "
-    "acc AND (element_at(bloom, CAST(pos DIV 64 AS INT) + 1)"
-    " & shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))) != 0)"
+    f"acc AND (element_at(bloom, CAST(pos DIV {_BLOOM_WORD} AS INT) + 1)"
+    f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, {_BLOOM_WORD}) AS INT)))"
+    " != 0)"
 )
+
+
+def _bloom_oracle() -> str:
+    """DuckDB oracle rebuilding the identical bloom filter (same portable
+    double hashing, same 63-bit blocks) and probing every train gram —
+    false positives and all, bit-for-bit."""
+    m, w, k = _BLOOM_BITS, _BLOOM_WORD, _BLOOM_K
+    h1 = f"('0x' || substr(md5(gram), 1, 15))::BIGINT % {m}"
+    h2 = f"('0x' || substr(md5(gram), 17, 15))::BIGINT % {m}"
+    ks = ",".join(f"({i})" for i in range(k))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(t) - 4),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            || ' ' || t[i+3] || ' ' || t[i+4]
+                   )) AS gs
+            FROM toks
+        ),
+        eg AS (
+            SELECT DISTINCT UNNEST(gs) AS gram FROM grams WHERE doc_id % 50 = 0
+        ),
+        epos AS (
+            SELECT ({h1} + kk.i * ({h2})) % {m} AS pos
+            FROM eg CROSS JOIN (VALUES {ks}) kk(i)
+        ),
+        bloom AS (
+            SELECT pos // {w} AS block, bit_or(1::BIGINT << (pos % {w})) AS bits
+            FROM epos GROUP BY pos // {w}
+        ),
+        tg AS (
+            SELECT doc_id, UNNEST(gs) AS gram FROM grams WHERE doc_id % 50 != 0
+        ),
+        tpos AS (
+            SELECT doc_id, gram, ({h1} + kk.i * ({h2})) % {m} AS pos
+            FROM tg CROSS JOIN (VALUES {ks}) kk(i)
+        ),
+        probe AS (
+            SELECT doc_id, gram,
+                   BOOL_AND(COALESCE((b.bits >> (tpos.pos % {w})) & 1, 0) = 1)
+                       AS hit
+            FROM tpos LEFT JOIN bloom b ON b.block = tpos.pos // {w}
+            GROUP BY doc_id, gram
+        ),
+        flagged AS (
+            SELECT doc_id, COUNT(*) FILTER (WHERE hit) AS n_flagged_grams
+            FROM probe GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(f.n_flagged_grams, 0)::BIGINT AS n_flagged_grams,
+               COALESCE(f.n_flagged_grams, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+        LEFT JOIN flagged f USING (doc_id)
+    """
 
 
 def _with_bloom_hashes(df: DataFrame) -> DataFrame:
@@ -696,17 +769,21 @@ def _with_bloom_hashes(df: DataFrame) -> DataFrame:
 @register(
     "llm_contamination_bloom",
     "K",
+    oracle=_bloom_oracle(),
     doc=(
         "Bloom-filter contamination check — the 100 TB form of "
         "llm_contamination (whose docstring promises exactly this plan "
         "swap). Eval-side distinct 5-grams hash into a 2^20-bit bloom "
-        "(xxhash64 double hashing, k=5), OR-aggregated into 64-bit blocks "
-        "(~16 K rows), densified on the driver (128 KB — dimension-bounded "
-        "like PCA), and broadcast. The train side probes all k bits with "
-        "pure codegen array/bit expressions — no UDF, no shuffle beyond "
-        "the per-doc count. Deterministic (seeded hashes): rows-tier only "
-        "because DuckDB lacks xxhash64; tests assert the exact-operator "
-        "hits are a SUBSET (no false negatives) and bound the FP count."
+        "(portable md5 double hashing, k=5), OR-aggregated into 63-bit "
+        "blocks (~16.6 K rows), densified on the driver (130 KB — "
+        "dimension-bounded like PCA), and broadcast. The train side "
+        "probes all k bits with pure codegen array/bit expressions — no "
+        "UDF, no shuffle beyond the per-doc count. The portable hash "
+        "basis lets the DuckDB oracle rebuild the identical filter, so "
+        "the probabilistic output — false positives included — is "
+        "hash-verified (oracle-tier); tests additionally assert the "
+        "exact-operator hits are a SUBSET (no false negatives) and bound "
+        "the FP count."
     ),
 )
 def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,9 +794,9 @@ def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_bloom_hashes(eval_grams)
         .select(F.explode(F.expr(_BLOOM_POS_SQL)).alias("pos"))
         .select(
-            F.expr("CAST(pos DIV 64 AS INT)").alias("block"),
+            F.expr(f"CAST(pos DIV {_BLOOM_WORD} AS INT)").alias("block"),
             F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, {_BLOOM_WORD}) AS INT))"
             ).alias("bits"),
         )
         .groupBy("block")
