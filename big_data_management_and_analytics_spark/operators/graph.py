@@ -39,9 +39,56 @@ from big_data_management_and_analytics_spark.sources.io import load
 SCALE = 1_000_000_000_000_000
 
 
+def _pagerank_oracle(iters: int = 10) -> str:
+    """DuckDB oracle: the identical integer fixed-point power iteration,
+    unrolled into chained CTEs (r1..r10). Every operation is a long
+    floor-division or exact long sum on non-negative values, so DuckDB's
+    ``//`` reproduces Spark's ``DIV`` bit-for-bit — an iterative graph
+    algorithm hash-verified end-to-end."""
+    tele = f"{SCALE * 15 // 100}"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        r{i} AS (
+            SELECT e.dst AS src,
+                   (SELECT t FROM tele)
+                   + (SUM(r.rank_fp // e.out_deg) // 100) * 85 AS rank_fp
+            FROM edgew e JOIN r{i - 1} r ON r.src = e.src
+            GROUP BY e.dst
+        )""")
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+        tele AS (
+            SELECT {tele} // COUNT(*) AS t, {SCALE} // COUNT(*) AS r_init
+            FROM deg
+        ),
+        edgew AS (
+            SELECT e.src, e.dst, d.out_deg FROM edges e JOIN deg d USING (src)
+        ),
+        r0 AS (
+            SELECT src, (SELECT r_init FROM tele) AS rank_fp FROM deg
+        ),{",".join(steps)}
+        SELECT src // 2 AS node_id,
+               CASE WHEN src % 2 = 1 THEN 'supplier'
+                    ELSE 'customer' END AS node_type,
+               ROUND(rank_fp / {float(SCALE)!r}, 8) AS pagerank
+        FROM r{iters}
+    """
+
+
 @register(
     "graph_pagerank",
     "G",
+    oracle=_pagerank_oracle(),
     doc=(
         "PageRank over the undirected customer↔supplier purchase graph "
         "(edge = customer ordered a lineitem shipped by supplier; both "
@@ -56,9 +103,11 @@ SCALE = 1_000_000_000_000_000
         "before the loop; each pass is one edge⋈rank join plus one "
         "partial-aggregated dst groupBy, with the rank table "
         "plan-truncated every 2nd iteration so Catalyst never re-plans "
-        "the loop's history (see module docstring). Rows-tier: iterative "
-        "ranking is not single-statement SQL; tests assert rank-mass "
-        "conservation and supplier/customer rank separation."
+        "the loop's history (see module docstring). The fixed-point "
+        "arithmetic makes even this iterative ranking hash-verifiable: "
+        "the oracle unrolls the identical 10 passes as chained CTEs "
+        "(oracle-tier); tests additionally assert rank-mass conservation "
+        "and supplier/customer rank separation."
     ),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
