@@ -322,31 +322,88 @@ def llm_vec_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rademacher_planes(dim: int, n_planes: int = 16) -> "np.ndarray":
+    """±1 hyperplane matrix derived from md5 of the dimension index —
+    the engine-portable replacement for seeded Gaussian planes: sign-LSH
+    only needs a symmetric coefficient distribution, and Rademacher
+    weights from a cross-engine hash let the DuckDB oracle rebuild the
+    identical planes (weight d,p = bit p of md5(str(d)) mapped to ±1)."""
+    import hashlib
+
+    w = np.empty((dim, n_planes), dtype=np.float64)
+    for d in range(dim):
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        w[d] = ((h >> np.arange(n_planes)) & 1) * 2 - 1
+    return w
+
+
 @pandas_udf(T.LongType())
 def lsh_sig16(emb: pd.Series) -> pd.Series:
-    """16-bit random-hyperplane (SimHash-for-vectors) signature.
+    """16-bit hyperplane (SimHash-for-vectors) signature.
 
-    Planes come from a FIXED RandomState(42) — deterministic across runs
-    and workers. One matmul per Arrow batch; bit i = sign of the
-    projection onto plane i, packed into a long.
+    Planes are the portable md5-derived Rademacher matrix — deterministic
+    across runs, workers AND engines. One matmul per Arrow batch; bit i =
+    sign of the projection onto plane i, packed into a long.
     """
     A = np.stack(emb.to_numpy())
-    planes = np.random.RandomState(42).standard_normal((A.shape[1], 16))
-    bits = (A @ planes) > 0
+    bits = (A @ _rademacher_planes(A.shape[1])) > 0
     return pd.Series((bits << np.arange(16)).sum(axis=1).astype("int64"))
 
 
 @register(
     "llm_sim_knn_lsh",
     "K",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        dims AS (
+            SELECT d, ('0x' || substr(md5((d - 1)::VARCHAR), 1, 15))::BIGINT AS h
+            FROM (SELECT UNNEST(generate_series(1, 64)) AS d)
+        ),
+        proj AS (
+            SELECT v.vec_id, pp.p,
+                   SUM(v.emb[dims.d] * (((dims.h >> pp.p) & 1) * 2 - 1)) AS proj
+            FROM v CROSS JOIN dims
+            CROSS JOIN (VALUES {",".join(f"({p})" for p in range(16))}) pp(p)
+            GROUP BY v.vec_id, pp.p
+        ),
+        sig AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN proj > 0 THEN 1::BIGINT << p ELSE 0 END) AS sig
+            FROM proj GROUP BY vec_id
+        ),
+        banded AS (
+            SELECT s.vec_id, bb.band, (s.sig >> (4 * bb.band)) & 15 AS bval
+            FROM sig s CROSS JOIN (VALUES (0),(1),(2),(3)) bb(band)
+        ),
+        cand AS (
+            SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+            FROM banded qb
+            JOIN banded cb ON qb.band = cb.band AND qb.bval = cb.bval
+            WHERE qb.vec_id % 100 = 0 AND qb.vec_id <> cb.vec_id
+        )
+        SELECT c.query_id, c.neighbor_id,
+               ROUND({SQL_COSINE.format(a='q.emb', b='n.emb')}, 6) AS cos_sim
+        FROM cand c
+        JOIN v q ON q.vec_id = c.query_id
+        JOIN v n ON n.vec_id = c.neighbor_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c.query_id
+            ORDER BY ROUND({SQL_COSINE.format(a='q.emb', b='n.emb')}, 6) DESC,
+                     c.neighbor_id ASC
+        ) <= 5
+    """,
     doc=(
-        "LSH-bucketed ANN (approximate → rows-tier): 16-bit hyperplane "
-        "signatures split into 4 bands x 4 bits; query and corpus vectors "
-        "meet only inside shared (band, value) buckets, candidates are "
-        "deduped and fine-scored with exact cosine, top-5 per query. The "
-        "banding join replaces llm_sim_knn's O(Q*N) cross product with "
-        "O(collisions) — the same plan shape runs at 100 TB as a shuffle "
-        "hash join on (band, value) with no broadcast of the corpus."
+        "LSH-bucketed ANN: 16-bit hyperplane signatures split into 4 "
+        "bands x 4 bits; query and corpus vectors meet only inside shared "
+        "(band, value) buckets, candidates are deduped and fine-scored "
+        "with exact cosine, top-5 per query. The banding join replaces "
+        "llm_sim_knn's O(Q*N) cross product with O(collisions) — the same "
+        "plan shape runs at 100 TB as a shuffle hash join on (band, "
+        "value) with no broadcast of the corpus. The md5-derived "
+        "Rademacher planes are engine-portable, so the bucket assignment "
+        "AND the ANN result hash-verify against DuckDB (oracle-tier; "
+        "sign-boundary ambiguity would need |projection| < ~1e-12, "
+        "essentially impossible for unit-scale embeddings)."
     ),
 )
 def llm_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

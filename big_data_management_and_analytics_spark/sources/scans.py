@@ -355,10 +355,18 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_metadata_cols",
     "A",
+    oracle="""
+        SELECT 'lineitem.parquet' AS file_name,
+               COUNT(*)::BIGINT AS n_rows
+        FROM lineitem
+    """,
     doc=(
         "Hidden file metadata (_metadata.file_name / file_size): per-file "
         "row counts — the scan-level provenance a 100 TB lakehouse audit "
-        "relies on; rows-tier (paths are environment-specific)."
+        "relies on. The oracle states the fixture invariant (each table "
+        "is exactly one parquet file named <table>.parquet — TESTDATA.md "
+        "layout), so the metadata column's reported name and the per-file "
+        "count are both hash-checked."
     ),
 )
 def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,11 +601,18 @@ def meta_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src_xml_roundtrip",
     "A",
+    oracle="""
+        SELECT r_regionkey, r_name FROM region
+    """,
     doc=(
         "Spark-4 built-in XML source: region written as <row> elements "
-        "and re-read with the pinned schema; rows-tier (text formats "
-        "lose types). The same reader handles multi-GB XML dumps split "
-        "by rowTag at 100 TB — no external package."
+        "and re-read with the pinned schema. With the explicit read "
+        "schema the round-trip is lossless for the region columns "
+        "(ints + escaped strings), so the oracle states the identity "
+        "directly from the base table — any reader/writer mangling "
+        "(entity escaping, whitespace, type coercion) breaks the hash. "
+        "The same reader handles multi-GB XML dumps split by rowTag at "
+        "100 TB — no external package."
     ),
 )
 def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,47 @@ _RUNTIME_CONF = {
 }
 
 
+# SparkContexts that already received the package zip (by applicationId).
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable on Python workers regardless of
+    the DRIVER process's working directory.
+
+    Module-level pandas UDFs pickle by REFERENCE (cloudpickle only
+    serializes ``__main__`` functions by value), so each worker must
+    ``import big_data_management_and_analytics_spark...`` itself. Workers inherit the
+    driver's cwd — if the harness imported ``__spark_entry__`` from some
+    other directory, that import fails with ModuleNotFoundError on the
+    first UDF task. ``addPyFile`` of a package zip is the runtime-settable
+    fix (and the exact mechanism that ships this engine to a real
+    cluster's executors); one ~100 KB upload per session."""
+    try:
+        sc = spark.sparkContext
+        app = sc.applicationId
+    except Exception:
+        return
+    if app in _PYFILES_SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tempfile.mkdtemp(prefix="bdma_pyfiles_")
+    try:
+        zip_path = shutil.make_archive(
+            os.path.join(tmp, "big_data_management_and_analytics_spark_pkg"),
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+        sc.addPyFile(zip_path)
+        _PYFILES_SHIPPED.add(app)
+    except Exception:
+        pass  # driver-side import still works; only exotic cwds need the zip
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable config to an externally-owned session."""
     for k, v in _RUNTIME_CONF.items():
@@ -49,6 +90,7 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # already-set static conf; keep going
+    _ship_package(spark)
     return spark
 
 
