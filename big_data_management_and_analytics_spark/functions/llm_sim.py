@@ -582,18 +582,96 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """DuckDB twin of _kmeans_centroids + the per-cell report: centroids
+    live as a (cell, pos, val) relation, each Lloyd iteration is one
+    dot-product aggregate + QUALIFY argmax + per-(cell,pos) mean +
+    renormalize, chained ``iters`` times."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        dots{i} AS (
+            SELECT vu.vec_id, c.cell, SUM(vu.u[c.pos] * c.val) AS dot
+            FROM vu CROSS JOIN c{i - 1} c
+            GROUP BY vu.vec_id, c.cell
+        ),
+        a{i} AS (
+            SELECT vec_id, cell FROM dots{i}
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
+        ),
+        m{i} AS (
+            SELECT a.cell, dd.d AS pos, AVG(v.emb[dd.d]) AS m
+            FROM a{i} a JOIN v USING (vec_id)
+            CROSS JOIN (SELECT UNNEST(generate_series(1, {dims})) AS d) dd
+            GROUP BY a.cell, dd.d
+        ),
+        norm{i} AS (
+            SELECT cell, sqrt(SUM(m * m)) AS n FROM m{i} GROUP BY cell
+        ),
+        c{i} AS (
+            SELECT p.cell, p.pos,
+                   CASE WHEN n.cell IS NULL THEN p.val
+                        WHEN n.n = 0 THEN m.m
+                        ELSE m.m / n.n END AS val
+            FROM c{i - 1} p
+            LEFT JOIN m{i} m ON m.cell = p.cell AND m.pos = p.pos
+            LEFT JOIN norm{i} n ON n.cell = p.cell
+        )""")
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        vu AS (
+            SELECT vec_id,
+                   list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb)))
+                       AS u
+            FROM v
+        ),
+        seeds AS (
+            SELECT u, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+            FROM vu ORDER BY vec_id LIMIT {k}
+        ),
+        c0 AS (
+            SELECT cell, dd.d AS pos, u[dd.d] AS val
+            FROM seeds
+            CROSS JOIN (SELECT UNNEST(generate_series(1, {dims})) AS d) dd
+        ),{",".join(steps)},
+        dots_final AS (
+            SELECT vu.vec_id, c.cell, SUM(vu.u[c.pos] * c.val) AS dot
+            FROM vu CROSS JOIN c{iters} c
+            GROUP BY vu.vec_id, c.cell
+        ),
+        final AS (
+            SELECT vec_id, cell, dot FROM dots_final
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
+        )
+        SELECT cell, COUNT(*)::BIGINT AS n_vecs, MIN(vec_id) AS min_vec_id,
+               ROUND(AVG(dot), 4) AS mean_cos_to_centroid
+        FROM final GROUP BY cell
+    """
+
+
+
 @register(
     "llm_embed_kmeans",
     "K",
+    oracle=_kmeans_oracle(),
     doc=(
         "Distributed k-means clustering surfaced as a first-class result: "
         "the same spherical-k-means quantizer llm_sim_knn_ivf uses (3 "
         "Lloyd iterations, Arrow-batched assignment, k·d driver state), "
         "reported per cluster as (cell, n_vecs, min_vec_id, "
-        "mean_cos_to_centroid). Rows-tier: iterative + float means are "
-        "partition-order sensitive. The per-cell mean cosine is the "
-        "cluster-coherence diagnostic a corpus-curation pipeline reads "
-        "before trusting cluster-level sampling decisions."
+        "mean_cos_to_centroid). Oracle-tier: the DuckDB twin unrolls the "
+        "same 3 Lloyd iterations over a (cell, pos, val) centroid "
+        "relation — deterministic seeds (k lowest vec_ids), argmax with "
+        "the same lowest-cell tie rule, empty cells keeping their "
+        "previous centroid. Double summation order differs ~1e-16 "
+        "between engines; assignments would only diverge on a near-exact "
+        "inter-centroid tie and the mean cosine is round-4, so the hash "
+        "check is stable in practice (and strictly verified every round). "
+        "The per-cell mean cosine is the cluster-coherence diagnostic a "
+        "corpus-curation pipeline reads before trusting cluster-level "
+        "sampling decisions."
     ),
 )
 def llm_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
