@@ -217,19 +217,135 @@ def _top_cells_udf(cent_unit: "np.ndarray", n_probe: int):
     return top_cells
 
 
+def _kmeans_cte(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """Shared DuckDB CTE chain reproducing _kmeans_centroids: centroids
+    live as a (cell, pos, val) relation, each Lloyd iteration is one
+    dot-product aggregate + QUALIFY argmax + per-(cell,pos) mean +
+    renormalize, chained ``iters`` times. Ends at c{iters}; callers
+    append their own terminal CTEs/SELECT."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        dots{i} AS (
+            SELECT vu.vec_id, c.cell, SUM(vu.u[c.pos] * c.val) AS dot
+            FROM vu CROSS JOIN c{i - 1} c
+            GROUP BY vu.vec_id, c.cell
+        ),
+        a{i} AS (
+            SELECT vec_id, cell FROM dots{i}
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
+        ),
+        m{i} AS (
+            SELECT a.cell, dd.d AS pos, AVG(v.emb[dd.d]) AS m
+            FROM a{i} a JOIN v USING (vec_id)
+            CROSS JOIN (SELECT UNNEST(generate_series(1, {dims})) AS d) dd
+            GROUP BY a.cell, dd.d
+        ),
+        norm{i} AS (
+            SELECT cell, sqrt(SUM(m * m)) AS n FROM m{i} GROUP BY cell
+        ),
+        c{i} AS (
+            SELECT p.cell, p.pos,
+                   CASE WHEN n.cell IS NULL THEN p.val
+                        WHEN n.n = 0 THEN m.m
+                        ELSE m.m / n.n END AS val
+            FROM c{i - 1} p
+            LEFT JOIN m{i} m ON m.cell = p.cell AND m.pos = p.pos
+            LEFT JOIN norm{i} n ON n.cell = p.cell
+        )""")
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        vu AS (
+            SELECT vec_id,
+                   list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb)))
+                       AS u
+            FROM v
+        ),
+        seeds AS (
+            SELECT u, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+            FROM vu ORDER BY vec_id LIMIT {k}
+        ),
+        c0 AS (
+            SELECT cell, dd.d AS pos, u[dd.d] AS val
+            FROM seeds
+            CROSS JOIN (SELECT UNNEST(generate_series(1, {dims})) AS d) dd
+        ),{",".join(steps)},
+        dots_final AS (
+            SELECT vu.vec_id, c.cell, SUM(vu.u[c.pos] * c.val) AS dot
+            FROM vu CROSS JOIN c{iters} c
+            GROUP BY vu.vec_id, c.cell
+        )"""
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """llm_embed_kmeans oracle: kmeans CTE chain + per-cell report."""
+    return f"""
+        {_kmeans_cte(k, iters, dims)},
+        final AS (
+            SELECT vec_id, cell, dot FROM dots_final
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
+        )
+        SELECT cell, COUNT(*)::BIGINT AS n_vecs, MIN(vec_id) AS min_vec_id,
+               ROUND(AVG(dot), 4) AS mean_cos_to_centroid
+        FROM final GROUP BY cell
+    """
+
+
+def _ivf_oracle(k: int = 8, iters: int = 3, dims: int = 64, probes: int = 3) -> str:
+    """llm_sim_knn_ivf oracle: same centroid chain; corpus vectors keep
+    their argmax cell, queries probe their top-``probes`` cells, fine
+    scoring is exact round-6 cosine inside probed cells only — the
+    identical pruning, so approximation error hash-matches too."""
+    return f"""
+        {_kmeans_cte(k, iters, dims)},
+        corpus AS (
+            SELECT vec_id, cell FROM dots_final
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
+        ),
+        qcells AS (
+            SELECT vec_id AS query_id, cell FROM dots_final
+            WHERE vec_id % 100 = 0
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) <= {probes}
+        ),
+        cand AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id
+            FROM qcells q JOIN corpus c USING (cell)
+            WHERE q.query_id <> c.vec_id
+        )
+        SELECT c.query_id, c.neighbor_id,
+               ROUND({SQL_COSINE.format(a='qv.emb', b='nv.emb')}, 6) AS cos_sim
+        FROM cand c
+        JOIN v qv ON qv.vec_id = c.query_id
+        JOIN v nv ON nv.vec_id = c.neighbor_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c.query_id
+            ORDER BY ROUND({SQL_COSINE.format(a='qv.emb', b='nv.emb')}, 6) DESC,
+                     c.neighbor_id ASC
+        ) <= 5
+    """
+
+
+
 @register(
     "llm_sim_knn_ivf",
     "K",
+    oracle=_ivf_oracle(),
     doc=(
-        "IVF ANN (approximate → rows-tier) with an UNSUPERVISED coarse "
-        "quantizer: 3 Lloyd iterations of spherical k-means (k=8) build "
-        "the cell centroids — no label column anywhere. Corpus vectors "
-        "are assigned to their nearest cell once; each query probes its "
-        "3 nearest cells and fine-scores only those vectors via an "
-        "equi-join on cell id — O(Q·N·probes/k) instead of O(Q·N). At "
-        "100 TB the cell assignment is a write-once partition column and "
-        "the probe join is a bucketed equi-join on it; k-means driver "
-        "state is k·d floats per iteration (corpus-size independent)."
+        "IVF ANN with an UNSUPERVISED coarse quantizer: 3 Lloyd "
+        "iterations of spherical k-means (k=8) build the cell centroids "
+        "— no label column anywhere. Corpus vectors are assigned to "
+        "their nearest cell once; each query probes its 3 nearest cells "
+        "and fine-scores only those vectors via an equi-join on cell id "
+        "— O(Q·N·probes/k) instead of O(Q·N). At 100 TB the cell "
+        "assignment is a write-once partition column and the probe join "
+        "is a bucketed equi-join on it; k-means driver state is k·d "
+        "floats per iteration (corpus-size independent). Oracle-tier: "
+        "the DuckDB twin replays the identical quantizer + probe "
+        "pruning, so even the APPROXIMATION ERROR hash-matches."
     ),
 )
 def llm_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,76 +696,6 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, loading double, explained_share double"
     )
-
-
-def _kmeans_oracle(k: int = 8, iters: int = 3, dims: int = 64) -> str:
-    """DuckDB twin of _kmeans_centroids + the per-cell report: centroids
-    live as a (cell, pos, val) relation, each Lloyd iteration is one
-    dot-product aggregate + QUALIFY argmax + per-(cell,pos) mean +
-    renormalize, chained ``iters`` times."""
-    steps = []
-    for i in range(1, iters + 1):
-        steps.append(f"""
-        dots{i} AS (
-            SELECT vu.vec_id, c.cell, SUM(vu.u[c.pos] * c.val) AS dot
-            FROM vu CROSS JOIN c{i - 1} c
-            GROUP BY vu.vec_id, c.cell
-        ),
-        a{i} AS (
-            SELECT vec_id, cell FROM dots{i}
-            QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
-        ),
-        m{i} AS (
-            SELECT a.cell, dd.d AS pos, AVG(v.emb[dd.d]) AS m
-            FROM a{i} a JOIN v USING (vec_id)
-            CROSS JOIN (SELECT UNNEST(generate_series(1, {dims})) AS d) dd
-            GROUP BY a.cell, dd.d
-        ),
-        norm{i} AS (
-            SELECT cell, sqrt(SUM(m * m)) AS n FROM m{i} GROUP BY cell
-        ),
-        c{i} AS (
-            SELECT p.cell, p.pos,
-                   CASE WHEN n.cell IS NULL THEN p.val
-                        WHEN n.n = 0 THEN m.m
-                        ELSE m.m / n.n END AS val
-            FROM c{i - 1} p
-            LEFT JOIN m{i} m ON m.cell = p.cell AND m.pos = p.pos
-            LEFT JOIN norm{i} n ON n.cell = p.cell
-        )""")
-    return f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        vu AS (
-            SELECT vec_id,
-                   list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb)))
-                       AS u
-            FROM v
-        ),
-        seeds AS (
-            SELECT u, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-            FROM vu ORDER BY vec_id LIMIT {k}
-        ),
-        c0 AS (
-            SELECT cell, dd.d AS pos, u[dd.d] AS val
-            FROM seeds
-            CROSS JOIN (SELECT UNNEST(generate_series(1, {dims})) AS d) dd
-        ),{",".join(steps)},
-        dots_final AS (
-            SELECT vu.vec_id, c.cell, SUM(vu.u[c.pos] * c.val) AS dot
-            FROM vu CROSS JOIN c{iters} c
-            GROUP BY vu.vec_id, c.cell
-        ),
-        final AS (
-            SELECT vec_id, cell, dot FROM dots_final
-            QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
-        )
-        SELECT cell, COUNT(*)::BIGINT AS n_vecs, MIN(vec_id) AS min_vec_id,
-               ROUND(AVG(dot), 4) AS mean_cos_to_centroid
-        FROM final GROUP BY cell
-    """
-
 
 
 @register(
