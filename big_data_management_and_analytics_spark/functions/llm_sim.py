@@ -769,6 +769,7 @@ def _cleanup_index_dirs() -> None:
 @register(
     "llm_index_persist",
     "K",
+    oracle=_ivf_oracle(),
     doc=(
         "IVF index persistence — build once, serve many: the k-means "
         "assignment table is WRITTEN partitioned by cell (plus a "
@@ -777,8 +778,10 @@ def _cleanup_index_dirs() -> None:
         "touching un-probed partitions (directory-level pruning at scan "
         "time; at 100 TB each cell is a file group and a query scans "
         "n_probe/k of the corpus). Same centroids and probe discipline "
-        "as llm_sim_knn_ivf — tests assert the served top-5 equals the "
-        "in-memory IVF exactly. Rows-tier (k-means not SQL-expressible)."
+        "as llm_sim_knn_ivf, so the same replayed-quantizer oracle "
+        "applies — the hash check additionally proves the parquet "
+        "persist/serve round-trip is lossless; tests assert the served "
+        "top-5 equals the in-memory IVF exactly."
     ),
 )
 def llm_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
