@@ -119,16 +119,55 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle CTEs: document bytes + PGM geometry + per-doc byte sums.
+# DuckDB has no substring-on-BLOB, so byte access goes through hex(blob)
+# (2 hex chars per byte) — exact, and every arithmetic step below stays
+# in exact integers until a final division, so the doubles are
+# bit-identical to numpy's (integer sums of dyadic rationals are exact
+# in IEEE754 at these sizes; see each operator's docstring).
+_MM_BYTES_CTE = """
+        d AS (
+            SELECT doc_id, encode(text) AS b, octet_length(encode(text)) AS n
+            FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        geom AS (
+            SELECT doc_id, n, CAST(ceil(n / 32.0) AS INT) AS h FROM d
+        ),
+        bytes AS (
+            SELECT d.doc_id, ('0x' || substr(hex(d.b), 2 * gs.i - 1, 2))::BIGINT AS v
+            FROM d, LATERAL (SELECT UNNEST(generate_series(1, d.n)) AS i) gs
+        ),
+        sums AS (SELECT doc_id, SUM(v) AS s FROM bytes GROUP BY doc_id)"""
+
+# Decoded features as a reusable CTE tail (mm_decode_features output).
+_MM_FEATURES_SQL = """
+        SELECT g.doc_id,
+               'image/x-portable-graymap' AS media_type,
+               CAST(11 + length(CAST(g.h AS VARCHAR)) + g.h * 32 AS INT)
+                   AS byte_len,
+               32 AS width, g.h AS height,
+               ROUND(((su.s + 32 * (g.h * 32 - g.n))::DOUBLE / (g.h * 32))
+                     / 255, 6) AS mean_luma
+        FROM geom g JOIN sums su USING (doc_id)"""
+
+
 @register(
     "mm_decode_features",
     "K",
+    oracle=f"""
+        WITH {_MM_BYTES_CTE}
+        {_MM_FEATURES_SQL}
+    """,
     doc=(
         "Multimodal decode pipeline: binary PGM payload → mapInPandas "
         "batch decode (real pure-Python Netpbm parser + numpy pixel "
         "stats) → typed feature columns. Map-only: decode is "
-        "embarrassingly parallel, no shuffle anywhere. Rows-tier: the "
-        "decoder is not SQL-expressible; tests recompute every feature "
-        "from the raw bytes with numpy and require exact equality."
+        "embarrassingly parallel, no shuffle anywhere. Oracle-tier: the "
+        "pixels ARE the document's UTF-8 bytes plus space padding, so "
+        "DuckDB re-derives every feature from hex(blob) byte arithmetic "
+        "— integer byte sums make the mean-luma doubles bit-identical "
+        "to numpy's; tests additionally recompute every feature from "
+        "the raw bytes with numpy and require exact equality."
     ),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,11 +223,33 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_frame_sample",
     "K",
+    oracle=f"""
+        WITH {_MM_BYTES_CTE},
+        m AS (
+            SELECT g.doc_id,
+                   hex(encode('P5\n32 ' || CAST(g.h AS VARCHAR) || '\n255\n'))
+                   || hex(d.b) || repeat('20', g.h * 32 - g.n) AS hx,
+                   11 + length(CAST(g.h AS VARCHAR)) + g.h * 32 AS len
+            FROM geom g JOIN d USING (doc_id)
+        )
+        SELECT m.doc_id,
+               CAST(gs.fi AS INT) AS frame_idx,
+               substr(m.hx, 256 * gs.fi + 1, 256) AS frame_hex
+        FROM m, LATERAL (
+            SELECT UNNEST(generate_series(0, CAST(ceil(m.len / 128.0) AS INT) - 1))
+                AS fi
+        ) gs
+    """,
     doc=(
         "Frame-sampling plumbing for video-like payloads: each payload "
         "yields ceil(byte_len/128) pseudo-frames via posexplode — the "
         "fan-out schema (media_id, frame_idx, frame_bytes) a real "
-        "frame sampler produces. Rows-tier."
+        "frame sampler produces. The terminal select hex-encodes the "
+        "frame bytes: pandas renders Spark binary as ``bytes`` but "
+        "DuckDB blobs as ``bytearray``, so raw-binary outputs can never "
+        "hash-compare cross-engine — hex carries the full content "
+        "deterministically (oracle-tier; the binary slicing itself is "
+        "what's verified, byte-for-byte)."
     ),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,9 +264,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id",
         "frame_idx",
-        F.substring(F.col("payload"), F.col("frame_idx") * 128 + 1, 128).alias(
-            "frame_bytes"
-        ),
+        F.hex(
+            F.substring(F.col("payload"), F.col("frame_idx") * 128 + 1, 128)
+        ).alias("frame_hex"),
     )
 
 
@@ -248,13 +309,25 @@ def llm_multimodal_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_luma_histogram",
     "K",
+    oracle=f"""
+        WITH {_MM_BYTES_CTE},
+        feats AS (
+        {_MM_FEATURES_SQL}
+        )
+        SELECT CAST(LEAST(FLOOR(mean_luma * 20), 19) AS INT) AS luma_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(32::BIGINT * height) AS BIGINT) AS total_pixels
+        FROM feats
+        GROUP BY 1
+    """,
     doc=(
         "Corpus-level decoded-feature distribution: the PGM decode "
         "pipeline's mean_luma binned into 20 buckets with image counts "
         "and pixel-area sums — the dataset-curation dashboard aggregate "
         "(brightness skew detection) over decoded media features. "
-        "Rows-tier (depends on the binary decoder); bin counts and "
-        "areas are integers, so the result is partition-order exact."
+        "Oracle-tier via the same byte-arithmetic decode CTE as "
+        "mm_decode_features; bin counts and areas are integers, so the "
+        "result is partition-order exact."
     ),
 )
 def mm_luma_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,6 +369,31 @@ def resize_image_batch(payloads: pd.Series) -> pd.DataFrame:
 @register(
     "mm_resize",
     "K",
+    oracle=f"""
+        WITH {_MM_BYTES_CTE},
+        pix AS (
+            SELECT g.doc_id, g.h, g.n, pp.p,
+                   substr(hex(d.b) || repeat('20', g.h * 32 - g.n),
+                          2 * ((((pp.p // 8) * g.h) // 8) * 32
+                               + ((pp.p % 8) * 32) // 8) + 1,
+                          2) AS phex
+            FROM geom g JOIN d USING (doc_id)
+            CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS p) pp
+        ),
+        agg AS (
+            SELECT doc_id,
+                   MIN(11 + length(CAST(h AS VARCHAR)) + h * 32) AS byte_len_orig,
+                   string_agg(phex, '' ORDER BY p) AS small_hex,
+                   SUM(('0x' || phex)::BIGINT) AS tot
+            FROM pix GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(byte_len_orig AS INT) AS byte_len_orig,
+               hex(encode('P5\n8 8\n255\n')) || small_hex AS payload_small_hex,
+               8 AS width, 8 AS height,
+               ROUND((tot::DOUBLE / 64) / 255, 6) AS mean_luma_small
+        FROM agg
+    """,
     doc=(
         "Multimodal resize pipeline (mandate: decode / feature-extract / "
         "RESIZE / frame-sample): each PGM payload is decoded, downscaled "
@@ -303,9 +401,10 @@ def resize_image_batch(payloads: pd.Series) -> pd.DataFrame:
         "— partition- and platform-invariant), and re-encoded as a valid "
         "PGM binary with its resized luma. Map-only mapInPandas, no "
         "shuffle; swapping in a real interpolating resampler (PIL/cv2) "
-        "changes one function body. Rows-tier: tests re-derive every "
-        "resized raster from the original bytes with numpy and require "
-        "byte equality."
+        "changes one function body. Oracle-tier: DuckDB replays the "
+        "integer index map over hex(blob) and re-assembles the resized "
+        "PGM with from_hex, so the output BYTES hash-match; tests also "
+        "re-derive every raster with numpy and require byte equality."
     ),
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,7 +435,19 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out
 
-    return media.mapInPandas(resize, out_schema)
+    # Terminal hex of the resized PGM: raw binary cannot hash-compare
+    # cross-engine (pandas bytes vs DuckDB bytearray reprs); hex carries
+    # the identical bytes deterministically. The binary pipeline itself
+    # (mapInPandas producing a real PGM) is unchanged and byte-asserted
+    # in tests.
+    return media.mapInPandas(resize, out_schema).select(
+        "doc_id",
+        "byte_len_orig",
+        F.hex("payload_small").alias("payload_small_hex"),
+        "width",
+        "height",
+        "mean_luma_small",
+    )
 
 
 def parse_pcm(b: bytes) -> tuple[int, np.ndarray]:
@@ -401,6 +512,52 @@ def _audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_audio_features",
     "K",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, encode(text) AS b,
+                   octet_length(encode(text))
+                   - octet_length(encode(text)) % 2 AS n
+            FROM documents
+            WHERE octet_length(encode(text)) - octet_length(encode(text)) % 2 > 0
+        ),
+        samp AS (
+            SELECT d.doc_id, gs.i,
+                   ('0x' || substr(hex(d.b), 4 * gs.i - 3, 2))::BIGINT AS lo,
+                   ('0x' || substr(hex(d.b), 4 * gs.i - 1, 2))::BIGINT AS hi
+            FROM d, LATERAL (
+                SELECT UNNEST(generate_series(1, d.n // 2)) AS i
+            ) gs
+        ),
+        vals AS (
+            SELECT doc_id, i,
+                   (lo + 256 * hi
+                    - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END) AS v
+            FROM samp
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS INT) AS n_samples,
+                   SUM((v / 32768.0) * (v / 32768.0)) AS ss,
+                   CAST(COUNT(*) FILTER (
+                       WHERE (v < 0) <> (prev_v < 0) AND prev_v IS NOT NULL
+                   ) AS BIGINT) AS n_cross
+            FROM (
+                SELECT doc_id, i, v,
+                       LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev_v
+                FROM vals
+            )
+            GROUP BY doc_id
+        )
+        SELECT doc_id,
+               'audio/x-pcm16' AS media_type,
+               16000 AS sample_rate,
+               n_samples,
+               ROUND(sqrt(ss / n_samples), 6) AS rms,
+               CASE WHEN n_samples > 1
+                    THEN ROUND(n_cross::DOUBLE / (n_samples - 1), 6)
+                    ELSE 0.0 END AS zcr
+        FROM feats
+    """,
     doc=(
         "Audio-modality pipeline: PCM16 payloads (JVM-side binary encode "
         "with an ASCII rate header) decoded in Arrow-batched mapInPandas "
@@ -408,8 +565,12 @@ def _audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the cheap audio-quality filters of a speech-data pipeline. "
         "Map-only, no shuffle; swapping in a real codec (wav/flac via "
         "soundfile) changes one function body, as with the image path. "
-        "Rows-tier: tests re-derive features from the raw bytes with an "
-        "independent numpy path and require exact equality."
+        "Oracle-tier: DuckDB re-assembles the little-endian int16 "
+        "samples from hex(blob); every (v/2^15)^2 term is an exact "
+        "dyadic rational and the sums stay below 2^53, so the RMS "
+        "doubles are bit-identical regardless of summation order, and "
+        "the zero-crossing count is pure integer arithmetic. Tests also "
+        "re-derive features with an independent numpy path."
     ),
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:

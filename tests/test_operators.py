@@ -541,8 +541,9 @@ def test_resize_matches_numpy_reference(spark, registry):
         xs = (np.arange(multimodal.RESIZE_W) * w) // multimodal.RESIZE_W
         small = raster[np.ix_(ys, xs)]
         expect = b"P5\n8 8\n%d\n" % maxval + small.tobytes()
-        assert bytes(r.payload_small) == expect
-        rw, rh, _, rr = multimodal.parse_pgm(bytes(r.payload_small))
+        got = bytes.fromhex(r.payload_small_hex)
+        assert got == expect
+        rw, rh, _, rr = multimodal.parse_pgm(got)
         assert (rw, rh) == (8, 8) and rr.shape == (8, 8)
         assert r.mean_luma_small == round(float(small.mean()) / maxval, 6)
 
