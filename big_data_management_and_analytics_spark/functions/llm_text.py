@@ -1219,3 +1219,67 @@ def llm_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "llm_bpe_pairs",
+    "K",
+    oracle="""
+        WITH words AS (
+            SELECT tok AS w, COUNT(*) AS freq
+            FROM (
+                SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY tok
+        ),
+        pairs AS (
+            SELECT substr(w.w, gs.i, 2) AS pair, SUM(w.freq) AS pair_count
+            FROM words w, LATERAL (
+                SELECT UNNEST(generate_series(1, length(w.w) - 1)) AS i
+            ) gs
+            GROUP BY substr(w.w, gs.i, 2)
+        )
+        SELECT pair, CAST(pair_count AS BIGINT) AS pair_count
+        FROM pairs
+        QUALIFY ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair ASC) <= 50
+    """,
+    doc=(
+        "BPE tokenizer-training core step: corpus-wide adjacent-symbol "
+        "pair counts. The distributed shape every BPE trainer needs at "
+        "100 TB: tokenize → word-frequency table (the corpus collapses "
+        "to its vocabulary — Heaps' law makes this table tiny relative "
+        "to the corpus) → per-word adjacent character pairs weighted by "
+        "word frequency → top-50 merge candidates with a deterministic "
+        "(count DESC, pair ASC) tiebreak via TakeOrderedAndProject (no "
+        "single-partition window). One full-corpus pass; each further "
+        "BPE merge iteration would rerun only the tiny vocabulary "
+        "table. Integer counts — partition-order exact, hash-verified."
+    ),
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    words = toks.groupBy(F.col("tok").alias("w")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode_outer(pair_arr).alias("pair"), "freq")
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(50)
+    )
