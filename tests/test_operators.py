@@ -68,7 +68,11 @@ def test_minhash_catches_exact_duplicates(spark, tmp_path):
         [
             (1, "spark join filter window agg sort", "en", "s", 1),
             (2, "spark join filter window agg sort", "en", "s", 1),  # exact dup
-            (3, "spark join filter window agg merge", "en", "s", 1),  # near dup
+            # Near dup (J=6/7): band collision is a probabilistic property
+            # of the (deterministic) hash family — this text collides with
+            # doc 1 in bands 0-1 under the portable md5 family, verified
+            # against the same closed form the DuckDB oracle uses.
+            (3, "spark join filter window agg sort extra", "en", "s", 1),
             (4, "totally different words here now yes", "en", "s", 1),
         ],
         schema="doc_id long, text string, lang string, source string, n_chars long",
@@ -93,7 +97,8 @@ def test_components_transitively_close_minhash_groups(spark, tmp_path):
         [
             (1, "spark join filter window agg sort", "en", "s", 1),
             (2, "spark join filter window agg sort", "en", "s", 1),
-            (3, "spark join filter window agg merge", "en", "s", 1),
+            # Same family-dependent near-dup fixture as the minhash test.
+            (3, "spark join filter window agg sort extra", "en", "s", 1),
             (4, "totally different words here now yes", "en", "s", 1),
         ],
         schema="doc_id long, text string, lang string, source string, n_chars long",
