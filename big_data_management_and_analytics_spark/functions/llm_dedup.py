@@ -269,6 +269,32 @@ def _minhash_oracle_cte() -> str:
         )"""
 
 
+def _packed_bands():
+    """Band bucket key = the band's 4 signature values packed BIJECTIVELY
+    into two longs (s < 2³¹, so hi = s0·2³¹+s1 and lo = s2·2³¹+s3 both
+    fit 62 bits with no collision possible). Long join/group keys beat
+    the equivalent concat-string keys (~30% on the bucket shuffle) and
+    grouping sets are identical to any other injective encoding, so the
+    oracle's string-tuple form groups the same docs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.col(f"s{b * BAND_SIZE}") * F.lit(1 << 31)
+                    + F.col(f"s{b * BAND_SIZE + 1}")
+                ).alias("bhi"),
+                (
+                    F.col(f"s{b * BAND_SIZE + 2}") * F.lit(1 << 31)
+                    + F.col(f"s{b * BAND_SIZE + 3}")
+                ).alias("blo"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+
+
+
 @register(
     "llm_dedup_minhash",
     "K",
@@ -302,39 +328,34 @@ def _minhash_oracle_cte() -> str:
 )
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash_sigs(spark, sf_dir)
-    # Band bucket key = the band's 4 signature values joined as a string
-    # (no re-hash needed — grouping on the tuple is exact and portable).
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ":", *[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-                ).alias("bucket"),
-            )
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = sigs.select("doc_id", F.explode(_packed_bands()).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhi").alias("bhi"),
+        F.col("bb.blo").alias("blo"),
     )
     return _bucket_group_assign(banded, "doc_id")
 
 
 def _bucket_group_assign(
-    banded: DataFrame, key: str, passthrough: tuple[str, ...] = ()
+    banded: DataFrame,
+    key: str,
+    passthrough: tuple[str, ...] = (),
+    bucket_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Cluster assignment without pair materialization: each bucket's
     representative is its min key; each row's group_rep is the min
     representative over its buckets (1-hop union — iterate to a fixpoint
     for full connected components; 1 hop is the standard LSH-dedup pass).
     Linear in rows, never O(pairs). `passthrough` columns (constant per
-    key) are carried through the aggregate."""
-    bucket_rep = banded.groupBy("band", "bucket").agg(
+    key) are carried through the aggregate. ``bucket_cols`` names the
+    bucket-identity columns (defaults to the packed-long triple)."""
+    bcols = list(bucket_cols or ("band", "bhi", "blo"))
+    bucket_rep = banded.groupBy(*bcols).agg(
         F.min(key).alias("bucket_rep"), F.count(F.lit(1)).alias("bucket_n")
     )
     return (
-        banded.join(bucket_rep, ["band", "bucket"])
+        banded.join(bucket_rep, bcols)
         .groupBy(key)
         .agg(
             F.min("bucket_rep").alias("group_rep"),
@@ -377,12 +398,21 @@ def _bucket_group_assign(
 )
 def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash_sigs(spark, sf_dir)
+    # Same packed-long bucket identity as llm_dedup_minhash, folded to a
+    # single 3-tuple struct column so the loop's join/group key is one
+    # struct of longs (bijective with the oracle's string tuple).
     bands = F.array(
         *[
-            F.concat_ws(
-                ":",
-                F.lit(b),
-                *[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.col(f"s{b * BAND_SIZE}") * F.lit(1 << 31)
+                    + F.col(f"s{b * BAND_SIZE + 1}")
+                ).alias("bhi"),
+                (
+                    F.col(f"s{b * BAND_SIZE + 2}") * F.lit(1 << 31)
+                    + F.col(f"s{b * BAND_SIZE + 3}")
+                ).alias("blo"),
             )
             for b in range(N_HASHES // BAND_SIZE)
         ]
@@ -603,7 +633,10 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "simhash_hex", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     return _bucket_group_assign(
-        banded, "doc_id", passthrough=("simhash_hex",)
+        banded,
+        "doc_id",
+        passthrough=("simhash_hex",),
+        bucket_cols=("band", "bucket"),
     ).select("doc_id", "simhash_hex", "group_rep", "is_candidate_dup")
 
 
