@@ -351,3 +351,32 @@ def test_contamination_broadcasts_eval_grams(spark, registry):
     plan = _plan(registry["llm_contamination"].fn(spark, SF_T2))
     assert "BroadcastHashJoin" in plan
 
+
+
+def test_minhash_signature_is_codegen_no_python(spark, registry):
+    """The portable-hash minhash path must stay entirely JVM-side (md5 +
+    integer mixes are codegen expressions; a Python UDF here would put
+    the per-token hot loop on the slow path)."""
+    for name in ("llm_dedup_minhash", "llm_dedup_components"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+            assert node not in plan, f"{name} left codegen: {node}"
+
+
+def test_bpe_pairs_topk_avoids_global_sort(spark, registry):
+    """llm_bpe_pairs' deterministic top-50 must plan as
+    TakeOrderedAndProject (bounded per-partition heaps + driver merge),
+    never a full global sort or a single-partition window."""
+    plan = _plan(registry["llm_bpe_pairs"].fn(spark, SF_T2))
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_mm_decode_family_is_map_only(spark, registry):
+    """The multimodal decode/resize/frame ops are embarrassingly parallel:
+    beyond the spread() repartition of the tiny fixture scan, no
+    aggregation or join shuffle may appear in their plans."""
+    for name in ("mm_decode_features", "mm_resize", "mm_frame_sample"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        for node in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate"):
+            assert node not in plan, f"{name} is not map-only: {node}"
