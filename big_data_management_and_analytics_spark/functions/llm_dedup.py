@@ -751,3 +751,95 @@ def llm_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@register(
+    "llm_dedup_incremental",
+    "K",
+    oracle=f"""
+        WITH {_minhash_oracle_cte()},
+        hashes AS (SELECT doc_id, md5(text) AS ch FROM documents),
+        base_hash AS (
+            SELECT ch, MIN(doc_id) AS base_doc
+            FROM hashes WHERE doc_id % 10 != 0 GROUP BY ch
+        ),
+        delta AS (SELECT doc_id, ch FROM hashes WHERE doc_id % 10 = 0),
+        exact AS (
+            SELECT d.doc_id, MIN(b.base_doc) AS base_doc
+            FROM delta d JOIN base_hash b USING (ch)
+            GROUP BY d.doc_id
+        ),
+        near AS (
+            SELECT db.doc_id, MIN(bb.doc_id) AS base_doc
+            FROM banded db JOIN banded bb USING (band, bucket)
+            WHERE db.doc_id % 10 = 0 AND bb.doc_id % 10 != 0
+            GROUP BY db.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS status,
+               COALESCE(e.base_doc, n.base_doc) AS matched_base_doc
+        FROM delta d
+        LEFT JOIN exact e ON e.doc_id = d.doc_id
+        LEFT JOIN near n ON n.doc_id = d.doc_id
+    """,
+    doc=(
+        "Incremental dedup — the op a production pipeline runs per ingest "
+        "batch: the delta (doc_id % 10 = 0) is checked against the "
+        "already-ingested base, first by exact content hash, then by "
+        "shared MinHash band buckets (the persisted-signature probe of a "
+        "100 TB corpus: both checks are hash equi-joins against "
+        "base-side tables that a real deployment keeps materialized, so "
+        "per-batch cost is O(delta), never a corpus rescan). Output is "
+        "one row per delta doc: status exact_dup / near_dup / new plus "
+        "the min matching base doc. Oracle-tier via the portable hash "
+        "family."
+    ),
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 10 == 0
+    hashes = d.select("doc_id", F.md5("text").alias("ch"))
+    base_hash = (
+        hashes.filter(~is_delta)
+        .groupBy("ch")
+        .agg(F.min("doc_id").alias("base_doc"))
+    )
+    delta = hashes.filter(is_delta)
+    exact = (
+        delta.join(base_hash, "ch")
+        .groupBy("doc_id")
+        .agg(F.min("base_doc").alias("exact_base"))
+    )
+    sigs = _minhash_sigs(spark, sf_dir)
+    banded = sigs.select("doc_id", F.explode(_packed_bands()).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhi").alias("bhi"),
+        F.col("bb.blo").alias("blo"),
+    )
+    db = banded.filter(is_delta).select(
+        F.col("doc_id").alias("d_doc"), "band", "bhi", "blo"
+    )
+    bb = banded.filter(~is_delta).select(
+        F.col("doc_id").alias("b_doc"), "band", "bhi", "blo"
+    )
+    near = (
+        db.join(bb, ["band", "bhi", "blo"])
+        .groupBy(F.col("d_doc").alias("doc_id"))
+        .agg(F.min("b_doc").alias("near_base"))
+    )
+    return (
+        delta.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_base").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_base").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("exact_base", "near_base").alias("matched_base_doc"),
+        )
+    )
