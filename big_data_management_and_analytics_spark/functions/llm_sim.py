@@ -831,3 +831,91 @@ def llm_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "llm_rag_retrieve",
+    "K",
+    oracle=f"""
+        {_kmeans_cte()},
+        corpus AS (
+            SELECT vec_id, cell FROM dots_final
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
+        ),
+        qcells AS (
+            SELECT vec_id AS query_id, cell FROM dots_final
+            WHERE vec_id % 100 = 0
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) <= 3
+        ),
+        cand AS (
+            SELECT q.query_id, c.vec_id AS retrieved_id
+            FROM qcells q JOIN corpus c USING (cell)
+            WHERE q.query_id <> c.vec_id
+        ),
+        hits AS (
+            SELECT c.query_id, c.retrieved_id,
+                   ROUND({SQL_COSINE.format(a='qv.emb', b='nv.emb')}, 6)
+                       AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY ROUND({SQL_COSINE.format(a='qv.emb', b='nv.emb')},
+                                      6) DESC,
+                                c.retrieved_id ASC
+                   ) AS rank
+            FROM cand c
+            JOIN v qv ON qv.vec_id = c.query_id
+            JOIN v nv ON nv.vec_id = c.retrieved_id
+        )
+        SELECT h.query_id, h.rank, h.retrieved_id, h.score,
+               d.lang, substr(d.text, 1, 40) AS snippet
+        FROM hits h JOIN documents d ON d.doc_id = h.retrieved_id
+        WHERE h.rank <= 3
+    """,
+    doc=(
+        "RAG retrieval end-to-end: query embeddings probe the IVF index "
+        "(same spherical-k-means quantizer + 3-cell probe as "
+        "llm_sim_knn_ivf), the top-3 hits per query join BACK to the "
+        "documents table for language + a 40-char snippet — the "
+        "embed→search→fetch composition a retrieval-augmented pipeline "
+        "executes per request, here as one declarative plan (ANN "
+        "equi-join + broadcast-able doc fetch join; at 100 TB the doc "
+        "fetch is a point-lookup join against a bucketed docstore). "
+        "Oracle-tier: the DuckDB twin replays quantizer, pruning, and "
+        "fetch."
+    ),
+)
+def llm_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir).select("vec_id", "emb")
+    cent = _kmeans_centroids(v, k=8, iters=3)
+    corpus = v.select(
+        _nearest_cell_udf(cent)(F.col("emb")).alias("cell"), "vec_id", "emb"
+    )
+    q = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.explode(_top_cells_udf(cent, 3)(F.col("emb"))).alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("retrieved_id").asc()
+    )
+    hits = (
+        q.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("retrieved_id"),
+            F.round(cosine_batch(F.col("q_emb"), F.col("emb")), 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("retrieved_id"),
+        "lang",
+        F.substring("text", 1, 40).alias("snippet"),
+    )
+    return hits.join(docs, "retrieved_id").select(
+        "query_id", "rank", "retrieved_id", "score", "lang", "snippet"
+    )
