@@ -44,6 +44,18 @@ _RUNTIME_CONF = {
 
 # SparkContexts that already received the package zip (by applicationId).
 _PYFILES_SHIPPED: set[str] = set()
+_PYFILES_DIRS: list[str] = []
+
+
+@__import__("atexit").register
+def _cleanup_pyfiles_dirs() -> None:
+    """Remove the temp zip staging dirs at interpreter exit (Spark has
+    its own copy after addPyFile; same discipline as the persisted-index
+    and snapshot temp dirs — round-2 advice)."""
+    import shutil
+
+    for d in _PYFILES_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -70,6 +82,7 @@ def _ship_package(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tmp = tempfile.mkdtemp(prefix="bdma_pyfiles_")
+    _PYFILES_DIRS.append(tmp)
     try:
         zip_path = shutil.make_archive(
             os.path.join(tmp, "big_data_management_and_analytics_spark_pkg"),
