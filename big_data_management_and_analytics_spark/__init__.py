@@ -45,6 +45,7 @@ def load_all() -> None:
     )
     from big_data_management_and_analytics_spark.streaming import batch_twins, live  # noqa: F401
     from big_data_management_and_analytics_spark.functions import (  # noqa: F401
+        llm_corpus,
         llm_dedup,
         llm_sim,
         llm_text,

@@ -604,3 +604,68 @@ def test_pagerank_conserves_mass_and_ranks_degree(spark, registry):
     # 100 suppliers absorb the mass of ~1500 customers: any supplier
     # should out-rank the median customer.
     assert supp[0] > cust[len(cust) // 2]
+
+
+def test_substring_dedup_planted_span(spark, tmp_path):
+    """Exact-substring dedup counts each duplicated k-gram POSITION: two
+    docs sharing one 8-token span each get exactly one dup position; a
+    doc with no shared span is absent from the output."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2", "en", "s", 1),  # 10 toks -> 3 grams
+            (2, "head " + shared, "en", "s", 1),  # 9 toks -> 2 grams
+            (3, "q w e r t y u i o p", "en", "s", 1),  # unique grams
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sub")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = {r["doc_id"]: r for r in llm_corpus.llm_dedup_substring(spark, d).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_grams"] == 3 and rows[1]["dup_grams"] == 1
+    assert rows[2]["n_grams"] == 2 and rows[2]["dup_grams"] == 1
+    assert rows[2]["dup_frac"] == 0.5
+
+
+def test_inverted_index_postings_planted(spark, tmp_path):
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", "en", "s", 1),
+            (2, "beta gamma", "en", "s", 1),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "inv")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    idx = {r["term"]: r for r in llm_corpus.llm_inverted_index(spark, d).collect()}
+    assert idx["alpha"]["df"] == 1 and idx["alpha"]["cf"] == 2
+    assert idx["alpha"]["postings"] == "1"
+    assert idx["beta"]["df"] == 2 and idx["beta"]["postings"] == "1,2"
+    assert idx["gamma"]["postings"] == "2"
+
+
+def test_pii_redact_scrubs_every_pattern(spark, registry):
+    """After redaction no email/IP/phone pattern survives, every category
+    was seen at least once per row, and the counts match a Python-regex
+    recount on the identically-composed dirty text."""
+    import re
+
+    from tests.conftest import SF_SMALL
+    from big_data_management_and_analytics_spark.functions.llm_corpus import (
+        RE_EMAIL,
+        RE_IP,
+        RE_PHONE,
+    )
+
+    rows = registry["llm_pii_redact"].fn(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows[:200]:
+        for pat in (RE_EMAIL, RE_IP, RE_PHONE):
+            assert not re.search(pat, r["clean"]), (pat, r["clean"])
+        assert r["n_email"] == 1 and r["n_ip"] == 1 and r["n_phone"] == 1
+        assert "[EMAIL]" in r["clean"] and "[IP]" in r["clean"] and "[PHONE]" in r["clean"]
