@@ -669,3 +669,27 @@ def test_pii_redact_scrubs_every_pattern(spark, registry):
             assert not re.search(pat, r["clean"]), (pat, r["clean"])
         assert r["n_email"] == 1 and r["n_ip"] == 1 and r["n_phone"] == 1
         assert "[EMAIL]" in r["clean"] and "[IP]" in r["clean"] and "[PHONE]" in r["clean"]
+
+
+def test_bpe_merge_greedy_left_to_right(spark, tmp_path):
+    """True BPE application semantics on an x==x run: 'aaaa' merges to
+    [aa, aa] and 'aaa' to [aa, a] — every other match position from each
+    run head, never the textual-replace artifact [aa, a, aa]."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa aaa", "en", "s", 1), (2, "b c", "en", "s", 1)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "bpe")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    w0 = llm_corpus._bpe_words0(spark, d).localCheckpoint(eager=True)
+    w1, m1 = llm_corpus._bpe_step(w0)
+    merge = m1.collect()[0]
+    assert (merge["x"], merge["y"]) == ("a", "a")
+    # freq-weighted count: 'aaaa' (freq 3) has 3 pair positions, 'aaa' has 2
+    assert merge["cnt"] == 3 * 3 + 2
+    syms = {r["w"]: r["syms"] for r in w1.collect()}
+    assert syms["aaaa"] == ["aa", "aa"]
+    assert syms["aaa"] == ["aa", "a"]
+    assert syms["b"] == ["b"] and syms["c"] == ["c"]
