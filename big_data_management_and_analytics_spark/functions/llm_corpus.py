@@ -489,3 +489,94 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pieces_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+# Within-cluster cosine threshold above which two embeddings count as
+# semantic duplicates (same value the label-blocked embcos operator uses
+# on this fixture's embedding geometry).
+SEMDEDUP_TAU = 0.3
+
+
+def _semdedup_oracle() -> str:
+    """Replay quantizer (llm_sim's shared 3-iteration Lloyd CTE chain),
+    argmax cell assignment, and the lower-id-neighbor prune in DuckDB."""
+    from big_data_management_and_analytics_spark.functions.llm_sim import _kmeans_cte
+
+    return (
+        _kmeans_cte()
+        + f""",
+        final AS (
+            SELECT vec_id, cell FROM dots_final
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, cell ASC) = 1
+        ),
+        pruned AS (
+            SELECT DISTINCT a.vec_id
+            FROM final a
+            JOIN final b ON a.cell = b.cell AND b.vec_id < a.vec_id
+            JOIN vu ua ON ua.vec_id = a.vec_id
+            JOIN vu ub ON ub.vec_id = b.vec_id
+            WHERE list_dot_product(ua.u, ub.u) >= {SEMDEDUP_TAU}
+        )
+        SELECT f.vec_id, f.cell,
+               CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        FROM final f LEFT JOIN pruned p ON p.vec_id = f.vec_id
+    """
+    )
+
+
+@register(
+    "llm_dedup_semantic",
+    "K",
+    oracle=_semdedup_oracle(),
+    doc=(
+        "SemDeDup (Abbas et al. 2023): k-means-cluster the embedding "
+        "space, then prune semantic duplicates WITHIN each cluster — a "
+        "vector is pruned iff a lower-id vector in its cluster has "
+        "cosine >= tau. 100 TB shape: the quantizer is the shared "
+        "spherical-k-means coarse quantizer (one distributed pass per "
+        "Lloyd iteration, k*d driver state); clustering bounds the pair "
+        "space to cluster-local blocks, each solved as ONE normalized "
+        "matrix product inside applyInPandas (the llm_dedup_embcos "
+        "pattern) — no global all-pairs join ever forms. Oracle replays "
+        "quantizer, assignment, and prune."
+    ),
+)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from big_data_management_and_analytics_spark.functions.llm_sim import (
+        _kmeans_centroids,
+        _nearest_cell_udf,
+        _vecs,
+    )
+
+    v = _vecs(spark, sf_dir)
+    cent = _kmeans_centroids(v)
+    assigned = v.select(
+        "vec_id", _nearest_cell_udf(cent)(F.col("emb")).alias("cell"), "emb"
+    )
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].to_numpy())
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        c = mn @ mn.T
+        np.fill_diagonal(c, -2.0)  # self-pairs never prune
+        pruned = ((c >= SEMDEDUP_TAU) & (ids[None, :] < ids[:, None])).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"],
+                "kept": (~pruned).astype("int32"),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, "vec_id long, cell int, kept int"
+    )

@@ -693,3 +693,37 @@ def test_bpe_merge_greedy_left_to_right(spark, tmp_path):
     assert syms["aaaa"] == ["aa", "aa"]
     assert syms["aaa"] == ["aa", "a"]
     assert syms["b"] == ["b"] and syms["c"] == ["c"]
+
+
+def test_semdedup_prunes_within_cluster(spark, tmp_path):
+    """An exact duplicate always collapses onto the lower id (cosine ties
+    assign both to the same lowest cell); an orthogonal vector survives;
+    and per cell the lowest vec_id is always the kept representative."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    orth = [0.0, 1.0, 0.0, 0.0]
+    vecs = spark.createDataFrame(
+        [(1, 0, base), (2, 0, base), (3, 1, orth)],
+        schema="vec_id long, label int, embedding array<float>",
+    )
+    d = str(tmp_path / "sd")
+    vecs.write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    out = {r["vec_id"]: r["kept"] for r in llm_corpus.llm_dedup_semantic(spark, d).collect()}
+    assert out == {1: 1, 2: 0, 3: 1}
+
+
+def test_semdedup_cell_invariants(spark, registry):
+    """On the fixture: some pruning happens, and within every cell the
+    minimum vec_id is kept (it can have no lower-id neighbor)."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry["llm_dedup_semantic"].fn(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    assert any(r["kept"] == 0 for r in rows)
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert lowest["kept"] == 1, (cell, lowest)
