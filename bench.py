@@ -37,6 +37,7 @@ HEADLINE = [
     "llm_text_tfidf",         # text pipeline (explode + joins + window)
     "llm_sim_knn",            # vector search brute-force
     "llm_dedup_minhash",      # scalable near-dup (signatures + banding)
+    "llm_dedup_substring",    # exact substring-span dedup (hashed k-grams)
     "tpch_q3_shipping",       # composite pipeline: 3-way join + top-k
     "tpch_q18_bigorders",     # composite pipeline: pre-agg + HAVING + dims
     "llm_dedup_components",   # iterative min-label propagation (cache loop)
