@@ -580,3 +580,135 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cell").applyInPandas(
         per_cell, "vec_id long, cell int, kept int"
     )
+
+
+@register(
+    "llm_dedup_substring_rewrite",
+    "K",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS tok FROM documents
+        ),
+        g AS (
+            SELECT doc_id, gs.i AS i,
+                   {SQL_PH0.format(
+                       col=f"array_to_string(list_slice(tok, gs.i, gs.i + {K_SUB - 1}), ' ')"
+                   )} AS h
+            FROM t, UNNEST(generate_series(1, len(tok) - {K_SUB - 1})) AS gs(i)
+            WHERE len(tok) >= {K_SUB}
+        ),
+        shared AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        dup AS (SELECT doc_id, i FROM g SEMI JOIN shared USING (h)),
+        cov AS (
+            SELECT DISTINCT doc_id, c.p AS p
+            FROM dup, UNNEST(generate_series(i, i + {K_SUB - 1})) AS c(p)
+        ),
+        tokpos AS (
+            SELECT doc_id, gs.p AS p, tok[gs.p] AS tk
+            FROM t, UNNEST(generate_series(1, len(tok))) AS gs(p)
+        ),
+        kept AS (
+            SELECT tp.doc_id, tp.p, tp.tk
+            FROM tokpos tp ANTI JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+        ),
+        kagg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   STRING_AGG(tk, ' ' ORDER BY p) AS clean
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, len(tok) AS n_tokens FROM t)
+        SELECT tt.doc_id, tt.n_tokens,
+               tt.n_tokens - COALESCE(k.n_kept, 0) AS n_removed,
+               COALESCE(k.clean, '') AS clean
+        FROM totals tt LEFT JOIN kagg k ON k.doc_id = tt.doc_id
+    """,
+    doc=(
+        "The actionable form of exact substring-span dedup (Lee et al. "
+        "REMOVE the repeated spans, not the documents): every token "
+        "position covered by any duplicated k-gram is dropped and the "
+        "document is rebuilt from the surviving tokens in order. Same "
+        "linear hashed-gram shape as llm_dedup_substring plus a "
+        "position-explode + anti-join + ordered rebuild — all shuffles "
+        "keyed by doc_id or an 8-byte hash; no pair space. Rebuild "
+        "order is exact via sort-by-position aggregation."
+    ),
+)
+def llm_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = spread(d, "doc_id").select("doc_id", tokens(F.col("text")).alias("tok"))
+    gram_hashes = F.when(
+        F.size("tok") >= K_SUB,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tok") - (K_SUB - 1)),
+            lambda i: ph0(F.concat_ws(" ", F.slice(F.col("tok"), i, K_SUB))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    grams = (
+        base.select("doc_id", F.posexplode_outer(gram_hashes).alias("i0", "h"))
+        .filter(F.col("h").isNotNull())
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "h")
+    )
+    shared = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = grams.join(shared, "h", "left_semi")
+    cov = dup.select(
+        "doc_id", F.explode(F.sequence("i", F.col("i") + (K_SUB - 1))).alias("p")
+    ).distinct()
+    tokpos = base.select(
+        "doc_id", F.posexplode_outer("tok").alias("p0", "tk")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tk")
+    kept = tokpos.join(cov, ["doc_id", "p"], "left_anti")
+    kagg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                lambda s: s["tk"],
+            ),
+        ).alias("clean"),
+    )
+    totals = base.select("doc_id", F.size("tok").alias("n_tokens"))
+    return totals.join(kagg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean"), F.lit("")).alias("clean"),
+    )
+
+
+@register(
+    "llm_bpe_vocab",
+    "K",
+    oracle=_bpe_cte_prefix()
+    + f"""
+        SELECT w, freq, array_to_string(syms, ' ') AS seg, len(syms) AS n_pieces
+        FROM w{M_BPE}
+        QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) <= 50
+    """,
+    doc=(
+        "The trained BPE segmentation table itself — top-50 vocabulary "
+        "words with their piece split and piece count after M_BPE merges. "
+        "This is the artifact a serving tokenizer ships; vocabulary-sized "
+        "output regardless of corpus size. Shares the memoized train "
+        "chain; oracle shares the unrolled CTE prefix."
+    ),
+)
+def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words, _ = _bpe_chain(spark, sf_dir)
+    return (
+        words.select(
+            "w",
+            "freq",
+            F.concat_ws(" ", "syms").alias("seg"),
+            F.size("syms").alias("n_pieces"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        .limit(50)
+    )

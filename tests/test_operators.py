@@ -727,3 +727,33 @@ def test_semdedup_cell_invariants(spark, registry):
     for cell, members in by_cell.items():
         lowest = min(members, key=lambda r: r["vec_id"])
         assert lowest["kept"] == 1, (cell, lowest)
+
+
+def test_substring_rewrite_removes_exact_span(spark, tmp_path):
+    """Only positions covered by the shared 8-gram are dropped; the
+    surviving tokens rebuild in original order."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, "pre " + shared + " post", "en", "s", 1),
+            (2, shared, "en", "s", 1),
+            (3, "q w e r t y u i o p", "en", "s", 1),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "rw")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in llm_corpus.llm_dedup_substring_rewrite(spark, d).collect()
+    }
+    # doc 1: grams at i=1..3; only i=2 ("one..eight") is shared -> covers
+    # positions 2..9, keeping "pre" and "post".
+    assert out[1]["n_tokens"] == 10 and out[1]["n_removed"] == 8
+    assert out[1]["clean"] == "pre post"
+    # doc 2 is entirely the shared span -> everything removed.
+    assert out[2]["n_removed"] == 8 and out[2]["clean"] == ""
+    # doc 3 shares nothing -> untouched.
+    assert out[3]["n_removed"] == 0 and out[3]["clean"] == "q w e r t y u i o p"
