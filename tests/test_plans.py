@@ -380,3 +380,35 @@ def test_mm_decode_family_is_map_only(spark, registry):
         plan = _plan(registry[name].fn(spark, SF_T2))
         for node in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate"):
             assert node not in plan, f"{name} is not map-only: {node}"
+
+
+def test_bpe_encode_broadcasts_vocab(spark, registry):
+    """Corpus-scale BPE application must be a broadcast map-side join to
+    the segmentation vocabulary — never a shuffle of the token stream
+    against it."""
+    df = registry["llm_bpe_encode"].fn(spark, SF_T2)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_substring_dedup_no_pair_space(spark, registry):
+    """Substring-span dedup is linear: no cartesian/nested-loop product
+    may appear anywhere in the plan."""
+    for name in ("llm_dedup_substring", "llm_dedup_substring_rewrite"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pii_redact_single_exchange_map_only(spark, registry):
+    """Redaction is map-only; the one exchange allowed is the documented
+    fixture CPU-spread repartition (sources/io.py::spread)."""
+    import re
+
+    plan = _plan(registry["llm_pii_redact"].fn(spark, SF_T2))
+    # formatted plans list each node twice (tree + detail): count detail
+    # headers only.
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
+    for node in ("Join", "HashAggregate", "Sort "):
+        assert node not in plan, node
