@@ -86,25 +86,38 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer(gram_hashes).alias("h"))
         .filter(F.col("h").isNotNull())
     )
+    # Pre-aggregate to distinct (doc_id, h) occurrence counts: downstream
+    # shuffles move this much smaller relation, and the algorithm's two
+    # passes over it (find shared hashes; flag + per-doc count) are the
+    # natural minimum — totals and dup counts come out of ONE aggregation
+    # via the flag, not separate branches. The shared-hash probe is a
+    # hash join (AQE skew-splittable), never a per-hash window, so a
+    # boilerplate gram shared by millions of docs cannot pin one task.
+    occ = g.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("cnt"))
     shared = (
-        g.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))  # occ rows are distinct per doc
         .filter(F.col("nd") >= 2)
-        .select("h")
+        .select("h", F.lit(1).alias("is_dup"))
     )
-    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    dups = (
-        g.join(shared, "h", "left_semi")
+    return (
+        occ.join(shared, "h", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_grams"))
-    )
-    return totals.join(dups, "doc_id").select(
-        "doc_id",
-        "n_grams",
-        "dup_grams",
-        F.round(F.col("dup_grams").cast("double") / F.col("n_grams"), 6).alias(
-            "dup_frac"
-        ),
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.when(F.col("is_dup") == 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_grams"
+            ),
+        )
+        .filter(F.col("dup_grams") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_grams",
+            F.round(
+                F.col("dup_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_frac"),
+        )
     )
 
 
