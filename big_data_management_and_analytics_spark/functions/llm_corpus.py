@@ -674,25 +674,26 @@ def llm_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokpos = base.select(
         "doc_id", F.posexplode_outer("tok").alias("p0", "tk")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "tk")
-    kept = tokpos.join(cov, ["doc_id", "p"], "left_anti")
-    kagg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    # Flag covered positions instead of anti-joining, so token totals,
+    # removal counts, and the ordered rebuild all come out of ONE
+    # aggregation — base (scan + tokenize) is consumed exactly twice
+    # (gram pass + token pass), the algorithm's minimum.
+    flagged = tokpos.join(
+        cov.withColumn("c", F.lit(1)), ["doc_id", "p"], "left"
+    ).select("doc_id", "p", "tk", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("c").alias("n_removed"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("p", "tk", "c"))),
+                    lambda s: s["c"] == 0,
+                ),
                 lambda s: s["tk"],
             ),
         ).alias("clean"),
-    )
-    totals = base.select("doc_id", F.size("tok").alias("n_tokens"))
-    return totals.join(kagg, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("clean"), F.lit("")).alias("clean"),
     )
 
 
