@@ -757,3 +757,28 @@ def test_substring_rewrite_removes_exact_span(spark, tmp_path):
     assert out[2]["n_removed"] == 8 and out[2]["clean"] == ""
     # doc 3 shares nothing -> untouched.
     assert out[3]["n_removed"] == 0 and out[3]["clean"] == "q w e r t y u i o p"
+
+
+def test_substring_detect_and_rewrite_agree(spark, registry):
+    """Cross-operator consistency on the fixture: exactly the docs the
+    detector flags lose tokens in the rewrite, n_grams == n_tokens-K+1,
+    and removal counts respect the k-gram coverage bounds."""
+    from tests.conftest import SF_SMALL
+    from big_data_management_and_analytics_spark.functions.llm_corpus import K_SUB
+
+    det = {
+        r["doc_id"]: r for r in registry["llm_dedup_substring"].fn(spark, SF_SMALL).collect()
+    }
+    rew = {
+        r["doc_id"]: r
+        for r in registry["llm_dedup_substring_rewrite"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(det) == {d for d, r in rew.items() if r["n_removed"] > 0}
+    for d, dr in det.items():
+        rr = rew[d]
+        assert dr["n_grams"] == rr["n_tokens"] - (K_SUB - 1)
+        # one dup gram covers K positions; m dup grams cover at most K*m
+        assert K_SUB <= rr["n_removed"] <= min(rr["n_tokens"], K_SUB * dr["dup_grams"])
+        # clean text token count matches the removal arithmetic
+        n_clean = len(rr["clean"].split()) if rr["clean"] else 0
+        assert n_clean == rr["n_tokens"] - rr["n_removed"]
