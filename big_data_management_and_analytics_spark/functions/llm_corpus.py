@@ -265,12 +265,12 @@ def _bpe_iter_cte(i: int) -> str:
     """
     p = i - 1
     return f"""
-        e{i} AS (
+        e{i} AS MATERIALIZED (
             SELECT w, freq, t.pos AS pos, syms[t.pos] AS sym,
                    lead(syms[t.pos]) OVER (PARTITION BY w ORDER BY t.pos) AS nxt
             FROM w{p}, UNNEST(generate_series(1, len(syms))) AS t(pos)
         ),
-        m{i} AS (
+        m{i} AS MATERIALIZED (
             SELECT sym AS x, nxt AS y, CAST(SUM(freq) AS BIGINT) AS cnt
             FROM e{i} WHERE nxt IS NOT NULL
             GROUP BY sym, nxt
@@ -286,7 +286,7 @@ def _bpe_iter_cte(i: int) -> str:
             SELECT w, pos FROM mt{i}
             QUALIFY (pos - MIN(pos) OVER (PARTITION BY w, isl)) % 2 = 0
         ),
-        w{i} AS (
+        w{i} AS MATERIALIZED (
             SELECT e.w, MAX(e.freq) AS freq,
                    list(CASE WHEN t.pos IS NOT NULL THEN e.sym || e.nxt
                              ELSE e.sym END ORDER BY e.pos)
@@ -305,7 +305,7 @@ def _bpe_cte_prefix() -> str:
         WITH toks AS (
             SELECT UNNEST({SQL_TOKENS.format(col='text')}) AS tok FROM documents
         ),
-        w0 AS (
+        w0 AS MATERIALIZED (
             SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq,
                    list_transform(generate_series(1, length(tok)), i -> tok[i]) AS syms
             FROM toks WHERE tok <> '' GROUP BY tok
@@ -341,57 +341,74 @@ def _bpe_step(words: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One BPE merge iteration: pick the (freq-weighted) most frequent
     adjacent symbol pair and apply it greedily left-to-right.
 
-    Mirrors _bpe_iter_cte exactly. All relations are vocabulary-sized;
-    windows partition by word (rows per partition = word length), the
-    1-row winning merge broadcasts, and the caller localCheckpoints the
-    result so the 4-iteration loop keeps a bounded plan (the repo-wide
-    iterative-loop rule, tests/test_plans.py)."""
-    wnd = Window.partitionBy("w").orderBy("pos")
-    e = (
-        words.select("w", "freq", F.posexplode("syms").alias("pos0", "sym"))
-        .select("w", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
-        .withColumn("nxt", F.lead("sym").over(wnd))
-    )
+    Semantically identical to the oracle's windowed gaps-and-islands
+    formulation (_bpe_iter_cte), but the APPLICATION is a pure map-only
+    array expression — match positions via a higher-order filter, the
+    greedy non-overlapping take via an aggregate() fold (take p iff it
+    does not touch the previously taken position), and the rebuild via
+    an index transform. The vocabulary relation never explodes: per
+    iteration only the pair-count aggregate shuffles, and the winning
+    pair broadcasts as a 1-row relation. localCheckpoint bounds the
+    loop's lineage (repo iterative-loop rule, tests/test_plans.py)."""
+    pair_arr = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("syms") - 2),
+            lambda i: F.struct(
+                F.element_at("syms", i + 1).alias("x"),
+                F.element_at("syms", i + 2).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
     m = (
-        e.filter(F.col("nxt").isNotNull())
-        .groupBy(F.col("sym").alias("x"), F.col("nxt").alias("y"))
+        words.select(F.explode_outer(pair_arr).alias("pr"), "freq")
+        .filter(F.col("pr").isNotNull())
+        .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
         .agg(F.sum("freq").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("x").asc(), F.col("y").asc())
         .limit(1)
     )
     m = m.localCheckpoint(eager=True)
-    mt = (
-        e.join(F.broadcast(m), (F.col("sym") == F.col("x")) & (F.col("nxt") == F.col("y")))
-        .select("w", "pos")
-        .withColumn("isl", F.col("pos") - F.row_number().over(wnd))
+
+    s = F.col("syms")
+    # 0-based pair positions p where (syms[p], syms[p+1]) == (x, y).
+    ps = F.when(
+        F.size(s) >= 2,
+        F.filter(
+            F.sequence(F.lit(0), F.size(s) - 2),
+            lambda p: (F.element_at(s, p + 1) == F.col("x"))
+            & (F.element_at(s, p + 2) == F.col("y")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # Greedy left-to-right non-overlap: take p iff no previously taken
+    # position is p-1 (only possible inside x==x runs).
+    taken = F.aggregate(
+        ps,
+        F.array().cast("array<int>"),
+        lambda acc, p: F.when(
+            (F.size(acc) == 0) | (p > F.element_at(acc, -1) + 1),
+            F.concat(acc, F.array(p)),
+        ).otherwise(acc),
     )
-    tk = (
-        mt.withColumn("head", F.min("pos").over(Window.partitionBy("w", "isl")))
-        .filter(((F.col("pos") - F.col("head")) % 2) == 0)
-        .select("w", "pos")
+    tk = F.col("tk")
+    new_syms = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size(s) - 1),
+            lambda i: F.when(
+                F.array_contains(tk, i),
+                F.concat(F.element_at(s, i + 1), F.element_at(s, i + 2)),
+            ).otherwise(
+                F.when(F.array_contains(tk, i - 1), F.lit(None)).otherwise(
+                    F.element_at(s, i + 1)
+                )
+            ),
+        ),
+        lambda v: v.isNotNull(),
     )
-    t = tk.select(F.col("w").alias("tw"), F.col("pos").alias("tpos"))
-    c = tk.select(F.col("w").alias("cw"), (F.col("pos") + 1).alias("cpos"))
     rebuilt = (
-        e.join(t, (F.col("w") == F.col("tw")) & (F.col("pos") == F.col("tpos")), "left")
-        .join(c, (F.col("w") == F.col("cw")) & (F.col("pos") == F.col("cpos")), "left")
-        .filter(F.col("cpos").isNull())
-        .select(
-            "w",
-            "freq",
-            "pos",
-            F.when(F.col("tpos").isNotNull(), F.concat("sym", "nxt"))
-            .otherwise(F.col("sym"))
-            .alias("nsym"),
-        )
-        .groupBy("w")
-        .agg(
-            F.max("freq").alias("freq"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "nsym"))),
-                lambda s: s["nsym"],
-            ).alias("syms"),
-        )
+        words.crossJoin(F.broadcast(m.select("x", "y")))
+        .withColumn("tk", taken)
+        .select("w", "freq", new_syms.alias("syms"))
     )
     return rebuilt.localCheckpoint(eager=True), m
 
