@@ -34,6 +34,7 @@ def load_all() -> None:
         composite,
         composite_full,
         graph,
+        timeseries,
     )
     from big_data_management_and_analytics_spark.functions import (  # noqa: F401
         strings,

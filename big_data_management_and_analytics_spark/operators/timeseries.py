@@ -1,0 +1,181 @@
+"""Time-series resampling operators over the events stream table:
+OHLC downsampling and spine-based gap filling with carry-forward —
+the two shapes every metrics/feature-store pipeline needs.
+
+Both oracle-tier; timestamps flow through the compare bridge directly
+(the streaming batch twins established that convention).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from big_data_management_and_analytics_spark.plans.determinism import money_sum_fast
+from big_data_management_and_analytics_spark.plans.registry import register
+from big_data_management_and_analytics_spark.sources.io import load
+
+
+@register(
+    "ts_ohlc_resample",
+    "E",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   ts, event_id, value
+            FROM events
+        ),
+        o AS (
+            SELECT event_type, bucket, value AS open
+            FROM b
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY event_type, bucket ORDER BY ts, event_id) = 1
+        ),
+        c AS (
+            SELECT event_type, bucket, value AS close
+            FROM b
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC) = 1
+        ),
+        a AS (
+            SELECT event_type, bucket,
+                   MAX(value) AS high, MIN(value) AS low,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM b GROUP BY event_type, bucket
+        )
+        SELECT a.event_type, a.bucket, o.open, a.high, a.low, c.close,
+               a.n_events, a.sum_value
+        FROM a
+        JOIN o ON o.event_type = a.event_type AND o.bucket = a.bucket
+        JOIN c ON c.event_type = a.event_type AND c.bucket = a.bucket
+    """,
+    doc=(
+        "OHLC downsampling: per (series, hour) the first/last values by "
+        "(ts, event_id) — a total, deterministic order — plus high/low/"
+        "count/exact-cents sum. Open and close come from per-bucket "
+        "row_number windows (partition = one bucket of one series, so "
+        "window parallelism equals bucket count — no global sort); the "
+        "extremes and sums are one hash aggregate. All picks are raw "
+        "stored doubles (no float arithmetic), the sum is integer-cents "
+        "exact, so the output is partition-order independent."
+    ),
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_open = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    picks = (
+        e.withColumn("rn_o", F.row_number().over(w_open))
+        .withColumn("rn_c", F.row_number().over(w_close))
+        .filter((F.col("rn_o") == 1) | (F.col("rn_c") == 1))
+    )
+    opens = picks.filter(F.col("rn_o") == 1).select(
+        "event_type", "bucket", F.col("value").alias("open")
+    )
+    closes = picks.filter(F.col("rn_c") == 1).select(
+        "event_type", "bucket", F.col("value").alias("close")
+    )
+    agg = e.groupBy("event_type", "bucket").agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum_fast("value", "sum_value"),
+    )
+    return (
+        agg.join(opens, ["event_type", "bucket"])
+        .join(closes, ["event_type", "bucket"])
+        .select(
+            "event_type", "bucket", "open", "high", "low", "close",
+            "n_events", "sum_value",
+        )
+    )
+
+
+@register(
+    "ts_gap_fill",
+    "E",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour, value
+            FROM events
+        ),
+        obs AS (
+            SELECT event_type, hour, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM b GROUP BY event_type, hour
+        ),
+        bounds AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM b),
+        spine AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ),
+        grid AS (
+            SELECT t.event_type, s.hour
+            FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN spine s
+        )
+        SELECT g.event_type, g.hour,
+               COALESCE(o.n_events, 0) AS n_events,
+               last_value(o.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value,
+               CASE WHEN o.hour IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM grid g
+        LEFT JOIN obs o ON o.event_type = g.event_type AND o.hour = g.hour
+    """,
+    doc=(
+        "Spine-based gap filling: a complete hourly spine (sequence "
+        "between the observed bounds — a broadcast 1-row scalar, never a "
+        "driver round-trip) crossed with the series set, left-joined to "
+        "the observed hourly aggregates, missing hours carried forward "
+        "with last_value(IGNORE NULLS). Gap hours report n_events=0, "
+        "is_gap=1, and the last observed exact-cents sum; leading gaps "
+        "stay NULL. The carry-forward window partitions per series — "
+        "parallelism equals series count here, and at 100 TB the spine "
+        "join stays proportional to |series| x |buckets|, not event "
+        "count."
+    ),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
+    )
+    obs = b.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum_fast("value", "sum_value"),
+    )
+    bounds = b.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = b.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy(F.col("g.event_type"))
+        .orderBy(F.col("g.hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.alias("g").join(
+        obs.alias("o"),
+        (F.col("g.event_type") == F.col("o.event_type"))
+        & (F.col("g.hour") == F.col("o.hour")),
+        "left",
+    )
+    return filled.select(
+        F.col("g.event_type").alias("event_type"),
+        F.col("g.hour").alias("hour"),
+        F.coalesce(F.col("o.n_events"), F.lit(0)).alias("n_events"),
+        F.last(F.col("o.sum_value"), ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("o.hour").isNull(), 1).otherwise(0).alias("is_gap"),
+    )

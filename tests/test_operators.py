@@ -782,3 +782,48 @@ def test_substring_detect_and_rewrite_agree(spark, registry):
         # clean text token count matches the removal arithmetic
         n_clean = len(rr["clean"].split()) if rr["clean"] else 0
         assert n_clean == rr["n_tokens"] - rr["n_removed"]
+
+
+def test_ts_gap_fill_carries_forward(spark, tmp_path):
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:15:00"), 1, "click", 2.0, "{}"),
+            (2, _ts("2024-01-01T10:45:00"), 1, "click", 3.0, "{}"),
+            # hour 11 missing entirely
+            (3, _ts("2024-01-01T12:05:00"), 1, "click", 7.0, "{}"),
+        ],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "gf")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    rows = {
+        r["hour"].hour: r for r in timeseries.ts_gap_fill(spark, d).collect()
+    }
+    assert set(rows) == {10, 11, 12}
+    assert rows[10]["n_events"] == 2 and rows[10]["filled_value"] == 5.0
+    assert rows[11]["n_events"] == 0 and rows[11]["is_gap"] == 1
+    assert rows[11]["filled_value"] == 5.0  # carried forward
+    assert rows[12]["filled_value"] == 7.0 and rows[12]["is_gap"] == 0
+
+
+def test_ts_ohlc_picks_by_time_order(spark, tmp_path):
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:05:00"), 1, "click", 4.0, "{}"),
+            (2, _ts("2024-01-01T10:10:00"), 1, "click", 9.0, "{}"),
+            (3, _ts("2024-01-01T10:55:00"), 1, "click", 1.0, "{}"),
+            # same ts as event 3: event_id breaks the tie -> close = 6.0
+            (4, _ts("2024-01-01T10:55:00"), 1, "click", 6.0, "{}"),
+        ],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "ohlc")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    r = timeseries.ts_ohlc_resample(spark, d).collect()[0]
+    assert r["open"] == 4.0 and r["close"] == 6.0
+    assert r["high"] == 9.0 and r["low"] == 1.0
+    assert r["n_events"] == 4 and r["sum_value"] == 20.0
