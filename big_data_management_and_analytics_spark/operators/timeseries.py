@@ -179,3 +179,121 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(F.col("o.sum_value"), ignorenulls=True).over(w).alias("filled_value"),
         F.when(F.col("o.hour").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+@register(
+    "events_funnel",
+    "L",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click_after_view,
+               (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+               (SELECT ROUND(AVG(CAST(date_diff('second', v.v_ts, p.p_ts) AS DOUBLE)), 4)
+                FROM p JOIN v ON v.user_id = p.user_id) AS avg_sec_to_convert
+    """,
+    doc=(
+        "Ordered funnel analysis (view -> click -> purchase): each stage "
+        "is the per-user MIN event time strictly after the previous "
+        "stage, computed as a chain of filtered aggregates + equi-joins "
+        "— every step shuffles on user_id only, so the whole funnel is "
+        "co-partitioned after the first exchange and each stage prunes "
+        "the user set monotonically. Second-resolution conversion time "
+        "(floor-to-second diff — identical boundary-crossing semantics "
+        "in both engines), rounded."
+    ),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    conv = p.join(v, "user_id").agg(
+        F.round(
+            F.avg(
+                (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).cast(
+                    "double"
+                )
+            ),
+            4,
+        ).alias("avg_sec_to_convert")
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+    return counts.crossJoin(conv)
+
+
+@register(
+    "events_cohort_retention",
+    "L",
+    oracle="""
+        WITH wk AS (
+            SELECT user_id, date_trunc('week', ts) AS w FROM events
+        ),
+        first AS (SELECT user_id, MIN(w) AS cohort FROM wk GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, w FROM wk)
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, a.w) // 7 AS INT) AS week_offset,
+               COUNT(*) AS n_users
+        FROM act a JOIN first f ON f.user_id = a.user_id
+        GROUP BY f.cohort, week_offset
+    """,
+    doc=(
+        "Cohort retention: users grouped by first-activity ISO week, "
+        "counted in each subsequent activity week. Two user_id-keyed "
+        "aggregates + one co-partitioned join + one (cohort, offset) "
+        "aggregate — the distinct-activity relation is bounded by "
+        "|users| x |weeks|, so at 100 TB the plan is event-scan + three "
+        "small shuffles. Week offsets are exact (both engines truncate "
+        "to Monday; day deltas are multiples of 7)."
+    ),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wk = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    )
+    first = wk.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    act = wk.distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort",
+            F.expr("CAST(datediff(w, cohort) div 7 AS INT)").alias("week_offset"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

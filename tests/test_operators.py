@@ -827,3 +827,54 @@ def test_ts_ohlc_picks_by_time_order(spark, tmp_path):
     assert r["open"] == 4.0 and r["close"] == 6.0
     assert r["high"] == 9.0 and r["low"] == 1.0
     assert r["n_events"] == 4 and r["sum_value"] == 20.0
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    """A purchase BEFORE the user's first click must not count; a full
+    ordered view->click->purchase chain counts once."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: proper chain
+            (1, _ts("2024-01-01T10:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-01T10:05:00"), 1, "click", 1.0, "{}"),
+            (3, _ts("2024-01-01T10:30:00"), 1, "purchase", 1.0, "{}"),
+            # user 2: purchase precedes click -> stops at click stage
+            (4, _ts("2024-01-01T09:00:00"), 2, "view", 1.0, "{}"),
+            (5, _ts("2024-01-01T09:10:00"), 2, "purchase", 1.0, "{}"),
+            (6, _ts("2024-01-01T09:20:00"), 2, "click", 1.0, "{}"),
+            # user 3: click only, no view first -> no funnel entry past view
+            (7, _ts("2024-01-01T08:00:00"), 3, "click", 1.0, "{}"),
+        ],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "fun")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    r = timeseries.events_funnel(spark, d).collect()[0]
+    assert r["n_view"] == 2
+    assert r["n_click_after_view"] == 2  # users 1 and 2
+    assert r["n_purchase_after_click"] == 1  # only user 1
+    assert r["avg_sec_to_convert"] == 1800.0
+
+
+def test_cohort_retention_offsets(spark, tmp_path):
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    ev = spark.createDataFrame(
+        [
+            # user 1 first active week of Jan 1 (Mon), returns 2 weeks later
+            (1, _ts("2024-01-02T10:00:00"), 1, "view", 1.0, "{}"),
+            (2, _ts("2024-01-16T10:00:00"), 1, "view", 1.0, "{}"),
+            # user 2 same cohort, week-0 only
+            (3, _ts("2024-01-03T10:00:00"), 2, "view", 1.0, "{}"),
+        ],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "coh")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    rows = {
+        (r["cohort"].day, r["week_offset"]): r["n_users"]
+        for r in timeseries.events_cohort_retention(spark, d).collect()
+    }
+    assert rows == {(1, 0): 2, (1, 2): 1}
