@@ -297,3 +297,53 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_transition_matrix",
+    "L",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        trans AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        ),
+        totals AS (
+            SELECT prev_type, SUM(n) AS total FROM trans GROUP BY prev_type
+        )
+        SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+               ROUND(CAST(t.n AS DOUBLE) / tt.total, 6) AS prob
+        FROM trans t JOIN totals tt ON tt.prev_type = t.prev_type
+    """,
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: one lag window per user (total (ts, event_id) order), "
+        "one (prev, next) hash aggregate, row-normalized via a "
+        "broadcast-sized per-prev totals join. The |types|^2-bounded "
+        "output makes every post-window shuffle trivial; the only "
+        "event-scale work is the user-partitioned sequence window."
+    ),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("prob"),
+    )

@@ -878,3 +878,17 @@ def test_cohort_retention_offsets(spark, tmp_path):
         for r in timeseries.events_cohort_retention(spark, d).collect()
     }
     assert rows == {(1, 0): 2, (1, 2): 1}
+
+
+def test_transition_matrix_rows_are_distributions(spark, registry):
+    """Each prev_type's outgoing probabilities sum to ~1 and counts are
+    consistent with the per-row probability."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry["events_transition_matrix"].fn(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["prob"]
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-3, (prev, total)
