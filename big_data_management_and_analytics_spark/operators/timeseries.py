@@ -347,3 +347,97 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("prob"),
     )
+
+
+@register(
+    "ts_anomaly_zscore",
+    "E",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS c
+            FROM events
+            GROUP BY event_type, hour
+        ),
+        win AS (
+            SELECT event_type, hour, c,
+                   SUM(c) OVER w AS sum_c,
+                   SUM(c * c) OVER w AS sumsq_c,
+                   COUNT(*) OVER w AS n
+            FROM hourly
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+            )
+        )
+        , vz AS (
+            SELECT event_type, hour, c, n,
+                   (CAST(sumsq_c AS DOUBLE)
+                    - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n)
+                       / (n - 1) AS var,
+                   CAST(c AS DOUBLE) - CAST(sum_c AS DOUBLE) / n AS dev
+            FROM win WHERE n >= 12
+        )
+        SELECT event_type, hour,
+               CAST(c AS DOUBLE) / 100.0 AS hourly_value,
+               ROUND(CASE WHEN var > 0 THEN dev / sqrt(var) END, 4) AS zscore,
+               CASE WHEN var > 0 AND abs(dev / sqrt(var)) > 3.0
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM vz
+    """,
+    doc=(
+        "Rolling z-score anomaly detection over hourly series: a 24-hour "
+        "trailing window on exact integer-cents sums (both window "
+        "accumulators are LONG — partition-order independent), then mean/"
+        "variance/z derived through the IDENTICAL double expression tree "
+        "in both engines, so even the unrounded flag threshold agrees "
+        "bit-for-bit. One hash aggregate + one per-series ordered window "
+        "— the 100 TB cost is the hourly rollup scan; the window runs on "
+        "|series| x |hours| rows."
+    ),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(cents("value")).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    win = hourly.select(
+        "event_type",
+        "hour",
+        "c",
+        F.sum("c").over(w).alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("sumsq_c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") >= 12)
+    cd = F.col("c").cast("double")
+    sumd = F.col("sum_c").cast("double")
+    sqd = F.col("sumsq_c").cast("double")
+    n = F.col("n")
+    # A flat window has variance exactly 0 (integer accumulators), so the
+    # zero-variance guard is total — no ANSI divide-by-zero, z is NULL.
+    vz = win.select(
+        "event_type",
+        "hour",
+        "c",
+        "n",
+        ((sqd - sumd * sumd / n) / (n - 1)).alias("var"),
+        (cd - sumd / n).alias("dev"),
+    )
+    z = F.col("dev") / F.sqrt(F.col("var"))
+    return vz.select(
+        "event_type",
+        "hour",
+        (F.col("c").cast("double") / 100.0).alias("hourly_value"),
+        F.round(F.when(F.col("var") > 0, z), 4).alias("zscore"),
+        F.when((F.col("var") > 0) & (F.abs(z) > 3.0), 1)
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )

@@ -892,3 +892,27 @@ def test_transition_matrix_rows_are_distributions(spark, registry):
         by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["prob"]
     for prev, total in by_prev.items():
         assert abs(total - 1.0) < 1e-3, (prev, total)
+
+
+def test_zscore_flags_planted_spike(spark, tmp_path):
+    """A flat series with one huge spike: the spike hour gets |z| > 3
+    once enough trailing history exists; flat hours sit near zero."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    eid = 0
+    for h in range(20):
+        eid += 1
+        val = 1000.0 if h == 18 else 1.0
+        rows.append((eid, _ts(f"2024-01-01T{h:02d}:30:00"), 1, "click", val, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "zs")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {r["hour"].hour: r for r in timeseries.ts_anomaly_zscore(spark, d).collect()}
+    assert 18 in out and out[18]["is_anomaly"] == 1
+    assert out[18]["zscore"] > 3
+    # flat hours with full history are not anomalous
+    assert out[15]["is_anomaly"] == 0
