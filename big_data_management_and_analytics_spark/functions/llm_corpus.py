@@ -743,3 +743,77 @@ def llm_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("w").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index quality evaluation
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the brute-force and IVF oracles (each a self-contained
+    WITH...SELECT, legal as a nested-WITH CTE body) and score recall@5."""
+    from big_data_management_and_analytics_spark.functions import llm_sim
+    from big_data_management_and_analytics_spark.plans.registry import get_query
+
+    brute_sql = get_query("llm_sim_knn").oracle
+    approx_sql = llm_sim._ivf_oracle()
+    return f"""
+        WITH brute AS ({brute_sql}),
+        approx AS ({approx_sql}),
+        truth AS (
+            SELECT query_id, COUNT(*) AS n_true FROM brute GROUP BY query_id
+        ),
+        hits AS (
+            SELECT b.query_id, COUNT(*) AS n_hit
+            FROM brute b
+            SEMI JOIN approx a
+              ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+            GROUP BY b.query_id
+        )
+        SELECT t.query_id, CAST(t.n_true AS BIGINT) AS n_true,
+               CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+               ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_true, 6)
+                   AS recall_at_5
+        FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
+    """
+
+
+@register(
+    "llm_ann_recall",
+    "K",
+    oracle=_ann_recall_oracle(),
+    doc=(
+        "Self-evaluating index quality: recall@5 of the IVF ANN path "
+        "against the exact brute-force top-5, computed INSIDE the engine "
+        "as a per-query semi-join intersection — the eval harness a "
+        "production vector store runs after every index build. Both "
+        "rankings use the same (rounded cosine DESC, vec_id ASC) total "
+        "order, so the intersection — and hence the measured recall — "
+        "is deterministic cross-engine. Costs one brute pass over the "
+        "query batch (the thing being audited) + the IVF probe path."
+    ),
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.llm_sim import (
+        llm_sim_knn,
+        llm_sim_knn_ivf,
+    )
+
+    brute = llm_sim_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = llm_sim_knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    truth = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        brute.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return truth.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_true",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_true"),
+            6,
+        ).alias("recall_at_5"),
+    )

@@ -441,3 +441,56 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "events_topk_paths",
+    "L",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        p AS (
+            SELECT user_id, STRING_AGG(event_type, '>' ORDER BY rn) AS path
+            FROM seq WHERE rn <= 3 GROUP BY user_id
+        )
+        SELECT path, COUNT(*) AS n_users
+        FROM p
+        GROUP BY path
+        QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path ASC) <= 10
+    """,
+    doc=(
+        "Top-10 opening paths (first three events per user, in total "
+        "(ts, event_id) order): sequence mining's counting core. One "
+        "per-user window prunes to 3 rows before any further shuffle, "
+        "the path string aggregates per user, and the final top-k is a "
+        "TakeOrderedAndProject over the |types|^3-bounded path space — "
+        "no global sort, deterministic (count DESC, path ASC) tiebreak."
+    ),
+)
+def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = first3.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(10)
+    )
