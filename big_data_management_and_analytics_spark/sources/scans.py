@@ -16,6 +16,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from big_data_management_and_analytics_spark.plans.determinism import money_sum_fast
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import SCHEMAS, load, register_views
 
@@ -773,3 +774,54 @@ def sink_table_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return summarize(1).unionByName(summarize(2)).orderBy("version")
+
+
+@register(
+    "scan_schema_evolution",
+    "A",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+                   AS n_with_priority,
+               CAST(COUNT(DISTINCT o_orderpriority)
+                    FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+                   AS n_priorities,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_totalprice
+        FROM orders
+    """,
+    doc=(
+        "Schema evolution on read: two parquet batches with DIFFERENT "
+        "schemas (the second adds o_orderpriority) land in one directory "
+        "— the ingest-pipeline reality when producers upgrade — and "
+        "mergeSchema=true reconciles them, back-filling the missing "
+        "column with NULL for old files. The audit aggregate proves the "
+        "semantics: every row survives, exactly the new-batch rows carry "
+        "the added column, and the exact-cents total matches the base "
+        "table. At 100 TB schema merge costs one footer read per file "
+        "(no data rewrite) — the point of evolution-on-read. Oracle "
+        "predicts all four numbers from the base orders table."
+    ),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("bdma_evo_")
+    o = load(spark, sf_dir, "orders")
+    old_batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_batch = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old_batch.write.mode("overwrite").parquet(out + "/b=0")
+    new_batch.write.mode("overwrite").parquet(out + "/b=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        out + "/b=0", out + "/b=1"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
+        ).alias("n_with_priority"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        money_sum_fast("o_totalprice", "sum_totalprice"),
+    )
