@@ -412,3 +412,26 @@ def test_pii_redact_single_exchange_map_only(spark, registry):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 1
     for node in ("Join", "HashAggregate", "Sort "):
         assert node not in plan, node
+
+
+def test_topk_paths_and_link_prediction_use_take_ordered(spark, registry):
+    """Both top-k analytics end in TakeOrderedAndProject — bounded
+    result selection, never a global sort."""
+    for name in ("events_topk_paths", "graph_link_prediction"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_funnel_stage_joins_are_equi_joins(spark, registry):
+    """The funnel's stage chain must stay equi-join co-partitioned on
+    user_id; the only permissible products are the three 1-row scalar
+    count combiners at the very top."""
+    import re
+
+    plan = _plan(registry["events_funnel"].fn(spark, SF_T2))
+    products = len(
+        re.findall(r"^\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan, re.M)
+    )
+    assert products <= 3, f"stage joins degenerated into products: {products}"
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
