@@ -51,7 +51,9 @@ from big_data_management_and_analytics_spark.sources.io import load
         JOIN c ON c.event_type = a.event_type AND c.bucket = a.bucket
     """,
     doc=(
-        "OHLC downsampling: per (series, hour) the first/last values by "
+        "OHLC downsampling at (series, hour) grain — the corpus-wide "
+        "complement of win_ohlc_resample's per-(user, minute) tick bars, "
+        "adding the exact-cents volume column: the first/last values by "
         "(ts, event_id) — a total, deterministic order — plus high/low/"
         "count/exact-cents sum. Open and close come from per-bucket "
         "row_number windows (partition = one bucket of one series, so "
@@ -208,7 +210,9 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM p JOIN v ON v.user_id = p.user_id) AS avg_sec_to_convert
     """,
     doc=(
-        "Ordered funnel analysis (view -> click -> purchase): each stage "
+        "Ordered funnel analysis (view -> click -> purchase) — extends "
+        "win_funnel_steps' single click->purchase hop to a 3-stage "
+        "strictly-ordered chain with conversion latency: each stage "
         "is the per-user MIN event time strictly after the previous "
         "stage, computed as a chain of filtered aggregates + equi-joins "
         "— every step shuffles on user_id only, so the whole funnel is "
@@ -386,7 +390,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vz
     """,
     doc=(
-        "Rolling z-score anomaly detection over hourly series: a 24-hour "
+        "Rolling z-score anomaly detection over hourly series — the "
+        "temporal complement of win_anomaly_mad's static robust "
+        "(median/MAD) per-user detector: a 24-hour "
         "trailing window on exact integer-cents sums (both window "
         "accumulators are LONG — partition-order independent), then mean/"
         "variance/z derived through the IDENTICAL double expression tree "
