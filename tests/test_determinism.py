@@ -58,6 +58,17 @@ SENSITIVE = [
     "cdc_incremental_agg", # signed cents deltas + same-key merge
     "llm_eval_split",      # content-md5 routing
     "part_zorder_layout",  # magic-mask morton codes
+    # round-3 second-sitting additions
+    "llm_dedup_substring", # hashed k-gram flag-join aggregation
+    "llm_bpe_train",       # greedy merge chain (memo cleared per config)
+    "llm_dedup_semantic",  # kmeans cells + per-cell matrix prune
+    "ts_ohlc_resample",    # total-order picks + cents sums
+    "ts_gap_fill",         # spine join + carry-forward window
+    "ts_anomaly_zscore",   # integer window accumulators -> shared doubles
+    "events_funnel",       # stage-chained aggregates + float avg of ints
+    "events_topk_paths",   # ordered path strings + top-k tiebreak
+    "graph_link_prediction",  # sparse overlap counts, double ranking
+    "llm_ann_recall",      # brute/IVF intersection counts
 ]
 
 
@@ -68,12 +79,23 @@ def _canon_hash(df) -> str:
     return hashlib.md5(str(rows).encode()).hexdigest()
 
 
+def _reset_memos() -> None:
+    """Clear cross-call materialization memos so each partitioning config
+    really re-executes (the BPE chain memoizes per (app, sf_dir))."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    llm_corpus._CHAIN_MEMO.clear()
+
+
 @pytest.mark.parametrize("name", SENSITIVE)
 def test_shuffle_partition_invariance(spark, registry, name):
     q = registry[name]
     spark.conf.set("spark.sql.shuffle.partitions", "3")
+    _reset_memos()
     h3 = _canon_hash(q.fn(spark, SF_T2))
     spark.conf.set("spark.sql.shuffle.partitions", "17")
+    _reset_memos()
     h17 = _canon_hash(q.fn(spark, SF_T2))
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    _reset_memos()
     assert h3 == h17, f"{name} result depends on partitioning"
