@@ -825,3 +825,77 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderpriority").alias("n_priorities"),
         money_sum_fast("o_totalprice", "sum_totalprice"),
     )
+
+
+@register(
+    "join_dpp_prune",
+    "C",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type FROM events GROUP BY event_type
+            HAVING COUNT(*) > (SELECT COUNT(*) / 5.0 FROM events)
+        )
+        SELECT e.event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events e SEMI JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type
+    """,
+    doc=(
+        "Dynamic partition pruning: the fact side is a freshly written "
+        "event_type-partitioned parquet table; the dim side (types with "
+        "above-average frequency) is data-derived, so the partition "
+        "filter CANNOT fold at plan time — Spark injects a runtime "
+        "dynamicpruning subquery into the scan's PartitionFilters and "
+        "skips the non-qualifying directories entirely (plan-asserted). "
+        "THE mechanism that makes star joins on a 100 TB partitioned "
+        "fact read only the matching partitions. Exact-cents sums; "
+        "oracle replays the same above-average rule."
+    ),
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.sources.session import tune
+
+    out = _roundtrip_dir("bdma_dpp_")
+    ev = load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out + "/fact")
+    # Materialized dim with an INDEPENDENT attribute (tier): the DPP rule
+    # requires a likely-selective attribute-vs-literal predicate on the
+    # dim side, and tier never exists on the fact, so no static constraint
+    # propagation can pre-prune — the partition filter truly arrives at
+    # runtime.
+    total = ev.agg((F.count(F.lit(1)) / 5.0).alias("th"))
+    (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            F.when(F.col("cnt") > F.col("th"), F.lit("hot"))
+            .otherwise(F.lit("cold"))
+            .alias("tier"),
+        )
+        .write.mode("overwrite")
+        .parquet(out + "/dim")
+    )
+    # Isolated-conf clone (the join_runtime_bloom pattern): DPP's cost
+    # model skips pruning for fixture-tiny scans; pin the decision confs
+    # on a session whose overrides cannot leak.
+    s = tune(spark.newSession())
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "50"
+    )
+    fact = s.read.parquet(out + "/fact")
+    dim = (
+        s.read.parquet(out + "/dim")
+        .filter(F.col("tier") == "hot")
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum_fast("value", "sum_value"),
+        )
+    )

@@ -435,3 +435,10 @@ def test_funnel_stage_joins_are_equi_joins(spark, registry):
     )
     assert products <= 3, f"stage joins degenerated into products: {products}"
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dpp_injects_runtime_partition_filter(spark, registry):
+    """join_dpp_prune's fact scan must carry a dynamicpruningexpression in
+    PartitionFilters — runtime partition pruning, not a static filter."""
+    plan = _plan(registry["join_dpp_prune"].fn(spark, SF_T2))
+    assert "dynamicpruning" in plan, "dynamic partition pruning not injected"
