@@ -35,6 +35,7 @@ def load_all() -> None:
         composite_full,
         graph,
         timeseries,
+        mining,
     )
     from big_data_management_and_analytics_spark.functions import (  # noqa: F401
         strings,

@@ -1283,3 +1283,74 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(50)
     )
+
+
+@register(
+    "llm_text_perplexity",
+    "K",
+    oracle=f"""
+        WITH occ AS (
+            SELECT doc_id, UNNEST({SQL_TOKENS.format(col='text')}) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM occ GROUP BY doc_id, tok
+        ),
+        vocab AS (
+            SELECT tok, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY tok
+        ),
+        n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
+        SELECT t.doc_id,
+               CAST(SUM(t.tf) AS BIGINT) AS n_tok,
+               CAST(SUM(CAST(ROUND(t.tf * ln(CAST(n.total AS DOUBLE) / v.cnt), 6)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS nll_sum,
+               ROUND(CAST(SUM(CAST(ROUND(t.tf * ln(CAST(n.total AS DOUBLE) / v.cnt), 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE) / SUM(t.tf), 6)
+                   AS avg_nll
+        FROM tf t JOIN vocab v USING (tok), n
+        GROUP BY t.doc_id
+    """,
+    doc=(
+        "Unigram cross-entropy (negative log-likelihood) per document "
+        "under the corpus's own unigram LM — the standard perplexity-"
+        "style quality filter (high avg NLL = rare-token gibberish; "
+        "llm_text_unigram_lm is the linear-probability sibling). Each "
+        "(doc, token) contribution tf·ln(total/cnt) is rounded to 6 "
+        "digits and accumulated as DECIMAL(28,6) — an EXACT integer sum, "
+        "so the per-doc total is partition-order invariant despite being "
+        "a float-derived quantity (float SUM order would differ between "
+        "runs/engines; the decimal quantization removes that). Scale: "
+        "one tokenize+explode pass → (doc,tok) tf; Zipf-bounded vocab "
+        "aggregate broadcast back; per-doc hash agg with map-side "
+        "combine. Linear, two shuffles."
+    ),
+)
+def llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    occ = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    tf = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    contrib = (
+        tf.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("total").cast("double") / F.col("cnt")), 6
+            )
+            .cast("decimal(28,6)")
+            .alias("nll"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tok"),
+        F.sum("nll").cast("double").alias("nll_sum"),
+        F.round(F.sum("nll").cast("double") / F.sum("tf"), 6).alias("avg_nll"),
+    )

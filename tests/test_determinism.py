@@ -69,6 +69,12 @@ SENSITIVE = [
     "events_topk_paths",   # ordered path strings + top-k tiebreak
     "graph_link_prediction",  # sparse overlap counts, double ranking
     "llm_ann_recall",      # brute/IVF intersection counts
+    # round-3 third-sitting additions
+    "skyline_pareto",      # two-pass prefix-max frontier
+    "mkt_basket_rules",    # integer co-occurrence counts + rounded ratios
+    "scd_type2_history",   # per-entity change windows
+    "agg_equidepth",       # two-pass global ntile + cents sums
+    "llm_text_perplexity", # decimal-quantized NLL accumulation
 ]
 
 

@@ -955,3 +955,147 @@ def test_dq_audit_counts_planted_violations(spark, tmp_path):
     assert out["lineitem_discount_range"] == base["lineitem_discount_range"]
     assert out["lineitem_returnflag_domain"] == base["lineitem_returnflag_domain"]
     assert out["orders_totalprice_nonneg"] == base["orders_totalprice_nonneg"]
+
+
+def test_skyline_planted_frontier(spark, tmp_path):
+    """Literal parts with every tie case: duplicate skyline points both
+    survive; same-price-smaller and cheaper-equal-size are dominated."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows = [
+        # (partkey, name, brand, type, size, retailprice)
+        (1, "a", "B1", "T", 5, 1.0),   # skyline
+        (2, "b", "B1", "T", 5, 1.0),   # duplicate point -> also skyline
+        (3, "c", "B1", "T", 3, 1.0),   # same price, smaller size -> dominated
+        (4, "d", "B1", "T", 5, 2.0),   # cheaper equal size exists -> dominated
+        (5, "e", "B1", "T", 7, 2.0),   # skyline (bigger than all cheaper)
+        (6, "f", "B1", "T", 7, 3.0),   # dominated by 5
+        (7, "g", "B1", "T", 1, 0.5),   # cheapest -> skyline
+    ]
+    p = spark.createDataFrame(
+        rows,
+        schema="p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    d = str(tmp_path / "sky")
+    p.write.mode("overwrite").parquet(d + "/part.parquet")
+    got = sorted(r["p_partkey"] for r in mining.skyline_pareto(spark, d).collect())
+    assert got == [1, 2, 5, 7]
+
+
+def test_basket_rules_planted_counts(spark, tmp_path):
+    """Four baskets with known co-occurrence: support/confidence/lift
+    must match the hand computation; repeated partkeys in one order
+    must not double-count the brand."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    parts = spark.createDataFrame(
+        [(1, "p1", "X", "T", 1, 1.0), (2, "p2", "Y", "T", 1, 1.0),
+         (3, "p3", "Z", "T", 1, 1.0), (4, "p4", "X", "T", 1, 1.0)],
+        schema="p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    li_rows = []
+    def add(okey, *pkeys):
+        for i, pk in enumerate(pkeys):
+            li_rows.append((okey, pk, 1, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                            _ts("2024-01-01T00:00:00")))
+    add(1, 1, 2)        # X, Y
+    add(2, 1, 4, 2)     # X (twice, two partkeys), Y
+    add(3, 1)           # X
+    add(4, 2, 3)        # Y, Z
+    li = spark.createDataFrame(
+        li_rows,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+               "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+               "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    d = str(tmp_path / "bsk")
+    parts.write.mode("overwrite").parquet(d + "/part.parquet")
+    li.write.mode("overwrite").parquet(d + "/lineitem.parquet")
+    out = {(r["brand_a"], r["brand_b"]): r
+           for r in mining.mkt_basket_rules(spark, d).collect()}
+    xy = out[("X", "Y")]
+    assert xy["pair_cnt"] == 2 and xy["cnt_a"] == 3 and xy["cnt_b"] == 3
+    assert xy["support"] == 0.5
+    assert xy["conf_a_to_b"] == round(2 / 3, 6)
+    assert xy["lift"] == round(2 * 4 / (3 * 3), 6)
+    yz = out[("Y", "Z")]
+    assert yz["pair_cnt"] == 1 and yz["cnt_b"] == 1 and yz["conf_b_to_a"] == 1.0
+
+
+def test_scd2_collapses_consecutive_dups(spark, tmp_path):
+    """A-A-B-A stream -> 3 versions: the repeat A does not open a new
+    version; intervals chain and only the tail is current."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 7, "A", 1.0, "{}"),
+        (2, _ts("2024-01-01T11:00:00"), 7, "A", 1.0, "{}"),
+        (3, _ts("2024-01-01T12:00:00"), 7, "B", 1.0, "{}"),
+        (4, _ts("2024-01-01T13:00:00"), 7, "A", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "scd")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    hist = sorted(
+        mining.scd_type2_history(spark, d).collect(), key=lambda r: r["version"]
+    )
+    assert [r["state"] for r in hist] == ["A", "B", "A"]
+    assert hist[0]["valid_from"] == _ts("2024-01-01T10:00:00")
+    assert hist[0]["valid_to"] == _ts("2024-01-01T12:00:00")  # repeat A skipped
+    assert hist[1]["valid_to"] == _ts("2024-01-01T13:00:00")
+    assert hist[2]["valid_to"] is None and hist[2]["is_current"]
+    assert [r["is_current"] for r in hist[:2]] == [False, False]
+
+
+def test_equidepth_buckets_are_equal_depth(spark, registry):
+    """Decile invariants on the fixture: counts differ by at most 1, sum
+    to the table count, and bucket ranges are non-overlapping."""
+    rows = sorted(
+        registry["agg_equidepth"].fn(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    counts = [r["n"] for r in rows]
+    assert max(counts) - min(counts) <= 1
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    assert sum(counts) == load(spark, "/root/testdata/sf0.01", "orders").count()
+    for lo_r, hi_r in zip(rows, rows[1:]):
+        assert lo_r["hi"] <= hi_r["lo"]
+
+
+def test_perplexity_numpy_rederivation(spark, registry):
+    """Re-derive avg NLL for every sf0.001 document in pure Python
+    (collections.Counter + math.log) and compare within float tolerance
+    (the engines' ln may differ in the last ulp; the operator's decimal
+    quantization bounds drift at 1e-6 per term)."""
+    import collections
+    import math
+    import re as _re
+
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    toks = {i: _re.split(r"\s+", t.lower()) for i, t in docs}
+    vocab = collections.Counter()
+    for ts in toks.values():
+        vocab.update(ts)
+    total = sum(vocab.values())
+    got = {
+        r["doc_id"]: r
+        for r in registry["llm_text_perplexity"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(got) == set(toks)
+    for doc_id, ts in toks.items():
+        tf = collections.Counter(ts)
+        nll = sum(c * math.log(total / vocab[w]) for w, c in tf.items())
+        r = got[doc_id]
+        assert r["n_tok"] == len(ts)
+        assert abs(r["avg_nll"] - nll / len(ts)) < 1e-4, doc_id

@@ -442,3 +442,54 @@ def test_dpp_injects_runtime_partition_filter(spark, registry):
     PartitionFilters — runtime partition pruning, not a static filter."""
     plan = _plan(registry["join_dpp_prune"].fn(spark, SF_T2))
     assert "dynamicpruning" in plan, "dynamic partition pruning not injected"
+
+
+def test_skyline_no_dominance_pair_space(spark, registry):
+    """The skyline plan must be the prefix-max scan, not the O(n²)
+    dominance self-join: a range exchange on the price key exists, and
+    every nested-loop join in the plan is the counter-row triangle
+    (condition on _lpid/_pid) — never a part×part dominance test."""
+    import re
+
+    plan = _plan(registry["skyline_pareto"].fn(spark, SF_T2))
+    assert "rangepartitioning(p_retailprice" in plan
+    nlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    triangle = re.findall(r"Join condition: \(_lpid", plan)
+    assert len(nlj_nodes) == len(triangle), (nlj_nodes, triangle)
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_uses_two_pass_rank(spark, registry):
+    """Global NTILE must ride the range-partitioned two-pass rank: range
+    exchange on the sort key, and no unpartitioned window anywhere."""
+    import re
+
+    plan = _plan(registry["agg_equidepth"].fn(spark, SF_T2))
+    assert "rangepartitioning(o_totalprice" in plan
+    gspec = re.compile(r"windowspecdefinition\([^,()]+ (ASC|DESC)")
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs and not [s for s in specs if gspec.search(s)]
+
+
+def test_basket_pairs_keyed_on_order(spark, registry):
+    """The pair generation must be an equi-join on the order key (work =
+    Σ|basket|²), with the brand marginals broadcast — no cross join over
+    baskets (the only nested-loop site is the one-row n_orders scalar)."""
+    import re
+
+    plan = _plan(registry["mkt_basket_rules"].fn(spark, SF_T2))
+    key_lines = [
+        l for l in plan.splitlines() if l.startswith(("Left keys", "Right keys"))
+    ]
+    assert any("okey" in l for l in key_lines), key_lines
+    nlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(nlj_nodes) <= 1  # the one-row n_orders scalar only
+    assert "CartesianProduct" not in plan
+
+
+def test_perplexity_broadcasts_vocab(spark, registry):
+    """The Zipf-bounded vocabulary joins back by broadcast; the per-doc
+    aggregation stays a partial-final hash agg (map-side combine)."""
+    plan = _plan(registry["llm_text_perplexity"].fn(spark, SF_T2))
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
