@@ -14,17 +14,17 @@ green rows automatically drop out of the queue prefix with no manual
 bookkeeping (round-2 verdict item 1: the previous hardcoded frozenset
 would have made round 3 re-verify round 2's exact 50 ids).
 
-Coverage plan at the observed ~50-ids/round driver cap (simulated with
-this module against the live registry, 269 ids of which 257 are now
-oracle-tier, tier-aware):
+Coverage plan at the observed ~50-ids/round driver cap (tier-aware;
+simulate with ``queue_order`` against the live registry for exact
+counts — the registry grows within rounds, so hardcoded totals here
+would go stale):
 - r01+r02 recorded 100 green rows (91 hash, 9 rows-only); the round-3
   oracle-upgrade sweep gave several of those rows-only ids oracles, so
-  they re-queue for the hash check. Round 3's prefix holds all 48
-  tier-unverified SURVEY §2 ids plus 2 upgraded extras → 127/127 §2
-  green at the proper tier after r03 (178 ids tier-unverified going in,
-  130 of them extras).
-- Rounds 4-6 drain the extras, oracle-tier first (prio 2 before 3):
-  ~128 remain after r03, ~78 after r04, ~28 after r05, 269/269 by r06.
+  they re-queue for the hash check. Round 3's prefix holds every
+  tier-unverified SURVEY §2 id first → 127/127 §2 green at the proper
+  tier after r03.
+- Subsequent rounds drain the extras, oracle-tier first (prio 2
+  before 3), ~50 per round until the whole registry is driver-green.
 """
 
 from __future__ import annotations

@@ -96,3 +96,65 @@ def test_zspread_interleave_is_bijective(spark):
         "a != a2 OR b != b2"
     )
     assert bad.count() == 0
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark, tmp_path):
+    """The prefix-max skyline formulation must agree with the O(n²)
+    dominance definition on adversarial random point sets (heavy
+    duplicate mass on both axes to exercise every tie branch)."""
+    import random
+
+    rng = random.Random(1337)
+    rows = [
+        (i, f"p{i}", "B", "T", rng.randint(1, 8), rng.randint(1, 12) / 2.0)
+        for i in range(400)
+    ]
+    expected = sorted(
+        pk
+        for pk, _, _, _, size, price in rows
+        if not any(
+            qprice <= price
+            and qsize >= size
+            and (qprice < price or qsize > size)
+            for _, _, _, _, qsize, qprice in rows
+        )
+    )
+    p = spark.createDataFrame(
+        rows,
+        schema="p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    d = str(tmp_path / "skyrand")
+    p.write.mode("overwrite").parquet(d + "/part.parquet")
+    from big_data_management_and_analytics_spark.operators import mining
+
+    got = sorted(r["p_partkey"] for r in mining.skyline_pareto(spark, d).collect())
+    assert got == expected
+
+
+def test_global_ntile_matches_sql_semantics_on_random_sizes(spark):
+    """The closed-form ntile expression must reproduce SQL NTILE tile
+    sizes (first n % k tiles one row larger) for every n in 1..60, k=10
+    — including n < k, where trailing tiles are empty."""
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        ntile_expr,
+        with_global_row_number,
+    )
+
+    for n in (1, 3, 9, 10, 11, 25, 60):
+        df = spark.range(n).select(F.col("id"))
+        ranked = with_global_row_number(
+            df, [F.col("id").asc()], rn="rn", total="total"
+        )
+        tiles = [
+            r["t"]
+            for r in ranked.select(
+                ntile_expr(F.col("rn"), F.col("total"), 10).alias("t")
+            )
+            .orderBy("t")
+            .collect()
+        ]
+        expected = []
+        base, rem = divmod(n, 10)
+        for tile in range(1, 11):
+            expected += [tile] * (base + (1 if tile <= rem else 0))
+        assert tiles == expected, (n, tiles)
