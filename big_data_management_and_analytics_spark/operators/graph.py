@@ -339,3 +339,92 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(jac.desc(), F.col("s_a").asc(), F.col("s_b").asc())
         .limit(20)
     )
+
+
+@register(
+    "graph_shortest_paths",
+    "G",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ),
+        reach(node, d) AS (
+            SELECT c_custkey * 2, 0 FROM customer WHERE c_custkey % 100 = 0
+            UNION
+            SELECT e.dst, r.d + 1
+            FROM reach r JOIN edges e ON e.src = r.node
+            WHERE r.d < 4
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(MIN(d) AS INT) AS dist,
+               CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind
+        FROM reach
+        GROUP BY node
+    """,
+    doc=(
+        "Bounded-hop multi-source BFS over the customer↔supplier "
+        "co-purchase graph (same bipartite edge set as graph_pagerank): "
+        "min-hop distance ≤ 4 from the seed cohort (every 100th "
+        "customer). Classic distributed frontier expansion: per hop, "
+        "join the frontier to the edge table, anti-join against the "
+        "settled distance set (only NEW nodes advance — each node is "
+        "expanded exactly once, so total work is O(edges · diameter/"
+        "diameter) = O(edges)), localCheckpoint to keep the iterative "
+        "plan depth bounded (the graph.py lineage lesson). All-integer "
+        "distances — partition-order exact. The oracle is a bounded "
+        "recursive CTE whose UNION-dedup enumeration of (node, d) pairs "
+        "min-aggregates to the identical BFS levels. At 100 TB the "
+        "frontier join shuffles by node id per hop — the standard "
+        "Pregel-style plan; localCheckpoint swaps to reliable "
+        "checkpoint() on a cluster."
+    ),
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        cust.filter(F.col("c_custkey") % 100 == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .withColumn("dist", F.lit(0))
+    )
+    dist = seeds.localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for hop in range(1, 5):
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            cand.join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+    )

@@ -329,3 +329,118 @@ def agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "agg_welch_ttest",
+    "D",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sc,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sc2
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+            GROUP BY event_type
+        ),
+        s AS (
+            SELECT
+                MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+                MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+                MAX(CASE WHEN event_type = 'purchase' THEN sc END) AS sc1,
+                MAX(CASE WHEN event_type = 'view' THEN sc END) AS sc2_,
+                MAX(CASE WHEN event_type = 'purchase' THEN sc2 END) AS sq1,
+                MAX(CASE WHEN event_type = 'view' THEN sc2 END) AS sq2
+            FROM m
+        ),
+        d AS (
+            SELECT n1, n2,
+                   CAST(sc1 AS DOUBLE) / 100.0 / n1 AS m1,
+                   CAST(sc2_ AS DOUBLE) / 100.0 / n2 AS m2,
+                   (CAST(sq1 AS DOUBLE) / 10000.0
+                    - (CAST(sc1 AS DOUBLE) / 100.0)
+                      * (CAST(sc1 AS DOUBLE) / 100.0) / n1) / (n1 - 1) AS v1,
+                   (CAST(sq2 AS DOUBLE) / 10000.0
+                    - (CAST(sc2_ AS DOUBLE) / 100.0)
+                      * (CAST(sc2_ AS DOUBLE) / 100.0) / n2) / (n2 - 1) AS v2
+            FROM s
+        )
+        SELECT n1, n2,
+               ROUND(m1, 6) AS mean_1, ROUND(m2, 6) AS mean_2,
+               ROUND(v1, 6) AS var_1, ROUND(v2, 6) AS var_2,
+               ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+               ROUND(
+                   (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                   / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                      + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS welch_df
+        FROM d
+    """,
+    doc=(
+        "Welch's unequal-variance t-test comparing purchase vs view "
+        "event values — the A/B-experiment significance aggregate. All "
+        "accumulation is EXACT integer arithmetic: per-group Σcents and "
+        "Σcents² as longs (2-decimal values ≤ ~50k cents, squares ≤ "
+        "2.5e9 — 60M rows of sum headroom under 2^63; at larger scale "
+        "the sums move to DECIMAL(38,0) unchanged in shape). Mean, "
+        "variance, t, and the Welch–Satterthwaite df are then ONE "
+        "deterministic double expression over the two exact moment "
+        "pairs — identical op sequence both engines, so the hash "
+        "matches bit-for-bit. Plan: single partial+final hash aggregate "
+        "over the filtered scan (predicate pushed down), one row out."
+    ),
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    c = cents("value")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c).alias("sc"),
+        F.sum(c * c).alias("sc2"),
+    )
+    p = F.when(F.col("event_type") == "purchase", F.col("n"))
+    s = m.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sc"))).alias("sc1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("sc"))).alias("sc2_"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sc2"))).alias("sq1"),
+        F.max(F.when(F.col("event_type") == "view", F.col("sc2"))).alias("sq2"),
+    )
+    m1 = F.col("sc1").cast("double") / 100.0 / F.col("n1")
+    m2 = F.col("sc2_").cast("double") / 100.0 / F.col("n2")
+    v1 = (
+        F.col("sq1").cast("double") / 10000.0
+        - (F.col("sc1").cast("double") / 100.0)
+        * (F.col("sc1").cast("double") / 100.0)
+        / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("sq2").cast("double") / 10000.0
+        - (F.col("sc2_").cast("double") / 100.0)
+        * (F.col("sc2_").cast("double") / 100.0)
+        / F.col("n2")
+    ) / (F.col("n2") - 1)
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    return s.select(
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean_1"),
+        F.round(m2, 6).alias("mean_2"),
+        F.round(v1, 6).alias("var_1"),
+        F.round(v2, 6).alias("var_2"),
+        F.round((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+                + (v2 / F.col("n2")) * (v2 / F.col("n2")) / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )

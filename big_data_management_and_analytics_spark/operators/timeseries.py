@@ -588,3 +588,59 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pk.unionAll(fk).unionAll(li_long).unionAll(op)
+
+
+@register(
+    "ts_ewma",
+    "E",
+    oracle="""
+        WITH h AS (
+            SELECT user_id, event_type,
+                   list(value ORDER BY ts, event_id) AS vals,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type,
+               CAST(n_events AS BIGINT) AS n_events,
+               ROUND(list_reduce(vals,
+                   (acc, x) -> 0.3::DOUBLE * x + 0.7::DOUBLE * acc), 6) AS ewma
+        FROM h
+    """,
+    doc=(
+        "Exponentially-weighted moving average (alpha = 0.3) of each "
+        "(user, series) value history — the classic recursive smoother "
+        "feature stores keep per entity. The recurrence s_t = a*x_t + "
+        "(1-a)*s_{t-1} is NOT window-expressible (each step depends on "
+        "the previous output), so it runs as a per-entity LEFT FOLD over "
+        "the (ts, event_id)-sorted value array: collect_list + "
+        "sort_array + F.aggregate — one shuffle, then map-only codegen; "
+        "parallelism = entity count, no window state. The oracle's "
+        "list_reduce performs the identical left fold, and both engines "
+        "execute the same double-op sequence in the same order, so the "
+        "result is bit-identical pre-round (no float-sum reordering "
+        "exists in a sequential fold). Scale note: per-entity history "
+        "must fit one task — bounded here; a 100 TB variant chunks "
+        "histories by epoch and folds epoch partials (s carries across "
+        "chunks via the a^k prefix weight)."
+    ),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    hist = e.groupBy("user_id", "event_type").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("h"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    vals = F.transform(F.col("h"), lambda s: s["value"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round(folded, 6).alias("ewma"),
+    )

@@ -75,6 +75,9 @@ SENSITIVE = [
     "scd_type2_history",   # per-entity change windows
     "agg_equidepth",       # two-pass global ntile + cents sums
     "llm_text_perplexity", # decimal-quantized NLL accumulation
+    "ts_ewma",             # sequential per-entity fold
+    "agg_welch_ttest",     # exact long moments -> one double expression
+    "graph_shortest_paths",# integer BFS levels
 ]
 
 

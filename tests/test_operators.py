@@ -1099,3 +1099,103 @@ def test_perplexity_numpy_rederivation(spark, registry):
         r = got[doc_id]
         assert r["n_tok"] == len(ts)
         assert abs(r["avg_nll"] - nll / len(ts)) < 1e-4, doc_id
+
+
+def test_ewma_fold_matches_python_recurrence(spark, tmp_path):
+    """EWMA over a known sequence must equal the Python recurrence,
+    ordered by (ts, event_id) even when insertion order is shuffled."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    vals = [10.0, 20.0, 5.0, 40.0]
+    rows = [
+        (eid, _ts(f"2024-01-01T{10 + i:02d}:00:00"), 1, "click", v, "{}")
+        for i, (eid, v) in enumerate(zip([3, 1, 4, 2], vals))
+    ]
+    rows = rows[::-1]  # shuffle insertion order; ts order must win
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "ewma")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    s = vals[0]
+    for x in vals[1:]:
+        s = 0.3 * x + 0.7 * s
+    out = timeseries.ts_ewma(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 4
+    assert out[0]["ewma"] == round(s, 6)
+
+
+def test_welch_ttest_matches_numpy(spark, registry):
+    """Re-derive the t statistic and Welch df from the raw fixture
+    values with numpy (float path) — the exact-moment computation must
+    agree to float tolerance."""
+    import duckdb
+
+    a, b = (
+        duckdb.sql(
+            "SELECT list(value) FILTER (event_type = 'purchase'), "
+            "       list(value) FILTER (event_type = 'view') "
+            "FROM '/root/testdata/sf0.01/events.parquet'"
+        ).fetchone()
+    )
+    a, b = np.array(a), np.array(b)
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v1 / len(a) + v2 / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2**2 / ((v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1))
+    r = registry["agg_welch_ttest"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["n1"] == len(a) and r["n2"] == len(b)
+    assert abs(r["t_stat"] - t) < 1e-6
+    assert abs(r["welch_df"] - df) < 1e-2
+
+
+def test_bfs_planted_chain(spark, tmp_path):
+    """A planted two-order chain: seed customer 100 reaches its supplier
+    at 1 hop, a sibling customer at 2, that customer's other supplier at
+    3; an unconnected order component is absent."""
+    from big_data_management_and_analytics_spark.operators import graph
+
+    orders = spark.createDataFrame(
+        [(1, 100, "O", 1.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+         (2, 7, "O", 1.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+         (3, 7, "O", 1.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+         (4, 9, "O", 1.0, _ts("2024-01-01T00:00:00"), "1-URGENT")],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 50, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+         (2, 1, 50, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+         (3, 1, 60, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+         (4, 1, 70, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00"))],
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+               "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+               "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(100, "c100", 0, 0.0, "BUILDING"), (7, "c7", 0, 0.0, "BUILDING"),
+         (9, "c9", 0, 0.0, "BUILDING")],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    d = str(tmp_path / "bfs")
+    orders.write.parquet(d + "/orders.parquet")
+    li.write.parquet(d + "/lineitem.parquet")
+    cust.write.parquet(d + "/customer.parquet")
+    out = {r["node"]: (r["dist"], r["kind"])
+           for r in graph.graph_shortest_paths(spark, d).collect()}
+    assert out[200] == (0, "customer")      # seed (custkey 100)
+    assert out[101] == (1, "supplier")      # suppkey 50 shared with cust 7
+    assert out[14] == (2, "customer")       # custkey 7
+    assert out[121] == (3, "supplier")      # suppkey 60 via cust 7
+    assert 18 not in out and 141 not in out  # cust 9 / supp 70: disconnected
+
+
+def test_bfs_bipartite_parity_on_fixture(spark, registry):
+    """On the bipartite co-purchase graph, customers sit at even
+    distance and suppliers at odd distance from the all-customer seed
+    cohort — a structural invariant of the BFS levels."""
+    rows = registry["graph_shortest_paths"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["dist"] % 2 == (0 if r["kind"] == "customer" else 1), r
