@@ -777,3 +777,102 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, schema="o_orderpriority string, n_lines long, total_price double"
     )
+
+
+@register(
+    "join_grid_knn",
+    "B",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey,
+                   (c_custkey * 73 % 1000) / 10.0 AS cx,
+                   (c_custkey * 179 % 1000) / 10.0 AS cy,
+                   c_custkey * 73 % 1000 // 100 AS cellx,
+                   c_custkey * 179 % 1000 // 100 AS celly
+            FROM customer
+        ),
+        s AS (
+            SELECT s_suppkey,
+                   (s_suppkey * 73 % 1000) / 10.0 AS sx,
+                   (s_suppkey * 179 % 1000) / 10.0 AS sy,
+                   s_suppkey * 73 % 1000 // 100 AS cellx,
+                   s_suppkey * 179 % 1000 // 100 AS celly
+            FROM supplier
+        ),
+        cand AS (
+            SELECT c.c_custkey, s.s_suppkey,
+                   (c.cx - s.sx) * (c.cx - s.sx)
+                   + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+            FROM c JOIN s
+              ON abs(c.cellx - s.cellx) <= 1 AND abs(c.celly - s.celly) <= 1
+        )
+        SELECT c_custkey, s_suppkey, ROUND(sqrt(d2), 6) AS dist
+        FROM cand
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c_custkey ORDER BY d2, s_suppkey) = 1
+    """,
+    doc=(
+        "Grid-bucketed bounded-radius nearest neighbor — the spatial-"
+        "join scale pattern: entities land in coarse grid cells, each "
+        "probe EXPLODES into its 3×3 neighbor cells, and the candidate "
+        "generation becomes a plain EQUI-JOIN on the cell key (shuffle- "
+        "or broadcast-able, work ∝ actual cell co-occupancy) — never an "
+        "all-pairs distance cross join. The nearest pick is a per-probe "
+        "window over the candidate set with a (distance, key) total "
+        "order. Probes with no neighbor inside the 3×3 ring are absent "
+        "by declared bounded-radius semantics (exactly what a grid "
+        "accelerator returns). Coordinates are synthesized "
+        "deterministically from the keys (73/179 multipliers mod the "
+        "grid span) so both engines derive identical doubles — the "
+        "fixture has no native geometry. Same shape at 100 TB: cell "
+        "granularity trades candidate fan-out (9×) against cell "
+        "occupancy; skewed cells respond to AQE skew-join or salting."
+    ),
+)
+def join_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+    c = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 73 % 1000) / 10.0).alias("cx"),
+        ((F.col("c_custkey") * 179 % 1000) / 10.0).alias("cy"),
+        ((F.col("c_custkey") * 73 % 1000).cast("long") / F.lit(100)).cast("long").alias("cellx"),
+        ((F.col("c_custkey") * 179 % 1000).cast("long") / F.lit(100)).cast("long").alias("celly"),
+    )
+    s = supp.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 73 % 1000) / 10.0).alias("sx"),
+        ((F.col("s_suppkey") * 179 % 1000) / 10.0).alias("sy"),
+        ((F.col("s_suppkey") * 73 % 1000).cast("long") / F.lit(100)).cast("long").alias("scellx"),
+        ((F.col("s_suppkey") * 179 % 1000).cast("long") / F.lit(100)).cast("long").alias("scelly"),
+    )
+    # Probe-side neighbor expansion: each customer row becomes ≤ 9 rows
+    # keyed by an exact neighbor cell, turning the radius search into an
+    # equi-join on (cellx, celly).
+    neighbors = c.select(
+        "c_custkey",
+        "cx",
+        "cy",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(cellx + dx AS nx, celly + dy AS ny))))"
+            )
+        ).alias("cell"),
+    ).select("c_custkey", "cx", "cy", F.col("cell.nx"), F.col("cell.ny"))
+    d2 = (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx")) + (
+        F.col("cy") - F.col("sy")
+    ) * (F.col("cy") - F.col("sy"))
+    cand = neighbors.join(
+        s,
+        (F.col("nx") == F.col("scellx")) & (F.col("ny") == F.col("scelly")),
+    ).select("c_custkey", "s_suppkey", d2.alias("d2"))
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "c_custkey", "s_suppkey", F.round(F.sqrt(F.col("d2")), 6).alias("dist")
+        )
+    )

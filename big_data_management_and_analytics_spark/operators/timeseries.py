@@ -644,3 +644,108 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(folded, 6).alias("ewma"),
     )
+
+
+@register(
+    "ts_rolling_regression",
+    "E",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id,
+                   date_trunc('hour', ts) AS bucket,
+                   CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS x,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2, 3
+        ),
+        w AS (
+            SELECT user_id, bucket, y,
+                   COUNT(*) OVER win AS n,
+                   SUM(x) OVER win AS sx,
+                   SUM(y) OVER win AS sy,
+                   SUM(x * x) OVER win AS sxx,
+                   SUM(x * y) OVER win AS sxy,
+                   SUM(y * y) OVER win AS syy
+            FROM hourly
+            WINDOW win AS (
+                PARTITION BY user_id ORDER BY x
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, bucket,
+               CAST(n AS BIGINT) AS n_obs,
+               CAST(y AS DOUBLE) / 100.0 AS hour_value,
+               CASE WHEN n >= 2 THEN
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (n * sxx - sx * sx) / 100.0, 6)
+               END AS slope,
+               CASE WHEN n >= 2 AND n * syy - sy * sy > 0 THEN
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         * CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         / CAST(n * syy - sy * sy AS DOUBLE), 6)
+               END AS r2
+        FROM w
+    """,
+    doc=(
+        "Rolling OLS trend per user: slope and R² of hourly spend over a "
+        "trailing 6-hour RANGE window (range frame over the integer hour "
+        "index, so missing hours shrink the sample instead of stretching "
+        "the window — the rows-frame bug this shape usually has). Every "
+        "window accumulator is an EXACT integer sum (hour index, cents, "
+        "and their products all bounded well under 2^63), and slope/R² "
+        "are one closed-form double expression over those longs — "
+        "partition-order invariant, hash-exact. Degenerate guards: "
+        "single-point windows yield null slope; flat-y windows null R². "
+        "Plan: one hash agg to hourly grain, one per-user window — "
+        "parallelism = users, no global state."
+    ),
+)
+def ts_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket"), "value"
+    )
+    hourly = (
+        e.withColumn(
+            "x", (F.unix_timestamp("bucket") / F.lit(3600)).cast("bigint")
+        )
+        .groupBy("user_id", "bucket", "x")
+        .agg(F.sum(cents("value")).alias("y"))
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("x").rangeBetween(-5, 0)
+    )
+    w = hourly.select(
+        "user_id",
+        "bucket",
+        "y",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return w.select(
+        "user_id",
+        "bucket",
+        F.col("n").cast("bigint").alias("n_obs"),
+        (F.col("y").cast("double") / 100.0).alias("hour_value"),
+        F.when(
+            F.col("n") >= 2,
+            F.round(num.cast("double") / denx / 100.0, 6),
+        ).alias("slope"),
+        F.when(
+            (F.col("n") >= 2) & (deny > 0),
+            F.round(
+                num.cast("double")
+                * num.cast("double")
+                / denx.cast("double")
+                / deny.cast("double"),
+                6,
+            ),
+        ).alias("r2"),
+    )

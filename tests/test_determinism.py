@@ -78,6 +78,8 @@ SENSITIVE = [
     "ts_ewma",             # sequential per-entity fold
     "agg_welch_ttest",     # exact long moments -> one double expression
     "graph_shortest_paths",# integer BFS levels
+    "ts_rolling_regression", # integer window moments -> closed-form OLS
+    "join_grid_knn",       # cell equi-join + (d2, key) total-order pick
 ]
 
 

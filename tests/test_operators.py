@@ -1199,3 +1199,79 @@ def test_bfs_bipartite_parity_on_fixture(spark, registry):
     assert rows
     for r in rows:
         assert r["dist"] % 2 == (0 if r["kind"] == "customer" else 1), r
+
+
+def test_rolling_regression_planted_line(spark, tmp_path):
+    """An exact hourly line y = 100 + 10·h gives slope 10 and R² = 1
+    once two points exist; a gap hour SHRINKS the trailing range window
+    (missing hours are not imputed), so n_obs drops after the gap."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    hours = [0, 1, 2, 3, 10, 11]  # gap between 3 and 10
+    for i, h in enumerate(hours):
+        rows.append(
+            (i + 1, _ts(f"2024-01-01T{h:02d}:15:00"), 1, "click",
+             100.0 + 10.0 * h, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "roll")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {
+        r["bucket"].hour: r
+        for r in timeseries.ts_rolling_regression(spark, d).collect()
+    }
+    assert out[0]["n_obs"] == 1 and out[0]["slope"] is None
+    assert out[3]["n_obs"] == 4 and out[3]["slope"] == 10.0
+    assert out[3]["r2"] == 1.0
+    # hour 10 is beyond the 5-hour trailing range of hour 3: window resets
+    assert out[10]["n_obs"] == 1 and out[10]["slope"] is None
+    assert out[11]["n_obs"] == 2 and out[11]["slope"] == 10.0
+
+
+def test_grid_knn_matches_bruteforce_within_ring(spark, tmp_path):
+    """Brute-force re-derivation over a literal key set: every probe's
+    reported neighbor is the true nearest among suppliers in the 3×3
+    cell ring, and probes with an empty ring are absent."""
+    from big_data_management_and_analytics_spark.operators import joins as J
+
+    ckeys = [1, 7, 13, 100, 257, 511, 999, 1000]
+    skeys = [2, 5, 11, 400, 777, 1000]
+
+    def pos(k):
+        return ((k * 73 % 1000) / 10.0, (k * 179 % 1000) / 10.0)
+
+    def cell(k):
+        return (k * 73 % 1000 // 100, k * 179 % 1000 // 100)
+
+    expected = {}
+    for ck in ckeys:
+        cx, cy = pos(ck)
+        ccx, ccy = cell(ck)
+        best = None
+        for sk in skeys:
+            scx, scy = cell(sk)
+            if abs(ccx - scx) <= 1 and abs(ccy - scy) <= 1:
+                sx, sy = pos(sk)
+                d2 = (cx - sx) ** 2 + (cy - sy) ** 2
+                if best is None or (d2, sk) < best:
+                    best = (d2, sk)
+        if best is not None:
+            expected[ck] = best[1]
+
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, 0.0, "BUILDING") for k in ckeys],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    supp = spark.createDataFrame(
+        [(k, f"s{k}", 0, 0.0) for k in skeys],
+        schema="s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    d = str(tmp_path / "grid")
+    cust.write.parquet(d + "/customer.parquet")
+    supp.write.parquet(d + "/supplier.parquet")
+    got = {r["c_custkey"]: r["s_suppkey"] for r in J.join_grid_knn(spark, d).collect()}
+    assert got == expected
