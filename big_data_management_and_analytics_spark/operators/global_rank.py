@@ -103,3 +103,44 @@ def percent_rank_expr(rn: Column, total: Column) -> Column:
 def cume_dist_expr(rn: Column, total: Column) -> Column:
     """CUME_DIST over a total order: rn / n (no peers when the order is total)."""
     return rn / total
+
+
+def with_global_prefix_max(
+    df: DataFrame, order_col: str, value_col: str, out: str
+) -> DataFrame:
+    """Attach the STRICT prefix max of ``value_col`` over the total order
+    ``order_col`` (max over all rows ordered strictly before; null for the
+    first row) without a single-partition window.
+
+    Same two-pass shape as ``global_rank.with_global_row_number``: range
+    shuffle on the order key, per-partition running max (exclusive frame),
+    per-partition totals broadcast-joined as a lower-triangle prefix —
+    max is associative, so the per-partition scan + cross-partition
+    combine is exact. O(partitions²) counter rows on the driver-free side
+    path; the data path stays fully parallel.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    pmax = ranged.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
+    lower = pmax.select(F.col("_pid").alias("_lpid"), F.col("_pmax").alias("_lmax"))
+    prefix = (
+        pmax.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.max("_lmax").alias("_prefix"))
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(prefix), "_pid")
+        .withColumn("_local_prev", F.max(value_col).over(w))
+        # greatest() skips nulls: first row of the first partition gets
+        # null (no predecessor anywhere), which is exactly "no bound yet".
+        .withColumn(out, F.greatest("_prefix", "_local_prev"))
+        .drop("_pid", "_prefix", "_local_prev")
+    )

@@ -28,52 +28,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_management_and_analytics_spark.operators.global_rank import (
     ntile_expr,
+    with_global_prefix_max,
     with_global_row_number,
 )
 from big_data_management_and_analytics_spark.plans.determinism import money_sum_fast
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
-
-
-def _with_global_prefix_max(
-    df: DataFrame, order_col: str, value_col: str, out: str
-) -> DataFrame:
-    """Attach the STRICT prefix max of ``value_col`` over the total order
-    ``order_col`` (max over all rows ordered strictly before; null for the
-    first row) without a single-partition window.
-
-    Same two-pass shape as ``global_rank.with_global_row_number``: range
-    shuffle on the order key, per-partition running max (exclusive frame),
-    per-partition totals broadcast-joined as a lower-triangle prefix —
-    max is associative, so the per-partition scan + cross-partition
-    combine is exact. O(partitions²) counter rows on the driver-free side
-    path; the data path stays fully parallel.
-    """
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    pmax = ranged.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
-    lower = pmax.select(F.col("_pid").alias("_lpid"), F.col("_pmax").alias("_lmax"))
-    prefix = (
-        pmax.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.max("_lmax").alias("_prefix"))
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        ranged.join(F.broadcast(prefix), "_pid")
-        .withColumn("_local_prev", F.max(value_col).over(w))
-        # greatest() skips nulls: first row of the first partition gets
-        # null (no predecessor anywhere), which is exactly "no bound yet".
-        .withColumn(out, F.greatest("_prefix", "_local_prev"))
-        .drop("_pid", "_prefix", "_local_prev")
-    )
 
 
 @register(
@@ -110,7 +70,7 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = p.groupBy("p_retailprice").agg(F.max("p_size").alias("_best"))
     frontier = (
-        _with_global_prefix_max(best, "p_retailprice", "_best", "_prev")
+        with_global_prefix_max(best, "p_retailprice", "_best", "_prev")
         .filter(F.col("_prev").isNull() | (F.col("_best") > F.col("_prev")))
         .select("p_retailprice", F.col("_best").alias("p_size"))
     )
@@ -230,18 +190,19 @@ def mkt_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         changes AS (
-            SELECT user_id, ts, event_type
+            SELECT user_id, ts, event_id, event_type
             FROM src
             WHERE prev_type IS NULL OR prev_type <> event_type
         )
         SELECT user_id,
                CAST(ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY ts) AS INT) AS version,
+                   PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
                event_type AS state,
                ts AS valid_from,
-               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-               (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
-                   AS is_current
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL) AS is_current
         FROM changes
     """,
     doc=(
@@ -263,12 +224,11 @@ def scd_type2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         e.withColumn("_prev", F.lag("event_type").over(w))
         .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
-        .select("user_id", "ts", "event_type")
+        .select("user_id", "ts", "event_id", "event_type")
     )
-    # Change rows keep at most one row per (user, ts): events at the same
-    # ts for one user are rare in the fixture and identical-state dups are
-    # collapsed above; the remaining order is total per user in practice.
-    wc = Window.partitionBy("user_id").orderBy("ts")
+    # event_id rides along as the tiebreak: same-timestamp change rows for
+    # one user would otherwise get nondeterministic versions/intervals.
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         F.row_number().over(wc).cast("int").alias("version"),
@@ -403,7 +363,6 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c).alias("sc"),
         F.sum(c * c).alias("sc2"),
     )
-    p = F.when(F.col("event_type") == "purchase", F.col("n"))
     s = m.agg(
         F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n1"),
         F.max(F.when(F.col("event_type") == "view", F.col("n"))).alias("n2"),

@@ -707,7 +707,9 @@ def ts_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = (
         e.withColumn(
-            "x", (F.unix_timestamp("bucket") / F.lit(3600)).cast("bigint")
+            # floor division (not truncation) so the hour index matches the
+            # oracle's // even for negative epochs / non-UTC sessions.
+            "x", F.floor(F.unix_timestamp("bucket") / F.lit(3600)).cast("bigint")
         )
         .groupBy("user_id", "bucket", "x")
         .agg(F.sum(cents("value")).alias("y"))

@@ -1275,3 +1275,27 @@ def test_grid_knn_matches_bruteforce_within_ring(spark, tmp_path):
     supp.write.parquet(d + "/supplier.parquet")
     got = {r["c_custkey"]: r["s_suppkey"] for r in J.join_grid_knn(spark, d).collect()}
     assert got == expected
+
+
+def test_scd2_same_timestamp_ties_are_deterministic(spark, tmp_path):
+    """Two change rows at the SAME timestamp must version by event_id
+    (the total-order tiebreak) — not arbitrarily."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows = [
+        (2, _ts("2024-01-01T10:00:00"), 7, "B", 1.0, "{}"),
+        (1, _ts("2024-01-01T10:00:00"), 7, "A", 1.0, "{}"),
+        (3, _ts("2024-01-01T11:00:00"), 7, "C", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "scdtie")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    hist = sorted(
+        mining.scd_type2_history(spark, d).collect(), key=lambda r: r["version"]
+    )
+    assert [r["state"] for r in hist] == ["A", "B", "C"]
+    assert hist[0]["valid_to"] == _ts("2024-01-01T10:00:00")  # closed by the tie row
+    assert hist[2]["is_current"]
