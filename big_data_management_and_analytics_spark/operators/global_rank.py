@@ -144,3 +144,47 @@ def with_global_prefix_max(
         .withColumn(out, F.greatest("_prefix", "_local_prev"))
         .drop("_pid", "_prefix", "_local_prev")
     )
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order: Sequence[Column],
+    value_col: str,
+    out: str,
+    total: Optional[str] = None,
+) -> DataFrame:
+    """Attach the INCLUSIVE prefix sum of ``value_col`` (a long column —
+    exact arithmetic only) over the total order ``order`` without a
+    single-partition window; optionally attach the grand total.
+
+    Third member of the two-pass family (row number, prefix max, prefix
+    sum — all associative scans over the same range shuffle): range
+    partitions, per-partition inclusive running sum, lower-triangle
+    broadcast of per-partition totals as the cross-partition offset.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    psum = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    lower = psum.select(F.col("_pid").alias("_lpid"), F.col("_psum").alias("_lsum"))
+    prefix = (
+        psum.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_lsum"), F.lit(0)).alias("_prefix"))
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out_df = (
+        ranged.join(F.broadcast(prefix), "_pid")
+        .withColumn(out, F.sum(value_col).over(w) + F.col("_prefix"))
+        .drop("_pid", "_prefix")
+    )
+    if total is not None:
+        grand = psum.agg(F.sum("_psum").alias(total))
+        out_df = out_df.crossJoin(F.broadcast(grand))
+    return out_df

@@ -403,3 +403,167 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "agg_abc_analysis",
+    "L",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rc
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, rc,
+                   SUM(rc) OVER (
+                       ORDER BY rc DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(rc) OVER () AS total
+            FROM rev
+        ),
+        classed AS (
+            SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                        WHEN cum * 100 <= total * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   rc, total
+            FROM ranked
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(rc) AS DOUBLE) / 100.0 AS revenue,
+               ROUND(CAST(SUM(rc) AS DOUBLE) / ANY_VALUE(total), 6)
+                   AS revenue_share
+        FROM classed
+        GROUP BY abc_class
+        ORDER BY abc_class
+    """,
+    doc=(
+        "ABC (Pareto 80/95) customer classification by cumulative "
+        "revenue share — the inventory/CRM segmentation staple. The "
+        "global running revenue total runs through the NEW two-pass "
+        "prefix-SUM scan (global_rank.with_global_prefix_sum: range "
+        "shuffle on (revenue DESC, custkey), per-partition inclusive "
+        "running sum, broadcast lower-triangle offsets) — no single-"
+        "partition window touches the customer relation. Class "
+        "boundaries compare EXACT integer cents (cum·100 ≤ total·80), "
+        "so no float threshold wobble exists; the only doubles are the "
+        "two final reporting columns. Linear, two shuffles + the "
+        "aggregate."
+    ),
+)
+def agg_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_prefix_sum,
+    )
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents("o_totalprice")).alias("rc"))
+    ranked = with_global_prefix_sum(
+        rev,
+        [F.col("rc").desc(), F.col("o_custkey").asc()],
+        "rc",
+        out="cum",
+        total="total",
+    )
+    classed = ranked.select(
+        "rc",
+        "total",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("rc").cast("double") / 100.0).alias("revenue"),
+            F.round(
+                F.sum("rc").cast("double") / F.first("total"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "agg_corr_matrix",
+    "D",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(a.y) AS sa, SUM(b.y) AS sb,
+                   SUM(a.y * b.y) AS sab,
+                   SUM(a.y * a.y) AS saa, SUM(b.y * b.y) AS sbb
+            FROM hourly a JOIN hourly b
+              ON a.h = b.h AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT type_a, type_b, n AS n_hours,
+               CASE WHEN (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) > 0
+                     AND (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb) > 0
+                    THEN ROUND(
+                        (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+                        / sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                        / sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb),
+                        6)
+               END AS pearson_r
+        FROM pairs
+        ORDER BY type_a, type_b
+    """,
+    doc=(
+        "Pairwise Pearson correlation matrix between event-type hourly "
+        "spend series — cross-metric co-movement, the observability/"
+        "feature-selection staple. Series align by an INNER self-join on "
+        "the hour bucket (pair work per hour = |types|², linear in "
+        "hours), and every accumulated moment (Σy, Σy², Σab) is an EXACT "
+        "long sum of bounded cents products; r is one closed-form double "
+        "expression over those longs — n·Σab is formed in DOUBLE because "
+        "only that final product can exceed 2^63, and a double product "
+        "of two exact longs is deterministic. Degenerate (zero-variance) "
+        "series yield null r. Hash-exact under any partitioning."
+    ),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    hourly = e.groupBy("h", "event_type").agg(F.sum(cents("value")).alias("y"))
+    a = hourly.select("h", F.col("event_type").alias("type_a"), F.col("y").alias("ya"))
+    b = hourly.select("h", F.col("event_type").alias("type_b"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("ya").alias("sa"),
+            F.sum("yb").alias("sb"),
+            F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+            F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+            F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    va = nd * F.col("saa") - F.col("sa").cast("double") * F.col("sa")
+    vb = nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb")
+    num = nd * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_hours"),
+        F.when(
+            (va > 0) & (vb > 0), F.round(num / F.sqrt(va) / F.sqrt(vb), 6)
+        ).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")

@@ -751,3 +751,99 @@ def ts_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("r2"),
     )
+
+
+@register(
+    "events_attribution",
+    "L",
+    oracle="""
+        WITH purch AS (
+            SELECT user_id, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+            SELECT user_id, ts AS tts, event_id AS tid, event_type AS ttype
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        joined AS (
+            SELECT p.user_id, p.pid, t.ttype, t.tts, t.tid
+            FROM purch p JOIN touch t
+              ON t.user_id = p.user_id
+             AND t.tts >= p.pts - INTERVAL 24 HOUR
+             AND t.tts < p.pts
+        ),
+        w AS (
+            SELECT ttype,
+                   COUNT(*) OVER (PARTITION BY user_id, pid) AS n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, pid
+                       ORDER BY tts DESC, tid DESC) AS rn
+            FROM joined
+        )
+        SELECT ttype AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_assists,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_last_touch,
+               ROUND(CAST(SUM(CAST(ROUND(1.0 / n, 9) AS DECIMAL(28,9)))
+                          AS DOUBLE), 6) AS linear_credit
+        FROM w
+        GROUP BY ttype
+        ORDER BY ttype
+    """,
+    doc=(
+        "Marketing attribution over the event stream: every purchase "
+        "distributes conversion credit across the user's view/click "
+        "touches in the trailing 24 h — LINEAR credit (1/n per touch) "
+        "and LAST-TOUCH counts (latest touch by the (ts, event_id) "
+        "total order) side by side. The purchase↔touch pairing is an "
+        "equi-join on the user plus a time-band predicate — work is "
+        "Σ(purchases·touches) per user, bounded by real session "
+        "activity, never a global pair space. Both credit statistics "
+        "ride per-purchase PARTITIONED windows. The fractional 1/n "
+        "credits are quantized to DECIMAL(28,9) before summing, so the "
+        "float-derived aggregate is exact and partition-order "
+        "invariant (the perplexity convention). Purchases with no "
+        "trailing touch contribute nothing by declared semantics."
+    ),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ttype"),
+    )
+    joined = purch.join(
+        touch,
+        ["user_id"],
+    ).filter(
+        (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("tts") < F.col("pts"))
+    )
+    wp = Window.partitionBy("user_id", "pid")
+    wr = wp.orderBy(F.col("tts").desc(), F.col("tid").desc())
+    flagged = joined.select(
+        "ttype",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        flagged.groupBy(F.col("ttype").alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assists"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_last_touch"),
+            F.round(
+                F.sum(
+                    F.round(F.lit(1.0) / F.col("n"), 9).cast("decimal(28,9)")
+                ).cast("double"),
+                6,
+            ).alias("linear_credit"),
+        )
+        .orderBy("touch_type")
+    )

@@ -80,6 +80,9 @@ SENSITIVE = [
     "graph_shortest_paths",# integer BFS levels
     "ts_rolling_regression", # integer window moments -> closed-form OLS
     "join_grid_knn",       # cell equi-join + (d2, key) total-order pick
+    "agg_abc_analysis",    # two-pass prefix sum + integer thresholds
+    "agg_corr_matrix",     # exact long moments per pair
+    "events_attribution",  # decimal-quantized fractional credits
 ]
 
 

@@ -1299,3 +1299,86 @@ def test_scd2_same_timestamp_ties_are_deterministic(spark, tmp_path):
     assert [r["state"] for r in hist] == ["A", "B", "C"]
     assert hist[0]["valid_to"] == _ts("2024-01-01T10:00:00")  # closed by the tie row
     assert hist[2]["is_current"]
+
+
+def test_abc_planted_cumulative_classes(spark, tmp_path):
+    """Revenues 50/30/15/5 -> cum shares 50/80/95/100: the 80-boundary
+    customer is still A and the 95-boundary customer still B (<=, exact
+    integer comparison)."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows = [
+        (1, 10, "O", 50.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+        (2, 20, "O", 30.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+        (3, 30, "O", 15.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+        (4, 40, "O", 5.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+    ]
+    o = spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "abc")
+    o.write.parquet(d + "/orders.parquet")
+    out = {r["abc_class"]: r for r in mining.agg_abc_analysis(spark, d).collect()}
+    assert out["A"]["n_customers"] == 2 and out["A"]["revenue"] == 80.0
+    assert out["B"]["n_customers"] == 1 and out["B"]["revenue"] == 15.0
+    assert out["C"]["n_customers"] == 1 and out["C"]["revenue"] == 5.0
+    assert out["A"]["revenue_share"] == 0.8
+
+
+def test_corr_matrix_planted_series(spark, tmp_path):
+    """A perfectly correlated pair gives r = 1, an anti-correlated pair
+    r = -1, and a constant series yields null (zero variance)."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows, eid = [], 0
+    for h, base in enumerate([1.0, 2.0, 3.0, 4.0]):
+        for etype, v in (
+            ("click", base),            # x
+            ("view", 2.0 * base),       # 2x  -> r(click, view) = 1
+            ("error", 5.0 - base),      # 5-x -> r(click, error) = -1
+            ("signup", 3.0),            # constant -> r = null
+        ):
+            eid += 1
+            rows.append((eid, _ts(f"2024-01-01T{h:02d}:30:00"), 1, etype, v, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "corr")
+    ev.write.parquet(d + "/events.parquet")
+    out = {
+        (r["type_a"], r["type_b"]): r["pearson_r"]
+        for r in mining.agg_corr_matrix(spark, d).collect()
+    }
+    assert out[("click", "view")] == 1.0
+    assert out[("click", "error")] == -1.0
+    assert out[("click", "signup")] is None
+    assert out[("error", "view")] == -1.0
+
+
+def test_attribution_planted_touches(spark, tmp_path):
+    """One purchase with two in-window touches and one stale touch:
+    linear credit splits 0.5/0.5, last-touch goes to the later touch,
+    the stale touch earns nothing."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 7, "view", 1.0, "{}"),   # > 24h before
+        (2, _ts("2024-01-02T09:00:00"), 7, "view", 1.0, "{}"),   # in window
+        (3, _ts("2024-01-02T10:00:00"), 7, "click", 1.0, "{}"),  # in window, last
+        (4, _ts("2024-01-02T11:00:00"), 7, "purchase", 9.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "attr")
+    ev.write.parquet(d + "/events.parquet")
+    out = {
+        r["touch_type"]: r for r in timeseries.events_attribution(spark, d).collect()
+    }
+    assert out["view"]["n_assists"] == 1 and out["click"]["n_assists"] == 1
+    assert out["click"]["n_last_touch"] == 1 and out["view"]["n_last_touch"] == 0
+    assert out["view"]["linear_credit"] == 0.5
+    assert out["click"]["linear_credit"] == 0.5

@@ -158,3 +158,27 @@ def test_global_ntile_matches_sql_semantics_on_random_sizes(spark):
         for tile in range(1, 11):
             expected += [tile] * (base + (1 if tile <= rem else 0))
         assert tiles == expected, (n, tiles)
+
+
+def test_global_prefix_sum_matches_cumsum(spark):
+    """The two-pass prefix sum must equal the sequential cumulative sum
+    for random longs under a shuffled total order."""
+    import random
+
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    vals = [(i, rng.randint(-1000, 1000)) for i in range(500)]
+    df = spark.createDataFrame(vals, schema="k long, v long").repartition(13)
+    out = {
+        r["k"]: (r["cum"], r["tot"])
+        for r in with_global_prefix_sum(
+            df, [F.col("k").asc()], "v", out="cum", total="tot"
+        ).collect()
+    }
+    running, total = 0, sum(v for _, v in vals)
+    for k, v in vals:
+        running += v
+        assert out[k] == (running, total), k
