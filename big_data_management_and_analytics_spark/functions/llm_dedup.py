@@ -843,3 +843,161 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_base", "near_base").alias("matched_base_doc"),
         )
     )
+
+
+def _minhash_accuracy_oracle() -> str:
+    est_matches = " + ".join(
+        f"CAST(sa.s{i} = sb.s{i} AS INT)" for i in range(N_HASHES)
+    )
+    return f"""
+        WITH {_minhash_oracle_cte()},
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT p.da, p.db, CAST(COUNT(*) AS BIGINT) AS i
+            FROM pairs p
+            JOIN toks ta ON ta.doc_id = p.da
+            JOIN toks tb ON tb.doc_id = p.db AND tb.tok = ta.tok
+            GROUP BY p.da, p.db
+        ),
+        scored AS (
+            SELECT p.da, p.db,
+                   ({est_matches}) AS matches,
+                   CAST(COALESCE(i.i, 0) AS DOUBLE)
+                       / (sa_n.n + sb_n.n - COALESCE(i.i, 0)) AS exact_j,
+                   ({est_matches}) / 16.0 AS est_j
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.da
+            JOIN sig sb ON sb.doc_id = p.db
+            JOIN sizes sa_n ON sa_n.doc_id = p.da
+            JOIN sizes sb_n ON sb_n.doc_id = p.db
+            LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+               ROUND(CAST(SUM(matches) AS DOUBLE) / (16.0 * COUNT(*)), 6)
+                   AS mean_est_jaccard,
+               ROUND(CAST(SUM(CAST(ROUND(exact_j, 6) AS DECIMAL(28,6)))
+                          AS DOUBLE) / COUNT(*), 6) AS mean_exact_jaccard,
+               ROUND(CAST(SUM(CAST(ROUND(ABS(est_j - exact_j), 6)
+                                   AS DECIMAL(28,6)))
+                          AS DOUBLE) / COUNT(*), 6) AS mae,
+               CAST(SUM(CASE WHEN exact_j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_ge_07
+        FROM scored
+    """
+
+
+@register(
+    "llm_minhash_accuracy",
+    "K",
+    oracle=_minhash_accuracy_oracle(),
+    doc=(
+        "MinHash estimator audit — the VERIFY stage of an LSH dedup "
+        "pipeline, turned into a one-row accuracy report: for every LSH "
+        "candidate pair (docs sharing a band bucket), compare the "
+        "signature-agreement Jaccard estimate (matches/16) against the "
+        "EXACT token-set Jaccard, reporting mean estimate, mean exact, "
+        "MAE, and how many candidates clear the 0.7 s-curve threshold. "
+        "This quantifies whether the 16-hash/4-band configuration is "
+        "safe to delete on. Scale: the exact check runs ONLY on "
+        "candidate pairs (the LSH point — candidates ≪ n²), and the "
+        "intersection counts come from a token join restricted to those "
+        "pairs, so work is Σ shared tokens over candidates. Per-pair "
+        "ratios are quantized to DECIMAL(28,6) before the final "
+        "averages — partition-order exact. Mirrors llm_ann_recall's "
+        "in-engine-audit pattern on the dedup side. The portable hash "
+        "family makes the whole audit hash-verifiable in DuckDB."
+    ),
+)
+def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs(spark, sf_dir)
+    banded = sigs.select("doc_id", F.explode(_packed_bands()).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhi").alias("bhi"),
+        F.col("bb.blo").alias("blo"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("da"), "band", "bhi", "blo"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("db"), "band", "bhi", "blo"
+    )
+    pairs = (
+        a.join(b, ["band", "bhi", "blo"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    toks = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("da"), "tok")
+    tb = toks.select(F.col("doc_id").alias("db"), "tok")
+    inter = (
+        pairs.join(ta, "da")
+        .join(tb, ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("da"), *[F.col(f"s{i}").alias(f"sa{i}") for i in range(N_HASHES)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("db"), *[F.col(f"s{i}").alias(f"sb{i}") for i in range(N_HASHES)]
+    )
+    matches = sum(
+        (F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0) for i in range(N_HASHES)),
+        F.lit(0),
+    )
+    scored = (
+        pairs.join(sa, "da")
+        .join(sb, "db")
+        .join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .join(inter, ["da", "db"], "left")
+        .select(
+            matches.alias("matches"),
+            (
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+            ).alias("exact_j"),
+            (matches / F.lit(16.0)).alias("est_j"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.round(
+            F.sum("matches").cast("double") / (F.lit(16.0) * F.count(F.lit(1))), 6
+        ).alias("mean_est_jaccard"),
+        F.round(
+            F.sum(F.round(F.col("exact_j"), 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_exact_jaccard"),
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("est_j") - F.col("exact_j")), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae"),
+        F.sum(F.when(F.col("exact_j") >= 0.7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_ge_07"),
+    )

@@ -83,6 +83,7 @@ SENSITIVE = [
     "agg_abc_analysis",    # two-pass prefix sum + integer thresholds
     "agg_corr_matrix",     # exact long moments per pair
     "events_attribution",  # decimal-quantized fractional credits
+    "llm_minhash_accuracy",# candidate-pair audit, decimal-quantized ratios
 ]
 
 

@@ -1382,3 +1382,27 @@ def test_attribution_planted_touches(spark, tmp_path):
     assert out["click"]["n_last_touch"] == 1 and out["view"]["n_last_touch"] == 0
     assert out["view"]["linear_credit"] == 0.5
     assert out["click"]["linear_credit"] == 0.5
+
+
+def test_minhash_accuracy_planted_identical_pair(spark, tmp_path):
+    """Two identical docs are an LSH candidate pair with estimated and
+    exact Jaccard both 1.0 (MAE 0); the disjoint third doc pairs with
+    neither."""
+    from big_data_management_and_analytics_spark.functions import llm_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "web", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "web", 30),
+            (3, "zig zag zorro quux wobble", "en", "web", 25),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "mha")
+    docs.write.parquet(d + "/documents.parquet")
+    r = llm_dedup.llm_minhash_accuracy(spark, d).collect()[0]
+    assert r["n_candidate_pairs"] == 1
+    assert r["mean_est_jaccard"] == 1.0
+    assert r["mean_exact_jaccard"] == 1.0
+    assert r["mae"] == 0.0
+    assert r["n_exact_ge_07"] == 1
