@@ -851,11 +851,17 @@ def _minhash_accuracy_oracle() -> str:
     )
     return f"""
         WITH {_minhash_oracle_cte()},
-        pairs AS (
+        allpairs AS (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT da, db FROM allpairs
+            WHERE ('0x' || substr(md5(CAST(da AS VARCHAR) || ':'
+                                       || CAST(db AS VARCHAR)), 1, 15))::BIGINT
+                  % 10 = 0
         ),
         sizes AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id
@@ -935,6 +941,10 @@ def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
+        # Deterministic 10% pair sample (portable md5 residue): dup-heavy
+        # corpora make candidate pairs quadratic in block size, and an
+        # ACCURACY AUDIT needs an unbiased sample, not the full pair set.
+        .filter(ph0(F.concat_ws(":", F.col("da"), F.col("db"))) % 10 == 0)
     )
     toks = (
         spread(load(spark, sf_dir, "documents"), "doc_id")
