@@ -106,3 +106,28 @@ def test_all_queries_run_smoke(spark, registry):
         df = q.fn(spark, SF_SMALL)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_hostile_session_confs_are_overridden(spark, registry):
+    """The driver contract hands us a session we don't build: even if it
+    arrives with inferTimestampNTZ on and a non-UTC timezone, tune()
+    (invoked by every load()) must re-pin the runtime confs so results
+    are unchanged (the verify-skill probe, as a suite guard)."""
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+    n = registry["scan_pushdown_filter"].fn(hostile, "/root/testdata/sf0.01").count()
+    assert n == 12383
+    assert hostile.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert (
+        hostile.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
+    )
+    # timestamp semantics survive too: hourly bucketing in the hostile
+    # session matches the canonical session bit-for-bit.
+    a = sorted(
+        map(tuple, registry["ts_ohlc_resample"].fn(hostile, "/root/testdata/sf0.001").collect())
+    )
+    b = sorted(
+        map(tuple, registry["ts_ohlc_resample"].fn(spark, "/root/testdata/sf0.001").collect())
+    )
+    assert a == b
