@@ -1011,3 +1011,150 @@ def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_exact_ge_07"),
     )
+
+
+@register(
+    "llm_dedup_ssjoin",
+    "K",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(list_distinct(string_split_regex(lower(text), '\\s+')))
+                       AS tok
+            FROM documents
+        ),
+        freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok
+        ),
+        sized AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY doc_id
+        ),
+        ranked AS (
+            SELECT t.doc_id, t.tok,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rn
+            FROM toks t JOIN freq f USING (tok)
+        ),
+        prefix AS (
+            SELECT r.doc_id, r.tok
+            FROM ranked r JOIN sized s USING (doc_id)
+            WHERE r.rn <= s.n - (7 * s.n + 9) // 10 + 1
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM prefix a JOIN prefix b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS i
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.da
+            JOIN toks tb ON tb.doc_id = c.db AND tb.tok = ta.tok
+            GROUP BY c.da, c.db
+        )
+        SELECT i.da, i.db,
+               ROUND(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sized sa ON sa.doc_id = i.da
+        JOIN sized sb ON sb.doc_id = i.db
+        WHERE 10 * i.i >= 7 * (sa.n + sb.n - i.i)
+    """,
+    doc=(
+        "EXACT Jaccard-threshold similarity join (t = 0.7) via prefix "
+        "filtering (Bayardo et al., WWW 2007; Chaudhuri et al., ICDE "
+        "2006): tokens sort by a global (document-frequency, token) "
+        "total order; a document's candidate signature is only its "
+        "PREFIX of length n - ceil(0.7·n) + 1, and any pair passing the "
+        "threshold provably shares a prefix token — so candidate "
+        "generation is an equi-join on rare prefix tokens (work tracks "
+        "genuine similarity, never the n² pair space), followed by "
+        "exact verification on candidates only. Completes the dedup "
+        "family: approximate (minhash/simhash LSH) ⟷ exact-pruned "
+        "(this) ⟷ exact-naive (llm_dedup_near_exact, the declared O(n²) "
+        "baseline). ALL threshold math is integer (prefix length "
+        "n - (7n+9) div 10 + 1; acceptance 10·i ≥ 7·(na+nb−i)) — no "
+        "float ceil/compare wobble between engines; the reported "
+        "jaccard is the only double, rounded 6. Output is the true "
+        "pair set — output-bound, the best possible for an exact join."
+    ),
+)
+def llm_dedup_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    sized = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = toks.join(freq, "tok").withColumn("rn", F.row_number().over(w))
+    plen = F.col("n") - ((7 * F.col("n") + 9) / F.lit(10)).cast("long") + 1
+    prefix = (
+        ranked.join(sized, "doc_id")
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "tok")
+    )
+    # Per-doc sorted token array: the verification payload. Carrying the
+    # array through two hash joins and intersecting map-side beats the
+    # exploded token re-join by ~2× on dup-dense data (no per-candidate
+    # token shuffle).
+    tokarr = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = prefix.join(sized, "doc_id").select(
+        F.col("doc_id").alias("da"), "tok", F.col("n").alias("na")
+    )
+    b = prefix.join(sized, "doc_id").select(
+        F.col("doc_id").alias("db"), "tok", F.col("n").alias("nb")
+    )
+    # Length filter: J ≥ 0.7 forces 7·nb ≤ 10·na and 7·na ≤ 10·nb —
+    # prune impossible pairs BEFORE the dedup/verify stages (removes only
+    # pairs the final threshold would reject, so semantics are unchanged
+    # and the oracle needs no mirror).
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("da") < F.col("db"))
+            & (10 * F.col("na") >= 7 * F.col("nb"))
+            & (10 * F.col("nb") >= 7 * F.col("na"))
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    i = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("bigint")
+    return (
+        cand.join(
+            tokarr.select(
+                F.col("doc_id").alias("da"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("na"),
+            ),
+            "da",
+        )
+        .join(
+            tokarr.select(
+                F.col("doc_id").alias("db"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("nb"),
+            ),
+            "db",
+        )
+        .withColumn("i", i)
+        .filter(10 * F.col("i") >= 7 * (F.col("na") + F.col("nb") - F.col("i")))
+        .select(
+            "da",
+            "db",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

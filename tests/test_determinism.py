@@ -84,6 +84,7 @@ SENSITIVE = [
     "agg_corr_matrix",     # exact long moments per pair
     "events_attribution",  # decimal-quantized fractional credits
     "llm_minhash_accuracy",# candidate-pair audit, decimal-quantized ratios
+    "llm_dedup_ssjoin",    # prefix-filtered exact join, integer thresholds
 ]
 
 

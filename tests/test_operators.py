@@ -1406,3 +1406,71 @@ def test_minhash_accuracy_planted_identical_pair(spark, tmp_path):
     assert r["mean_exact_jaccard"] == 1.0
     assert r["mae"] == 0.0
     assert r["n_exact_ge_07"] == 1
+
+
+def test_ssjoin_contains_near_exact_pairs(spark, registry):
+    """Every pair the O(n²) exact baseline reports at >= 0.8 must appear
+    in the prefix-filtered exact join (threshold 0.7) with the identical
+    rounded Jaccard — the pruned plan loses nothing."""
+    near = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry["llm_dedup_near_exact"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    ss = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in registry["llm_dedup_ssjoin"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert near  # fixture has near-dups
+    missing = {p for p in near if p not in ss}
+    assert not missing, sorted(missing)[:5]
+    for p, j in near.items():
+        assert ss[p] == j, (p, j, ss[p])
+
+
+def test_ssjoin_matches_bruteforce_on_random_sets(spark, tmp_path):
+    """Prefix-filter completeness on adversarial random sets: planted
+    high-overlap pairs plus noise docs; output must equal the integer-
+    exact brute force (10·i >= 7·(na+nb-i)) — nothing missed, nothing
+    extra."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(40):
+        base = rng.sample(vocab, rng.randint(4, 12))
+        docs.append((i * 2 + 1, base))
+        if rng.random() < 0.5:  # planted near-dup: drop/add one token
+            twin = list(base)
+            if len(twin) > 4 and rng.random() < 0.5:
+                twin.pop(rng.randrange(len(twin)))
+            else:
+                twin.append(rng.choice([w for w in vocab if w not in twin]))
+            docs.append((i * 2 + 2, twin))
+    expected = {}
+    for x, (ida, ta) in enumerate(docs):
+        sa = set(ta)
+        for idb, tb in docs[x + 1 :]:
+            sb = set(tb)
+            a, b = min(ida, idb), max(ida, idb)
+            i = len(sa & sb)
+            u = len(sa | sb)
+            if 10 * i >= 7 * u:
+                expected[(a, b)] = round(i / u, 6)
+    df = spark.createDataFrame(
+        [(i, " ".join(ts), "en", "web", len(" ".join(ts))) for i, ts in docs],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "ssj")
+    df.write.parquet(d + "/documents.parquet")
+    from big_data_management_and_analytics_spark.functions import llm_dedup
+
+    got = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in llm_dedup.llm_dedup_ssjoin(spark, d).collect()
+    }
+    assert got == expected
