@@ -45,6 +45,8 @@ HEADLINE = [
     "tpch_q9_profit",         # 5-way join, 3 broadcast dims, nation-year agg
     "tpch_q21_waiting",       # decorrelated EXISTS pair (per-order agg reuse)
     "llm_contamination_bloom",# bloom build + codegen probe (100 TB plan form)
+    "llm_dedup_ssjoin",       # exact prefix-filtered similarity join (output-bound)
+    "agg_abc_analysis",       # two-pass global prefix sum + integer thresholds
 ]
 
 # Declared exact small-scale baselines — O(n²) pair space BY DESIGN (the

@@ -289,3 +289,75 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") / 100.0).cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    "G",
+    oracle="""
+        WITH v1 AS (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_custkey % 17 <> 3
+        ),
+        v2 AS (
+            SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey % 7 = 2 THEN c_acctbal + 10.0
+                        ELSE c_acctbal END AS c_acctbal
+            FROM customer WHERE c_custkey % 13 <> 5
+        )
+        SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS c_custkey,
+               CASE WHEN v1.c_custkey IS NULL THEN 'I'
+                    WHEN v2.c_custkey IS NULL THEN 'D'
+                    ELSE 'U' END AS op,
+               v1.c_acctbal AS old_acctbal,
+               v2.c_acctbal AS new_acctbal
+        FROM v1 FULL OUTER JOIN v2 USING (c_custkey)
+        WHERE v1.c_custkey IS NULL
+           OR v2.c_custkey IS NULL
+           OR v1.c_acctbal <> v2.c_acctbal
+    """,
+    doc=(
+        "Snapshot differencing — the INVERSE of cdc_apply_changes: "
+        "given two table states (v2 simulates later inserts, deletes, "
+        "and balance updates derived deterministically from the base), "
+        "derive the I/U/D change feed by a FULL OUTER JOIN on the "
+        "primary key, classifying by side-nullness and value "
+        "inequality. This is how a pipeline bootstraps CDC from "
+        "periodic snapshots when no changelog exists. One co-partitioned "
+        "shuffle on the key (at 100 TB both snapshots bucket by PK and "
+        "the diff is shuffle-free); unchanged rows — the overwhelming "
+        "majority — are filtered before leaving the join, so output is "
+        "change-bound. The update comparison is on stored doubles both "
+        "engines derive identically (+10.0 on a 2-decimal value)."
+    ),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    v1 = c.filter(F.col("c_custkey") % 17 != 3).select(
+        F.col("c_custkey").alias("k1"), F.col("c_acctbal").alias("old_acctbal")
+    )
+    v2 = c.filter(F.col("c_custkey") % 13 != 5).select(
+        F.col("c_custkey").alias("k2"),
+        F.when(
+            F.col("c_custkey") % 7 == 2, F.col("c_acctbal") + 10.0
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_acctbal"),
+    )
+    return (
+        v1.join(v2, v1.k1 == v2.k2, "full_outer")
+        .filter(
+            F.col("k1").isNull()
+            | F.col("k2").isNull()
+            | (F.col("old_acctbal") != F.col("new_acctbal"))
+        )
+        .select(
+            F.coalesce(F.col("k1"), F.col("k2")).alias("c_custkey"),
+            F.when(F.col("k1").isNull(), F.lit("I"))
+            .when(F.col("k2").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "old_acctbal",
+            "new_acctbal",
+        )
+    )

@@ -1474,3 +1474,22 @@ def test_ssjoin_matches_bruteforce_on_random_sets(spark, tmp_path):
         for r in llm_dedup.llm_dedup_ssjoin(spark, d).collect()
     }
     assert got == expected
+
+
+def test_snapshot_diff_planted_changes(spark, tmp_path):
+    """Hand-pick keys hitting each diff class: key 3 (17-residue) is an
+    insert, key 5 (13-residue) a delete, key 2 (7-residue) an update;
+    untouched keys emit nothing."""
+    from big_data_management_and_analytics_spark.operators import setops
+
+    cust = spark.createDataFrame(
+        [(k, f"c{k}", 0, 100.0 + k, "BUILDING") for k in (1, 2, 3, 5, 21)],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    d = str(tmp_path / "snap")
+    cust.write.parquet(d + "/customer.parquet")
+    out = {r["c_custkey"]: r for r in setops.cdc_snapshot_diff(spark, d).collect()}
+    assert out[3]["op"] == "I" and out[3]["old_acctbal"] is None
+    assert out[5]["op"] == "D" and out[5]["new_acctbal"] is None
+    assert out[2]["op"] == "U" and out[2]["new_acctbal"] == 112.0
+    assert 1 not in out and 21 not in out
