@@ -295,6 +295,17 @@ def _packed_bands():
 
 
 
+def _banded(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bhi, blo) rows — the LSH bucket membership every
+    banding consumer shares (grouping, components, the accuracy audit)."""
+    return sigs.select("doc_id", F.explode(_packed_bands()).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bhi").alias("bhi"),
+        F.col("bb.blo").alias("blo"),
+    )
+
+
 @register(
     "llm_dedup_minhash",
     "K",
@@ -328,12 +339,7 @@ def _packed_bands():
 )
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash_sigs(spark, sf_dir)
-    banded = sigs.select("doc_id", F.explode(_packed_bands()).alias("bb")).select(
-        "doc_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bhi").alias("bhi"),
-        F.col("bb.blo").alias("blo"),
-    )
+    banded = _banded(sigs)
     return _bucket_group_assign(banded, "doc_id")
 
 
@@ -813,12 +819,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("base_doc").alias("exact_base"))
     )
     sigs = _minhash_sigs(spark, sf_dir)
-    banded = sigs.select("doc_id", F.explode(_packed_bands()).alias("bb")).select(
-        "doc_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bhi").alias("bhi"),
-        F.col("bb.blo").alias("blo"),
-    )
+    banded = _banded(sigs)
     db = banded.filter(is_delta).select(
         F.col("doc_id").alias("d_doc"), "band", "bhi", "blo"
     )
@@ -878,7 +879,7 @@ def _minhash_accuracy_oracle() -> str:
                    ({est_matches}) AS matches,
                    CAST(COALESCE(i.i, 0) AS DOUBLE)
                        / (sa_n.n + sb_n.n - COALESCE(i.i, 0)) AS exact_j,
-                   ({est_matches}) / 16.0 AS est_j
+                   ({est_matches}) / {float(N_HASHES)} AS est_j
             FROM pairs p
             JOIN sig sa ON sa.doc_id = p.da
             JOIN sig sb ON sb.doc_id = p.db
@@ -887,8 +888,8 @@ def _minhash_accuracy_oracle() -> str:
             LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
-               ROUND(CAST(SUM(matches) AS DOUBLE) / (16.0 * COUNT(*)), 6)
-                   AS mean_est_jaccard,
+               ROUND(CAST(SUM(matches) AS DOUBLE)
+                     / ({float(N_HASHES)} * COUNT(*)), 6) AS mean_est_jaccard,
                ROUND(CAST(SUM(CAST(ROUND(exact_j, 6) AS DECIMAL(28,6)))
                           AS DOUBLE) / COUNT(*), 6) AS mean_exact_jaccard,
                ROUND(CAST(SUM(CAST(ROUND(ABS(est_j - exact_j), 6)
@@ -924,12 +925,7 @@ def _minhash_accuracy_oracle() -> str:
 )
 def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _minhash_sigs(spark, sf_dir)
-    banded = sigs.select("doc_id", F.explode(_packed_bands()).alias("bb")).select(
-        "doc_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bhi").alias("bhi"),
-        F.col("bb.blo").alias("blo"),
-    )
+    banded = _banded(sigs)
     a = banded.select(
         F.col("doc_id").alias("da"), "band", "bhi", "blo"
     )
@@ -985,13 +981,15 @@ def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("i"), F.lit(0)).cast("double")
                 / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
             ).alias("exact_j"),
-            (matches / F.lit(16.0)).alias("est_j"),
+            (matches / F.lit(float(N_HASHES))).alias("est_j"),
         )
     )
     return scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
         F.round(
-            F.sum("matches").cast("double") / (F.lit(16.0) * F.count(F.lit(1))), 6
+            F.sum("matches").cast("double")
+            / (F.lit(float(N_HASHES)) * F.count(F.lit(1))),
+            6,
         ).alias("mean_est_jaccard"),
         F.round(
             F.sum(F.round(F.col("exact_j"), 6).cast("decimal(28,6)")).cast("double")
@@ -1091,7 +1089,16 @@ def llm_dedup_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").isNotNull())
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    sized = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # Per-doc sorted token array: the verification payload. Carrying the
+    # array through two hash joins and intersecting map-side beats the
+    # exploded token re-join by ~2× on dup-dense data (no per-candidate
+    # token shuffle). sized derives from the SAME aggregate so the
+    # token-side groupBy runs once and its exchange is reused.
+    tokarr = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    sized = tokarr.select("doc_id", "n")
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = toks.join(freq, "tok").withColumn("rn", F.row_number().over(w))
     plen = F.col("n") - ((7 * F.col("n") + 9) / F.lit(10)).cast("long") + 1
@@ -1099,14 +1106,6 @@ def llm_dedup_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(sized, "doc_id")
         .filter(F.col("rn") <= plen)
         .select("doc_id", "tok")
-    )
-    # Per-doc sorted token array: the verification payload. Carrying the
-    # array through two hash joins and intersecting map-side beats the
-    # exploded token re-join by ~2× on dup-dense data (no per-candidate
-    # token shuffle).
-    tokarr = toks.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("tok")).alias("arr"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     a = prefix.join(sized, "doc_id").select(
         F.col("doc_id").alias("da"), "tok", F.col("n").alias("na")

@@ -31,6 +31,10 @@ from typing import Optional, Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from big_data_management_and_analytics_spark.operators._two_pass_scaffold import (
+    two_pass_scan,
+)
+
 
 def with_global_row_number(
     df: DataFrame,
@@ -47,35 +51,18 @@ def with_global_row_number(
     carries COUNT(*) (broadcast — the only single-partition step is the
     final reduce of ≤ #partitions counter rows).
     """
-    spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-
-    ranged = df.repartitionByRange(num_partitions, *order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    lower = counts.select(
-        F.col("_pid").alias("_lpid"), F.col("_cnt").alias("_lcnt")
-    )
-    # Offset of partition p = rows in all partitions < p. The triangle
-    # self-join is O(partitions²) pairs of counter rows — trivial at any
-    # data scale, and it avoids a single-partition running-sum window.
-    offsets = (
-        counts.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_lcnt"), F.lit(0)).alias("_offset"))
-    )
     w = Window.partitionBy("_pid").orderBy(*order)
-    out = (
-        ranged.join(F.broadcast(offsets), "_pid")
-        .withColumn(rn, F.row_number().over(w) + F.col("_offset"))
-        .drop("_pid", "_offset")
+    return two_pass_scan(
+        df,
+        order,
+        part_agg=lambda: F.count(F.lit(1)),
+        lower_combine=lambda c: F.coalesce(F.sum(c), F.lit(0)),
+        finish=lambda j: j.withColumn(
+            rn, F.row_number().over(w) + F.col("_prefix")
+        ),
+        num_partitions=num_partitions,
+        total=total,
     )
-    if total is not None:
-        grand = counts.agg(F.sum("_cnt").alias(total))
-        out = out.crossJoin(F.broadcast(grand))
-    return out
 
 
 def ntile_expr(rn: Column, total: Column, k: int) -> Column:
@@ -119,30 +106,21 @@ def with_global_prefix_max(
     combine is exact. O(partitions²) counter rows on the driver-free side
     path; the data path stays fully parallel.
     """
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    pmax = ranged.groupBy("_pid").agg(F.max(value_col).alias("_pmax"))
-    lower = pmax.select(F.col("_pid").alias("_lpid"), F.col("_pmax").alias("_lmax"))
-    prefix = (
-        pmax.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.max("_lmax").alias("_prefix"))
-    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        ranged.join(F.broadcast(prefix), "_pid")
-        .withColumn("_local_prev", F.max(value_col).over(w))
-        # greatest() skips nulls: first row of the first partition gets
-        # null (no predecessor anywhere), which is exactly "no bound yet".
-        .withColumn(out, F.greatest("_prefix", "_local_prev"))
-        .drop("_pid", "_prefix", "_local_prev")
+    # greatest() skips nulls: first row of the first partition gets null
+    # (no predecessor anywhere), which is exactly "no bound yet".
+    return two_pass_scan(
+        df,
+        [F.col(order_col)],
+        part_agg=lambda: F.max(value_col),
+        lower_combine=F.max,
+        finish=lambda j: j.withColumn(
+            out, F.greatest(F.col("_prefix"), F.max(value_col).over(w))
+        ),
     )
 
 
@@ -162,29 +140,18 @@ def with_global_prefix_sum(
     partitions, per-partition inclusive running sum, lower-triangle
     broadcast of per-partition totals as the cross-partition offset.
     """
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n, *order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    psum = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
-    lower = psum.select(F.col("_pid").alias("_lpid"), F.col("_psum").alias("_lsum"))
-    prefix = (
-        psum.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_lsum"), F.lit(0)).alias("_prefix"))
-    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out_df = (
-        ranged.join(F.broadcast(prefix), "_pid")
-        .withColumn(out, F.sum(value_col).over(w) + F.col("_prefix"))
-        .drop("_pid", "_prefix")
+    return two_pass_scan(
+        df,
+        order,
+        part_agg=lambda: F.sum(value_col),
+        lower_combine=lambda c: F.coalesce(F.sum(c), F.lit(0)),
+        finish=lambda j: j.withColumn(
+            out, F.sum(value_col).over(w) + F.col("_prefix")
+        ),
+        total=total,
     )
-    if total is not None:
-        grand = psum.agg(F.sum("_psum").alias(total))
-        out_df = out_df.crossJoin(F.broadcast(grand))
-    return out_df

@@ -424,8 +424,10 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM rev
         ),
         classed AS (
-            SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
-                        WHEN cum * 100 <= total * 95 THEN 'B'
+            SELECT CASE WHEN CAST(cum AS DECIMAL(30,0)) * 100
+                             <= CAST(total AS DECIMAL(30,0)) * 80 THEN 'A'
+                        WHEN CAST(cum AS DECIMAL(30,0)) * 100
+                             <= CAST(total AS DECIMAL(30,0)) * 95 THEN 'B'
                         ELSE 'C' END AS abc_class,
                    rc, total
             FROM ranked
@@ -468,11 +470,16 @@ def agg_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="cum",
         total="total",
     )
+    # Boundary compare in DECIMAL(30,0): cum·100 on longs would overflow
+    # 2^63 around sf≈4000; decimal keeps the classification exact at any
+    # scale with the identical result below it.
+    cum_d = F.col("cum").cast("decimal(30,0)")
+    tot_d = F.col("total").cast("decimal(30,0)")
     classed = ranked.select(
         "rc",
         "total",
-        F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
-        .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
+        F.when(cum_d * 100 <= tot_d * 80, F.lit("A"))
+        .when(cum_d * 100 <= tot_d * 95, F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
@@ -501,9 +508,14 @@ def agg_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs AS (
             SELECT a.event_type AS type_a, b.event_type AS type_b,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   SUM(a.y) AS sa, SUM(b.y) AS sb,
-                   SUM(a.y * b.y) AS sab,
-                   SUM(a.y * a.y) AS saa, SUM(b.y * b.y) AS sbb
+                   SUM(CAST(a.y AS DECIMAL(38,0))) AS sa,
+                   SUM(CAST(b.y AS DECIMAL(38,0))) AS sb,
+                   SUM(CAST(a.y AS DECIMAL(19,0))
+                       * CAST(b.y AS DECIMAL(19,0))) AS sab,
+                   SUM(CAST(a.y AS DECIMAL(19,0))
+                       * CAST(a.y AS DECIMAL(19,0))) AS saa,
+                   SUM(CAST(b.y AS DECIMAL(19,0))
+                       * CAST(b.y AS DECIMAL(19,0))) AS sbb
             FROM hourly a JOIN hourly b
               ON a.h = b.h AND a.event_type < b.event_type
             GROUP BY a.event_type, b.event_type
@@ -548,11 +560,24 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("ya").alias("sa"),
-            F.sum("yb").alias("sb"),
-            F.sum(F.col("ya") * F.col("yb")).alias("sab"),
-            F.sum(F.col("ya") * F.col("ya")).alias("saa"),
-            F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+            # Moments accumulate as exact decimals: long products of two
+            # hourly cents sums overflow 2^63 around sf≈15 (ANSI abort or
+            # silent wrap), while DECIMAL(19,0)×DECIMAL(19,0) sums stay
+            # exact at any scale — matching DuckDB's HUGEINT promotion.
+            F.sum(F.col("ya").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("yb").cast("decimal(38,0)")).alias("sb"),
+            F.sum(
+                F.col("ya").cast("decimal(19,0)")
+                * F.col("yb").cast("decimal(19,0)")
+            ).alias("sab"),
+            F.sum(
+                F.col("ya").cast("decimal(19,0)")
+                * F.col("ya").cast("decimal(19,0)")
+            ).alias("saa"),
+            F.sum(
+                F.col("yb").cast("decimal(19,0)")
+                * F.col("yb").cast("decimal(19,0)")
+            ).alias("sbb"),
         )
     )
     nd = F.col("n").cast("double")
