@@ -15,7 +15,7 @@ bookkeeping (round-2 verdict item 1: the previous hardcoded frozenset
 would have made round 3 re-verify round 2's exact 50 ids).
 
 Coverage plan at the observed ~50-ids/round driver cap (tier-aware;
-simulate with ``queue_order`` against the live registry for exact
+simulate with ``tools/queue_sim.py`` against the live registry for exact
 counts — the registry grows within rounds, so hardcoded totals here
 would go stale):
 - r01+r02 recorded 100 green rows (91 hash, 9 rows-only); the round-3
