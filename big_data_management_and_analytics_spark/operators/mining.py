@@ -592,3 +592,83 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (va > 0) & (vb > 0), F.round(num / F.sqrt(va) / F.sqrt(vb), 6)
         ).alias("pearson_r"),
     ).orderBy("type_a", "type_b")
+
+
+@register(
+    "agg_share_of_parent",
+    "D",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rc
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name, n.n_name
+        ),
+        lv AS (
+            SELECT region, nation, rc,
+                   SUM(rc) OVER (PARTITION BY region) AS region_rc,
+                   SUM(rc) OVER () AS total_rc
+            FROM rev
+        )
+        SELECT region, nation,
+               CAST(rc AS DOUBLE) / 100.0 AS revenue,
+               ROUND(CAST(rc AS DOUBLE) / region_rc, 6) AS share_of_region,
+               ROUND(CAST(region_rc AS DOUBLE) / total_rc, 6)
+                   AS region_share_of_total
+        FROM lv
+        ORDER BY region, nation
+    """,
+    doc=(
+        "Multi-level contribution analysis — each nation's share of its "
+        "region's revenue and each region's share of the total (the BI "
+        "percent-of-parent report agg_rollup's subtotal grid does not "
+        "express). One exact-cents aggregate at the leaf grain; parent "
+        "totals come from a window PARTITIONED BY the parent (25 leaf "
+        "rows — the window input is the aggregate output, never the "
+        "fact table) plus one grand-total window over those same rows; "
+        "at 100 TB the leaf aggregate is the only fact-scale shuffle. "
+        "All ratios are single double divisions of exact longs, rounded "
+        "6. The grand total is a 1-row broadcast scalar (no "
+        "single-partition window anywhere, keeping the suite-wide "
+        "invariant)."
+    ),
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents("o_totalprice")).alias("rc"))
+    )
+    w_region = Window.partitionBy("region")
+    # Region subtotal is a parent-partitioned window over the 25-row
+    # aggregate; the grand total rides the broadcast-scalar pattern (the
+    # suite-wide no-single-partition-window invariant stays intact).
+    total = rev.agg(F.sum("rc").alias("total_rc"))
+    lv = rev.select(
+        "region",
+        "nation",
+        "rc",
+        F.sum("rc").over(w_region).alias("region_rc"),
+    ).crossJoin(F.broadcast(total))
+    return lv.select(
+        "region",
+        "nation",
+        (F.col("rc").cast("double") / 100.0).alias("revenue"),
+        F.round(F.col("rc").cast("double") / F.col("region_rc"), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.col("region_rc").cast("double") / F.col("total_rc"), 6
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")

@@ -1493,3 +1493,19 @@ def test_snapshot_diff_planted_changes(spark, tmp_path):
     assert out[5]["op"] == "D" and out[5]["new_acctbal"] is None
     assert out[2]["op"] == "U" and out[2]["new_acctbal"] == 112.0
     assert 1 not in out and 21 not in out
+
+
+def test_share_of_parent_sums_to_one(spark, registry):
+    """Contribution invariants on the fixture: nation shares sum to ~1
+    within each region, and region shares of total sum to ~1."""
+    rows = registry["agg_share_of_parent"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_region = {}
+    region_share = {}
+    for r in rows:
+        by_region.setdefault(r["region"], 0.0)
+        by_region[r["region"]] += r["share_of_region"]
+        region_share[r["region"]] = r["region_share_of_total"]
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-4, (region, s)
+    assert abs(sum(region_share.values()) - 1.0) < 1e-4
