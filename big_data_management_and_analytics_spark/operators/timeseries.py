@@ -847,3 +847,51 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@register(
+    "events_cumulative_uniques",
+    "L",
+    oracle="""
+        WITH first_touch AS (
+            SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT date_trunc('day', first_ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM first_touch GROUP BY 1
+        )
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumulative_users
+        FROM daily
+        ORDER BY day
+    """,
+    doc=(
+        "Growth curve: daily new users and the cumulative unique-user "
+        "count — the running COUNT(DISTINCT) every analytics dashboard "
+        "wants, which is NOT directly window-expressible at scale. The "
+        "classic reduction: distinct-to-date equals a running SUM of "
+        "first-touch counts, so the plan is one per-user MIN(ts) "
+        "aggregate (the only fact-scale shuffle), a per-day count, and "
+        "the range-partitioned two-pass prefix SUM over the bounded "
+        "daily relation (global_rank.with_global_prefix_sum — no "
+        "single-partition window even though days are few). All "
+        "integer — hash-exact under any partitioning."
+    ),
+)
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_prefix_sum,
+    )
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_touch = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    daily = first_touch.groupBy(
+        F.date_trunc("day", "first_ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    return with_global_prefix_sum(
+        daily, [F.col("day").asc()], "new_users", out="cumulative_users"
+    ).orderBy("day")

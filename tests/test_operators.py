@@ -1509,3 +1509,27 @@ def test_share_of_parent_sums_to_one(spark, registry):
     for region, s in by_region.items():
         assert abs(s - 1.0) < 1e-4, (region, s)
     assert abs(sum(region_share.values()) - 1.0) < 1e-4
+
+
+def test_cumulative_uniques_planted_growth(spark, tmp_path):
+    """Three users: two first appear day 1 (one returns day 2 — must not
+    recount), one is new day 2: growth curve 2 -> 3."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 1, "view", 1.0, "{}"),
+        (2, _ts("2024-01-01T11:00:00"), 2, "view", 1.0, "{}"),
+        (3, _ts("2024-01-02T09:00:00"), 1, "view", 1.0, "{}"),  # returning
+        (4, _ts("2024-01-02T10:00:00"), 3, "view", 1.0, "{}"),  # new
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "cumq")
+    ev.write.parquet(d + "/events.parquet")
+    out = sorted(
+        timeseries.events_cumulative_uniques(spark, d).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [(r["new_users"], r["cumulative_users"]) for r in out] == [(2, 2), (1, 3)]
