@@ -672,3 +672,164 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("region_rc").cast("double") / F.col("total_rc"), 6
         ).alias("region_share_of_total"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "agg_prop_ztest",
+    "D",
+    oracle="""
+        WITH cohorts AS (
+            SELECT user_id % 2 AS cohort,
+                   CAST(COUNT(*) AS BIGINT) AS n_users_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                              AND value >= 250.0
+                                            THEN user_id END) AS BIGINT)
+                       AS n_converted
+            FROM events
+            GROUP BY user_id % 2
+        ),
+        s AS (
+            SELECT
+                MAX(CASE WHEN cohort = 0 THEN n_users END) AS n1,
+                MAX(CASE WHEN cohort = 1 THEN n_users END) AS n2,
+                MAX(CASE WHEN cohort = 0 THEN n_converted END) AS c1,
+                MAX(CASE WHEN cohort = 1 THEN n_converted END) AS c2
+            FROM cohorts
+        )
+        SELECT n1, n2, c1, c2,
+               ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate_1,
+               ROUND(CAST(c2 AS DOUBLE) / n2, 6) AS rate_2,
+               CASE WHEN c1 + c2 > 0 AND c1 + c2 < n1 + n2 THEN
+                   ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                         / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                                * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                                * (1.0 / n1 + 1.0 / n2)), 6)
+               END AS z_stat
+        FROM s
+    """,
+    doc=(
+        "Two-proportion z-test on conversion rates between user cohorts "
+        "(even/odd user id — the deterministic stand-in for an "
+        "experiment assignment): the A/B significance test for RATES, "
+        "sibling of agg_welch_ttest's means test. Conversion = user had "
+        "a high-value (≥ $250) purchase — thresholded so the rate sits "
+        "strictly inside (0, 1); an all-converted cohort pair has zero "
+        "pooled variance and z is guarded to null (total, both "
+        "engines); numerators/denominators are exact distinct "
+        "counts, and the pooled-variance z statistic is one "
+        "deterministic double expression over four BIGINTs — "
+        "partition-order exact, no float accumulation anywhere. Plan: "
+        "one conditional distinct-count aggregate over the event scan."
+    ),
+)
+def agg_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cohorts = e.groupBy((F.col("user_id") % 2).alias("cohort")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count_distinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 250.0),
+                F.col("user_id"),
+            )
+        )
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+    s = cohorts.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_users"))).alias("n2"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n_converted"))).alias("c1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_converted"))).alias("c2"),
+    )
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    r2 = F.col("c2").cast("double") / F.col("n2")
+    pooled = (F.col("c1") + F.col("c2")).cast("double") / (F.col("n1") + F.col("n2"))
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    conv = F.col("c1") + F.col("c2")
+    tot = F.col("n1") + F.col("n2")
+    return s.select(
+        "n1",
+        "n2",
+        "c1",
+        "c2",
+        F.round(r1, 6).alias("rate_1"),
+        F.round(r2, 6).alias("rate_2"),
+        F.when((conv > 0) & (conv < tot), F.round((r1 - r2) / se, 6)).alias(
+            "z_stat"
+        ),
+    )
+
+
+@register(
+    "agg_hhi",
+    "D",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rc
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT region,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               ROUND(CAST(SUM(CAST(rc AS DECIMAL(19,0))
+                              * CAST(rc AS DECIMAL(19,0))) AS DOUBLE)
+                     / (CAST(SUM(CAST(rc AS DECIMAL(38,0))) AS DOUBLE)
+                        * CAST(SUM(CAST(rc AS DECIMAL(38,0))) AS DOUBLE)),
+                     6) AS hhi
+        FROM rev
+        GROUP BY region
+        ORDER BY region
+    """,
+    doc=(
+        "Herfindahl–Hirschman market-concentration index of order "
+        "revenue by nation within each region (1/n = perfectly even, "
+        "1 = monopoly) — the concentration complement of agg_gini. The "
+        "algebraic identity HHI = Σshare² = Σrc² / (Σrc)² lets the "
+        "whole statistic accumulate EXACTLY: per-nation cents totals, "
+        "then decimal-exact Σrc² and Σrc per region (no float share "
+        "per row, hence no summation-order drift), and ONE double "
+        "division at the end. Same overflow posture as agg_corr_matrix: "
+        "DECIMAL(19,0)² products summed as decimals, never longs."
+    ),
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents("o_totalprice")).alias("rc"))
+    )
+    rc19 = F.col("rc").cast("decimal(19,0)")
+    return (
+        rev.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.sum(rc19 * rc19).alias("_sq"),
+            F.sum(F.col("rc").cast("decimal(38,0)")).alias("_tot"),
+        )
+        .select(
+            "region",
+            "n_nations",
+            F.round(
+                F.col("_sq").cast("double")
+                / (F.col("_tot").cast("double") * F.col("_tot").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy("region")
+    )

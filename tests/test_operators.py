@@ -1533,3 +1533,62 @@ def test_cumulative_uniques_planted_growth(spark, tmp_path):
         key=lambda r: r["day"],
     )
     assert [(r["new_users"], r["cumulative_users"]) for r in out] == [(2, 2), (1, 3)]
+
+
+def test_prop_ztest_planted_cohorts(spark, tmp_path):
+    """Hand-built cohorts: even users 2/2 high-value converted, odd 0/2
+    — z must match the pooled two-proportion formula; all-converted
+    pairs guard to null."""
+    import math
+
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows = []
+    eid = 0
+    # users 2, 4 (cohort 0) convert; users 1, 3 (cohort 1) do not
+    for uid, val in ((1, 10.0), (2, 300.0), (3, 20.0), (4, 260.0)):
+        eid += 1
+        rows.append((eid, _ts("2024-01-01T10:00:00"), uid, "purchase", val, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "zprop")
+    ev.write.parquet(d + "/events.parquet")
+    r = mining.agg_prop_ztest(spark, d).collect()[0]
+    assert (r["n1"], r["c1"], r["n2"], r["c2"]) == (2, 2, 2, 0)
+    pooled = 2 / 4
+    z = (1.0 - 0.0) / math.sqrt(pooled * (1 - pooled) * (1 / 2 + 1 / 2))
+    assert r["z_stat"] == round(z, 6)
+
+
+def test_hhi_bounds_and_monopoly(spark, tmp_path):
+    """A region with one nation has HHI 1; an evenly split two-nation
+    region has HHI 0.5."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    region = spark.createDataFrame(
+        [(0, "MONO"), (1, "DUO")], schema="r_regionkey int, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 1), (2, "C", 1)],
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    )
+    cust = spark.createDataFrame(
+        [(10, "c", 0, 0.0, "B"), (11, "c", 1, 0.0, "B"), (12, "c", 2, 0.0, "B")],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 50.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+         (2, 11, "O", 30.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+         (3, 12, "O", 30.0, _ts("2024-01-01T00:00:00"), "1-URGENT")],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "hhi")
+    region.write.parquet(d + "/region.parquet")
+    nation.write.parquet(d + "/nation.parquet")
+    cust.write.parquet(d + "/customer.parquet")
+    orders.write.parquet(d + "/orders.parquet")
+    out = {r["region"]: r["hhi"] for r in mining.agg_hhi(spark, d).collect()}
+    assert out["MONO"] == 1.0
+    assert out["DUO"] == 0.5
