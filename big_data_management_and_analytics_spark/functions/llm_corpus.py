@@ -817,3 +817,138 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_5"),
     )
+
+
+def _rag_mrr_oracle() -> str:
+    """Compose the brute/IVF oracles and score MRR + NDCG@5 with
+    decimal-quantized per-position terms (order-invariant sums)."""
+    from big_data_management_and_analytics_spark.functions import llm_sim
+    from big_data_management_and_analytics_spark.plans.registry import get_query
+
+    brute_sql = get_query("llm_sim_knn").oracle
+    approx_sql = llm_sim._ivf_oracle()
+    return f"""
+        WITH brute0 AS ({brute_sql}),
+        approx0 AS ({approx_sql}),
+        brute AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS r
+            FROM brute0
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS r
+            FROM approx0
+        ),
+        rr AS (
+            SELECT b.query_id,
+                   COALESCE(MAX(CASE WHEN b.r = 1 THEN 1.0 / a.r END), 0.0)
+                       AS rr
+            FROM brute b
+            LEFT JOIN approx a
+              ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+            GROUP BY b.query_id
+        ),
+        dcg AS (
+            SELECT a.query_id,
+                   SUM(CASE WHEN b.neighbor_id IS NOT NULL
+                            THEN CAST(ROUND(1.0 / log2(a.r + 1), 9)
+                                      AS DECIMAL(28,9))
+                            ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg
+            FROM approx a
+            LEFT JOIN brute b
+              ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+            GROUP BY a.query_id
+        ),
+        idcg AS (
+            SELECT query_id,
+                   SUM(CAST(ROUND(1.0 / log2(r + 1), 9) AS DECIMAL(28,9)))
+                       AS idcg
+            FROM brute GROUP BY query_id
+        )
+        SELECT i.query_id,
+               ROUND(rr.rr, 6) AS mrr,
+               ROUND(CAST(COALESCE(d.dcg, 0) AS DOUBLE)
+                     / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_5
+        FROM idcg i
+        JOIN rr ON rr.query_id = i.query_id
+        LEFT JOIN dcg d ON d.query_id = i.query_id
+    """
+
+
+@register(
+    "llm_rag_mrr",
+    "K",
+    oracle=_rag_mrr_oracle(),
+    doc=(
+        "Retrieval-quality metrics for the ANN serving path: per-query "
+        "reciprocal rank of the true best neighbor inside the IVF list "
+        "(MRR) and NDCG@5 of the IVF ranking judged by brute-force "
+        "membership — the two ranking metrics a RAG stack reports "
+        "beside llm_ann_recall's recall@5. Ranks re-derive from the "
+        "shared (rounded cosine DESC, id ASC) total order, so positions "
+        "are cross-engine deterministic; the ≤5 per-position DCG terms "
+        "are quantized to DECIMAL(28,9) before summing (the perplexity "
+        "convention) so even these tiny float sums cannot drift with "
+        "aggregation order. Cost: the audited IVF probe + one brute "
+        "pass over the query batch."
+    ),
+)
+def llm_rag_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from big_data_management_and_analytics_spark.functions.llm_sim import (
+        llm_sim_knn,
+        llm_sim_knn_ivf,
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    brute = llm_sim_knn(spark, sf_dir).withColumn("r", F.row_number().over(w))
+    approx = llm_sim_knn_ivf(spark, sf_dir).withColumn(
+        "r", F.row_number().over(w)
+    )
+    b = brute.select("query_id", "neighbor_id", F.col("r").alias("br"))
+    a = approx.select("query_id", "neighbor_id", F.col("r").alias("ar"))
+    rr = (
+        b.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("br") == 1, F.lit(1.0) / F.col("ar"))),
+                F.lit(0.0),
+            ).alias("rr")
+        )
+    )
+    dcg_term = F.when(
+        F.col("br").isNotNull(),
+        F.round(F.lit(1.0) / F.log2(F.col("ar") + 1), 9).cast("decimal(28,9)"),
+    ).otherwise(F.lit(0).cast("decimal(28,9)"))
+    dcg = (
+        a.join(b, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(dcg_term).alias("dcg"))
+    )
+    idcg = b.groupBy("query_id").agg(
+        F.sum(
+            F.round(F.lit(1.0) / F.log2(F.col("br") + 1), 9).cast("decimal(28,9)")
+        ).alias("idcg")
+    )
+    return (
+        idcg.join(rr, "query_id")
+        .join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.col("rr"), 6).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0)).cast("double")
+                / F.col("idcg").cast("double"),
+                6,
+            ).alias("ndcg_at_5"),
+        )
+    )

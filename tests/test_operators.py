@@ -1592,3 +1592,24 @@ def test_hhi_bounds_and_monopoly(spark, tmp_path):
     out = {r["region"]: r["hhi"] for r in mining.agg_hhi(spark, d).collect()}
     assert out["MONO"] == 1.0
     assert out["DUO"] == 0.5
+
+
+def test_rag_mrr_bounds_and_recall_consistency(spark, registry):
+    """MRR and NDCG sit in [0, 1]; a query with recall 1.0 must have
+    NDCG 1.0 and MRR >= 1/5 (the true top-1 is somewhere in the 5-list);
+    a query with recall 0 scores 0 on both."""
+    recall = {
+        r["query_id"]: r["recall_at_5"]
+        for r in registry["llm_ann_recall"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    out = {
+        r["query_id"]: r
+        for r in registry["llm_rag_mrr"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(out) == set(recall)
+    for qid, r in out.items():
+        assert 0.0 <= r["mrr"] <= 1.0 and 0.0 <= r["ndcg_at_5"] <= 1.0, r
+        if recall[qid] == 1.0:
+            assert r["ndcg_at_5"] == 1.0 and r["mrr"] >= 0.2, r
+        if recall[qid] == 0.0:
+            assert r["ndcg_at_5"] == 0.0 and r["mrr"] == 0.0, r
