@@ -594,10 +594,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("type_a", "type_b")
 
 
-@register(
-    "agg_share_of_parent",
-    "D",
-    oracle="""
+SQL_REV_BY_NATION = """
         WITH rev AS (
             SELECT r.r_name AS region, n.n_name AS nation,
                    SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rc
@@ -606,7 +603,33 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY r.r_name, n.n_name
-        ),
+        )"""
+
+
+def _rev_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-cents order revenue at (region, nation) grain — the leaf
+    aggregate agg_share_of_parent and agg_hhi both roll up from (one
+    fact-scale shuffle; dims broadcast)."""
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents("o_totalprice")).alias("rc"))
+    )
+
+
+@register(
+    "agg_share_of_parent",
+    "D",
+    oracle=f"""
+{SQL_REV_BY_NATION},
         lv AS (
             SELECT region, nation, rc,
                    SUM(rc) OVER (PARTITION BY region) AS region_rc,
@@ -637,19 +660,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_management_and_analytics_spark.plans.determinism import cents
-
-    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    rev = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.sum(cents("o_totalprice")).alias("rc"))
-    )
+    rev = _rev_by_nation(spark, sf_dir)
     w_region = Window.partitionBy("region")
     # Region subtotal is a parent-partitioned window over the 25-row
     # aggregate; the grand total rides the broadcast-scalar pattern (the
@@ -680,7 +691,6 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH cohorts AS (
             SELECT user_id % 2 AS cohort,
-                   CAST(COUNT(*) AS BIGINT) AS n_users_events,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
                    CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
                                               AND value >= 250.0
@@ -767,16 +777,8 @@ def agg_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_hhi",
     "D",
-    oracle="""
-        WITH rev AS (
-            SELECT r.r_name AS region, n.n_name AS nation,
-                   SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rc
-            FROM orders o
-            JOIN customer c ON c.c_custkey = o.o_custkey
-            JOIN nation n ON n.n_nationkey = c.c_nationkey
-            JOIN region r ON r.r_regionkey = n.n_regionkey
-            GROUP BY r.r_name, n.n_name
-        )
+    oracle=f"""
+{SQL_REV_BY_NATION}
         SELECT region,
                CAST(COUNT(*) AS BIGINT) AS n_nations,
                ROUND(CAST(SUM(CAST(rc AS DECIMAL(19,0))
@@ -801,19 +803,7 @@ def agg_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_management_and_analytics_spark.plans.determinism import cents
-
-    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    rev = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.sum(cents("o_totalprice")).alias("rc"))
-    )
+    rev = _rev_by_nation(spark, sf_dir)
     rc19 = F.col("rc").cast("decimal(19,0)")
     return (
         rev.groupBy("region")

@@ -1560,6 +1560,16 @@ def test_prop_ztest_planted_cohorts(spark, tmp_path):
     pooled = 2 / 4
     z = (1.0 - 0.0) / math.sqrt(pooled * (1 - pooled) * (1 / 2 + 1 / 2))
     assert r["z_stat"] == round(z, 6)
+    # degenerate case: every user converts -> zero pooled variance -> null
+    ev_all = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 1, "purchase", 300.0, "{}"),
+         (2, _ts("2024-01-01T10:00:00"), 2, "purchase", 300.0, "{}")],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d2 = str(tmp_path / "zprop_all")
+    ev_all.write.parquet(d2 + "/events.parquet")
+    r2 = mining.agg_prop_ztest(spark, d2).collect()[0]
+    assert r2["z_stat"] is None and r2["rate_1"] == 1.0 and r2["rate_2"] == 1.0
 
 
 def test_hhi_bounds_and_monopoly(spark, tmp_path):
