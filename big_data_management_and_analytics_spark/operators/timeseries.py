@@ -895,3 +895,84 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_global_prefix_sum(
         daily, [F.col("day").asc()], "new_users", out="cumulative_users"
     ).orderBy("day")
+
+
+@register(
+    "events_rfm",
+    "L",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MAX(ts) AS last_ts,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS monetary_c
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, last_ts, frequency,
+               CAST(monetary_c AS DOUBLE) / 100.0 AS monetary,
+               CAST(NTILE(5) OVER (ORDER BY last_ts, user_id) AS INT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary_c, user_id) AS INT) AS m_score,
+               CAST(NTILE(5) OVER (ORDER BY last_ts, user_id) AS VARCHAR)
+                   || CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS VARCHAR)
+                   || CAST(NTILE(5) OVER (ORDER BY monetary_c, user_id) AS VARCHAR)
+                   AS rfm_segment
+        FROM per_user
+    """,
+    doc=(
+        "RFM customer segmentation — recency / frequency / monetary "
+        "quintile scores (5 = most recent / frequent / valuable) and "
+        "the concatenated segment code, the CRM targeting staple. Each "
+        "score is a GLOBAL quintile over the per-user aggregate, so all "
+        "three run through the range-partitioned two-pass rank + "
+        "closed-form ntile (three bounded range shuffles of the user "
+        "relation — never a single-partition window; at 100 TB the "
+        "user relation is the small output of the one fact-scale "
+        "aggregate). Ties broken by user_id everywhere — total orders, "
+        "deterministic tiles, integer/cents metrics throughout."
+    ),
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        ntile_expr,
+        with_global_row_number,
+    )
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(cents("value")).alias("monetary_c"),
+    )
+
+    def score(df, order_col, name):
+        ranked = with_global_row_number(
+            df,
+            [F.col(order_col).asc(), F.col("user_id").asc()],
+            rn="_rn",
+            total="_total",
+        )
+        return ranked.withColumn(
+            name, ntile_expr(F.col("_rn"), F.col("_total"), 5)
+        ).drop("_rn", "_total")
+
+    scored = score(
+        score(score(per_user, "last_ts", "r_score"), "frequency", "f_score"),
+        "monetary_c",
+        "m_score",
+    )
+    return scored.select(
+        "user_id",
+        "last_ts",
+        "frequency",
+        (F.col("monetary_c").cast("double") / 100.0).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
+    )

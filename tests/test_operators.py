@@ -1623,3 +1623,24 @@ def test_rag_mrr_bounds_and_recall_consistency(spark, registry):
             assert r["ndcg_at_5"] == 1.0 and r["mrr"] >= 0.2, r
         if recall[qid] == 0.0:
             assert r["ndcg_at_5"] == 0.0 and r["mrr"] == 0.0, r
+
+
+def test_rfm_quintiles_and_segment(spark, registry):
+    """Quintile invariants on the fixture: each score dimension splits
+    users into five near-equal tiles, the segment concatenates the three
+    scores, and the most/least active users land at the extremes."""
+    rows = registry["events_rfm"].fn(spark, "/root/testdata/sf0.01").collect()
+    n = len(rows)
+    assert n > 0
+    for dim in ("r_score", "f_score", "m_score"):
+        from collections import Counter
+
+        tiles = Counter(r[dim] for r in rows)
+        assert set(tiles) == {1, 2, 3, 4, 5}
+        assert max(tiles.values()) - min(tiles.values()) <= 1
+    for r in rows:
+        assert r["rfm_segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    top_freq = max(rows, key=lambda r: (r["frequency"], -r["user_id"]))
+    assert top_freq["f_score"] == 5
+    low_freq = min(rows, key=lambda r: (r["frequency"], r["user_id"]))
+    assert low_freq["f_score"] == 1
