@@ -976,3 +976,82 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("rfm_segment"),
     )
+
+
+@register(
+    "events_dau_wau",
+    "L",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM act),
+        contrib AS (
+            SELECT a.user_id, t.target
+            FROM act a, bounds b, LATERAL (
+                SELECT UNNEST(generate_series(
+                    a.day, a.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS target
+            ) t
+            WHERE t.target <= b.hi
+        ),
+        wau AS (
+            SELECT target AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY target
+        ),
+        dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM act GROUP BY day
+        )
+        SELECT w.day, CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau, w.wau,
+               ROUND(CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau, 6)
+                   AS stickiness
+        FROM wau w LEFT JOIN dau d ON d.day = w.day
+    """,
+    doc=(
+        "DAU / WAU / stickiness — daily and trailing-7-day distinct "
+        "active users per day plus the DAU/WAU engagement ratio. "
+        "Running DISTINCT over a sliding window cannot ride a window "
+        "frame; the scale pattern is CONTRIBUTION EXPLODE: each "
+        "(user, active-day) row fans out to the ≤ 7 target days it "
+        "keeps the user 'weekly active' for, and WAU becomes a plain "
+        "per-day COUNT(DISTINCT) — 7× linear work instead of a "
+        "re-scan per day, shuffled once on the day key. Bounds come "
+        "from a 1-row broadcast scalar; all integers — hash-exact. "
+        "(events_cumulative_uniques is the unbounded-window sibling via "
+        "first-touch counts; this is the sliding-window form.)"
+    ),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    act = e.distinct()
+    bounds = act.agg(F.max("day").alias("hi"))
+    contrib = (
+        act.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("target"),
+            "hi",
+        )
+        .filter(F.col("target") <= F.col("hi"))
+    )
+    wau = contrib.groupBy(F.col("target").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    return wau.join(dau, "day", "left").select(
+        "day",
+        F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
+        "wau",
+        F.round(
+            F.coalesce(F.col("dau"), F.lit(0)).cast("double") / F.col("wau"), 6
+        ).alias("stickiness"),
+    )

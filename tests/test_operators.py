@@ -1644,3 +1644,27 @@ def test_rfm_quintiles_and_segment(spark, registry):
     assert top_freq["f_score"] == 5
     low_freq = min(rows, key=lambda r: (r["frequency"], r["user_id"]))
     assert low_freq["f_score"] == 1
+
+
+def test_dau_wau_planted_window(spark, tmp_path):
+    """Two users: u1 active day 1 only, u2 active days 1 and 9. WAU on
+    day 7 still counts u1 (trailing week); day 8 counts nobody from
+    day 1; stickiness = dau/wau."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 1, "view", 1.0, "{}"),
+        (2, _ts("2024-01-01T11:00:00"), 2, "view", 1.0, "{}"),
+        (3, _ts("2024-01-09T10:00:00"), 2, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "dauwau")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["day"].day: r for r in timeseries.events_dau_wau(spark, d).collect()}
+    assert out[1]["dau"] == 2 and out[1]["wau"] == 2 and out[1]["stickiness"] == 1.0
+    assert out[7]["dau"] == 0 and out[7]["wau"] == 2  # both still weekly-active
+    assert 8 not in out  # nobody weekly-active on day 8
+    assert out[9]["dau"] == 1 and out[9]["wau"] == 1
