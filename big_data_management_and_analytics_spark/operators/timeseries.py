@@ -1055,3 +1055,87 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("dau"), F.lit(0)).cast("double") / F.col("wau"), 6
         ).alias("stickiness"),
     )
+
+
+@register(
+    "events_time_to_convert",
+    "L",
+    oracle="""
+        WITH first_view AS (
+            SELECT user_id, MIN(ts) AS v_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        first_purchase AS (
+            SELECT f.user_id,
+                   MIN(e.ts) AS p_ts
+            FROM first_view f
+            JOIN events e
+              ON e.user_id = f.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts >= f.v_ts
+            GROUP BY f.user_id
+        ),
+        lat AS (
+            SELECT f.user_id,
+                   CAST((epoch_us(p.p_ts) - epoch_us(f.v_ts)) // 1000000
+                        AS BIGINT) AS latency_s
+            FROM first_view f JOIN first_purchase p USING (user_id)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY latency_s), 4)
+                   AS median_latency_s,
+               ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY latency_s), 4)
+                   AS p90_latency_s,
+               CAST(MIN(latency_s) AS BIGINT) AS min_latency_s,
+               CAST(MAX(latency_s) AS BIGINT) AS max_latency_s
+        FROM lat
+    """,
+    doc=(
+        "Conversion latency: per user, seconds from first view to first "
+        "subsequent purchase, summarized as exact interpolated median / "
+        "p90 plus min/max — the time-to-convert report events_funnel's "
+        "stage counts do not carry. Two per-user MIN aggregates and one "
+        "user-keyed band join (purchases at-or-after the first view); "
+        "latencies are EXACT integer seconds, and the percentile is the "
+        "established percentile ≡ percentile_cont cross-engine identity "
+        "(agg_percentile_exact). Users who never view or never purchase "
+        "after viewing are absent by funnel semantics."
+    ),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    first_purchase = (
+        first_view.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_ts0")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_ts0") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts0").alias("p_ts"))
+    )
+    # Exact microsecond difference floored to whole seconds — truncating
+    # each timestamp separately (unix_timestamp) disagrees with the
+    # oracle's fractional epoch by ±1 s whenever sub-second parts exist.
+    lat = first_view.join(first_purchase, "user_id").select(
+        F.floor(
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")) / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 4).alias(
+            "median_latency_s"
+        ),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_latency_s"),
+        F.min("latency_s").alias("min_latency_s"),
+        F.max("latency_s").alias("max_latency_s"),
+    )

@@ -1668,3 +1668,27 @@ def test_dau_wau_planted_window(spark, tmp_path):
     assert out[7]["dau"] == 0 and out[7]["wau"] == 2  # both still weekly-active
     assert 8 not in out  # nobody weekly-active on day 8
     assert out[9]["dau"] == 1 and out[9]["wau"] == 1
+
+
+def test_time_to_convert_planted_latency(spark, tmp_path):
+    """u1 views at 10:00 and purchases at 10:30 (1800 s); u2 purchased
+    BEFORE viewing (excluded); u3 never purchases (excluded)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 1, "view", 1.0, "{}"),
+        (2, _ts("2024-01-01T10:30:00"), 1, "purchase", 9.0, "{}"),
+        (3, _ts("2024-01-01T09:00:00"), 2, "purchase", 9.0, "{}"),
+        (4, _ts("2024-01-01T09:30:00"), 2, "view", 1.0, "{}"),
+        (5, _ts("2024-01-01T11:00:00"), 3, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "ttc")
+    ev.write.parquet(d + "/events.parquet")
+    r = timeseries.events_time_to_convert(spark, d).collect()[0]
+    assert r["n_converted"] == 1
+    assert r["median_latency_s"] == 1800.0
+    assert r["min_latency_s"] == 1800 and r["max_latency_s"] == 1800
