@@ -182,3 +182,105 @@ def test_global_prefix_sum_matches_cumsum(spark):
     for k, v in vals:
         running += v
         assert out[k] == (running, total), k
+
+
+def test_dau_wau_matches_bruteforce_on_random_activity(spark, tmp_path):
+    """Random user-day activity vs a brute-force Python recomputation of
+    DAU and trailing-7-day WAU for every emitted day."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(4242)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    active = set()
+    for uid in range(1, 21):
+        for _ in range(rng.randint(1, 10)):
+            day = rng.randrange(0, 20)
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(days=day, hours=rng.randrange(24)),
+                 uid, "view", 1.0, "{}")
+            )
+            active.add((uid, day))
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "dwrand")
+    ev.write.parquet(d + "/events.parquet")
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    out = {
+        (r["day"] - base).days: (r["dau"], r["wau"])
+        for r in timeseries.events_dau_wau(spark, d).collect()
+    }
+    max_day = max(day for _, day in active)
+    expected = {}
+    for day in range(0, max_day + 1):
+        dau = len({u for u, dd in active if dd == day})
+        wau = len({u for u, dd in active if day - 6 <= dd <= day})
+        if wau > 0:
+            expected[day] = (dau, wau)
+    assert out == expected
+
+
+def test_attribution_matches_bruteforce_on_random_sessions(spark, tmp_path):
+    """Random touch/purchase streams vs a Python recomputation of
+    last-touch counts and linear credits (decimal-rounded like the
+    operator)."""
+    import datetime as dt
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(777)
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    events = []
+    for uid in range(1, 11):
+        for _ in range(rng.randint(2, 12)):
+            eid += 1
+            etype = rng.choice(["view", "click", "purchase"])
+            ts = base + dt.timedelta(minutes=rng.randrange(0, 5000))
+            rows.append((eid, ts, uid, etype, 1.0, "{}"))
+            events.append((uid, ts, eid, etype))
+    expected_assists = defaultdict(int)
+    expected_last = defaultdict(int)
+    expected_credit = defaultdict(float)
+    for uid, pts, pid, etype in events:
+        if etype != "purchase":
+            continue
+        touches = [
+            (ts, tid, tt)
+            for (u, ts, tid, tt) in events
+            if u == uid
+            and tt in ("view", "click")
+            and pts - dt.timedelta(hours=24) <= ts < pts
+        ]
+        if not touches:
+            continue
+        n = len(touches)
+        last = max(touches)
+        for ts, tid, tt in touches:
+            expected_assists[tt] += 1
+            expected_credit[tt] += round(1.0 / n, 9)
+        expected_last[last[2]] += 1
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "attrand")
+    ev.write.parquet(d + "/events.parquet")
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    out = {
+        r["touch_type"]: r
+        for r in timeseries.events_attribution(spark, d).collect()
+    }
+    assert set(out) == set(expected_assists)
+    for tt, r in out.items():
+        assert r["n_assists"] == expected_assists[tt], tt
+        assert r["n_last_touch"] == expected_last[tt], tt
+        assert abs(r["linear_credit"] - expected_credit[tt]) < 1e-6, tt
