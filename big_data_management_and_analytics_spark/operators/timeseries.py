@@ -1027,7 +1027,9 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", "ts").alias("day")
     )
     act = e.distinct()
-    bounds = act.agg(F.max("day").alias("hi"))
+    # max over raw rows == max over distinct rows; aggregating before the
+    # distinct keeps the bounds branch a map-side partial with no shuffle.
+    bounds = e.agg(F.max("day").alias("hi"))
     contrib = (
         act.crossJoin(F.broadcast(bounds))
         .select(
@@ -1109,7 +1111,9 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
-    first_purchase = (
+    # v_ts rides through the aggregation (constant per user), so no
+    # second join of the per-user relation is needed.
+    converted = (
         first_view.join(
             e.filter(F.col("event_type") == "purchase").select(
                 "user_id", F.col("ts").alias("p_ts0")
@@ -1118,12 +1122,12 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("p_ts0") >= F.col("v_ts"))
         .groupBy("user_id")
-        .agg(F.min("p_ts0").alias("p_ts"))
+        .agg(F.min("p_ts0").alias("p_ts"), F.min("v_ts").alias("v_ts"))
     )
     # Exact microsecond difference floored to whole seconds — truncating
     # each timestamp separately (unix_timestamp) disagrees with the
     # oracle's fractional epoch by ±1 s whenever sub-second parts exist.
-    lat = first_view.join(first_purchase, "user_id").select(
+    lat = converted.select(
         F.floor(
             (F.unix_micros("p_ts") - F.unix_micros("v_ts")) / F.lit(1000000)
         )

@@ -1632,15 +1632,15 @@ def test_rfm_quintiles_and_segment(spark, registry):
     rows = registry["events_rfm"].fn(spark, "/root/testdata/sf0.01").collect()
     n = len(rows)
     assert n > 0
-    for dim in ("r_score", "f_score", "m_score"):
-        from collections import Counter
+    from collections import Counter
 
+    for dim in ("r_score", "f_score", "m_score"):
         tiles = Counter(r[dim] for r in rows)
         assert set(tiles) == {1, 2, 3, 4, 5}
         assert max(tiles.values()) - min(tiles.values()) <= 1
     for r in rows:
         assert r["rfm_segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
-    top_freq = max(rows, key=lambda r: (r["frequency"], -r["user_id"]))
+    top_freq = max(rows, key=lambda r: (r["frequency"], r["user_id"]))
     assert top_freq["f_score"] == 5
     low_freq = min(rows, key=lambda r: (r["frequency"], r["user_id"]))
     assert low_freq["f_score"] == 1

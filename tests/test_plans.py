@@ -6,6 +6,12 @@ from __future__ import annotations
 from tests.conftest import SF_T2
 
 
+# An unpartitioned window's spec leads straight into a sort order; a
+# partitioned one leads with plain partition columns. Shared by the fast
+# named check, the skyline/equidepth checks, and the exhaustive scan.
+GLOBAL_WINDOW_SPEC = r"windowspecdefinition\([^,()]+ (ASC|DESC)"
+
+
 def _plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -307,7 +313,7 @@ def test_no_single_partition_windows(spark, registry):
     leads with plain partition columns)."""
     import re
 
-    global_spec = re.compile(r"windowspecdefinition\([^,()]+ (ASC|DESC)")
+    global_spec = re.compile(GLOBAL_WINDOW_SPEC)
     for name in (
         "sort_multikey",
         "win_ntile",
@@ -476,7 +482,7 @@ def test_equidepth_uses_two_pass_rank(spark, registry):
 
     plan = _plan(registry["agg_equidepth"].fn(spark, SF_T2))
     assert "rangepartitioning(o_totalprice" in plan
-    gspec = re.compile(r"windowspecdefinition\([^,()]+ (ASC|DESC)")
+    gspec = re.compile(GLOBAL_WINDOW_SPEC)
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert specs and not [s for s in specs if gspec.search(s)]
 
@@ -519,7 +525,7 @@ def test_no_single_partition_windows_exhaustive(spark, registry):
         import pytest
 
         pytest.skip("set SPARK_GRAFT_FULL_PLAN_SCAN=1 for the exhaustive scan")
-    gspec = re.compile(r"windowspecdefinition\([^,()]+ (ASC|DESC)")
+    gspec = re.compile(GLOBAL_WINDOW_SPEC)
     bad = {}
     for name, q in sorted(registry.items()):
         plan = q.fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
