@@ -1143,3 +1143,59 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("latency_s").alias("min_latency_s"),
         F.max("latency_s").alias("max_latency_s"),
     )
+
+
+@register(
+    "win_rolling_median",
+    "E",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS y
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, bucket, y,
+               ROUND(MEDIAN(y) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+                   AS rolling_median
+        FROM hourly
+    """,
+    doc=(
+        "Rolling median smoother — the robust alternative to "
+        "win_sliding_avg (one outlier hour cannot move it). A median is "
+        "an ORDER STATISTIC, not an accumulator, so no sum-style window "
+        "frame computes it; the plan collects the ≤ 5-row trailing frame "
+        "into a sorted array per row and picks/interpolates the middle "
+        "(odd n → middle element; even n → mean of the two middles, "
+        "matching SQL MEDIAN ≡ quantile_cont(0.5) exactly). Frame width "
+        "is a constant, so per-row state is O(k) and the window stays "
+        "entity-partitioned — scale-safe. Inputs are exact-cents hourly "
+        "sums converted once to doubles; the interpolation midpoint is "
+        "one identical add+halve in both engines."
+    ),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket"), "value"
+    )
+    hourly = e.groupBy("user_id", "bucket").agg(
+        (F.sum(cents("value")).cast("double") / 100.0).alias("y")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list("y").over(w))
+    n = F.size(arr)
+    half = F.floor(n / 2).cast("int")
+    median = F.when(
+        n % 2 == 1, F.element_at(arr, half + 1)
+    ).otherwise((F.element_at(arr, half) + F.element_at(arr, half + 1)) / 2.0)
+    return hourly.select(
+        "user_id", "bucket", "y", F.round(median, 6).alias("rolling_median")
+    )

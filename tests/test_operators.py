@@ -1692,3 +1692,30 @@ def test_time_to_convert_planted_latency(spark, tmp_path):
     assert r["n_converted"] == 1
     assert r["median_latency_s"] == 1800.0
     assert r["min_latency_s"] == 1800 and r["max_latency_s"] == 1800
+
+
+def test_rolling_median_ignores_outlier(spark, tmp_path):
+    """Window [1, 1, 1000, 1, 1]: the rolling median at the last hour is
+    1.0 (the spike cannot move it), while the even-count window of
+    [1, 1000] interpolates to 500.5."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    vals = [1.0, 1000.0, 1.0, 1.0, 1.0]
+    rows = [
+        (i + 1, _ts(f"2024-01-01T{9 + i:02d}:30:00"), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "rmed")
+    ev.write.parquet(d + "/events.parquet")
+    out = {
+        r["bucket"].hour: r["rolling_median"]
+        for r in timeseries.win_rolling_median(spark, d).collect()
+    }
+    assert out[9] == 1.0            # singleton window
+    assert out[10] == 500.5         # even window [1, 1000] interpolates
+    assert out[11] == 1.0           # odd window [1, 1, 1000]
+    assert out[13] == 1.0           # full 5-window with one outlier
