@@ -1199,3 +1199,101 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.select(
         "user_id", "bucket", "y", F.round(median, 6).alias("rolling_median")
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    "E",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS yc
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT event_type, hour, yc,
+                   ROW_NUMBER() OVER w AS t,
+                   SUM(yc) OVER (PARTITION BY event_type ORDER BY hour
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS prefix,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   SUM(yc) OVER (PARTITION BY event_type) AS total
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+        ),
+        scored AS (
+            SELECT event_type, hour, n,
+                   CAST(n AS DECIMAL(38,0)) * prefix
+                       - CAST(t AS DECIMAL(38,0)) * total AS s_scaled,
+                   CAST(n AS DECIMAL(38,0)) * total AS denom
+            FROM series
+        )
+        SELECT event_type,
+               hour AS changepoint_hour,
+               CAST(n AS BIGINT) AS n_hours,
+               ROUND(CAST(s_scaled AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+                   AS cusum_norm
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY event_type
+            ORDER BY ABS(s_scaled) DESC, hour ASC) = 1
+    """,
+    doc=(
+        "CUSUM changepoint locator per event-type series: the hour "
+        "where the cumulative deviation from the series mean peaks — "
+        "the classic level-shift detector. The whole statistic is "
+        "INTEGER-EXACT via scaling: S_t = Σ(y_i − μ) multiplied through "
+        "by n becomes n·prefix_t − t·total (cents), computed in "
+        "DECIMAL(38,0) so it never overflows nor touches a float until "
+        "the single normalized division at the end — no running float "
+        "sum to drift with partition order (ts_anomaly_zscore's rule, "
+        "applied to a prefix statistic). Every window partitions by the "
+        "series; the argmax is a per-series rank with an (|S| DESC, "
+        "hour ASC) total order."
+    ),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"), "value"
+    )
+    hourly = e.groupBy("event_type", "hour").agg(F.sum(cents("value")).alias("yc"))
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    w_all = Window.partitionBy("event_type")
+    series = hourly.select(
+        "event_type",
+        "hour",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("yc")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("prefix"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("yc").over(w_all).alias("total"),
+    )
+    s_scaled = F.col("n").cast("decimal(38,0)") * F.col("prefix") - F.col(
+        "t"
+    ).cast("decimal(38,0)") * F.col("total")
+    scored = series.select(
+        "event_type",
+        "hour",
+        "n",
+        s_scaled.alias("s_scaled"),
+        (F.col("n").cast("decimal(38,0)") * F.col("total")).alias("denom"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.col("hour").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("changepoint_hour"),
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.round(
+                F.col("s_scaled").cast("double") / F.col("denom").cast("double"),
+                6,
+            ).alias("cusum_norm"),
+        )
+    )

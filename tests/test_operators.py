@@ -1719,3 +1719,29 @@ def test_rolling_median_ignores_outlier(spark, tmp_path):
     assert out[10] == 500.5         # even window [1, 1000] interpolates
     assert out[11] == 1.0           # odd window [1, 1, 1000]
     assert out[13] == 1.0           # full 5-window with one outlier
+
+
+def test_cusum_locates_planted_level_shift(spark, tmp_path):
+    """A series that jumps from 10 to 50 at hour 10 of 20: the CUSUM
+    peak must land at the last pre-shift hour (hour 9), with a negative
+    normalized deviation (pre-shift mass below the global mean)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    for h in range(20):
+        rows.append(
+            (h + 1, _ts(f"2024-01-01T{h:02d}:30:00"), 1, "click",
+             10.0 if h < 10 else 50.0, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "cusum")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["event_type"]: r
+           for r in timeseries.ts_cusum_changepoint(spark, d).collect()}
+    r = out["click"]
+    assert r["changepoint_hour"].hour == 9
+    assert r["n_hours"] == 20
+    assert r["cusum_norm"] < 0
