@@ -85,6 +85,10 @@ SENSITIVE = [
     "events_attribution",  # decimal-quantized fractional credits
     "llm_minhash_accuracy",# candidate-pair audit, decimal-quantized ratios
     "llm_dedup_ssjoin",    # prefix-filtered exact join, integer thresholds
+    "llm_rag_mrr",         # decimal-quantized DCG terms
+    "win_rolling_median",  # sorted-frame pick/interpolate
+    "ts_cusum_changepoint",# decimal-scaled prefix statistic
+    "events_time_to_convert",  # exact-second latencies + percentile_cont
 ]
 
 
