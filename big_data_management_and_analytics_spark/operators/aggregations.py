@@ -21,6 +21,11 @@ from big_data_management_and_analytics_spark.plans.determinism import (
     dec2,
     money_sum_fast,
 )
+from big_data_management_and_analytics_spark.functions.portable_hash import (
+    SQL_G0,
+    SQL_G1,
+    sql_mix,
+)
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load, register_views
 
@@ -986,3 +991,307 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.col("n") + 1.0) / F.col("n")
     )
     return agg.select(F.round(gini, 6).alias("gini"))
+
+
+@register(
+    "dq_profile",
+    "L",
+    oracle="""
+        WITH m AS (
+            SELECT
+                COUNT(*) AS n_rows,
+                COUNT(*) - COUNT(o_orderkey) AS null_orderkey,
+                COUNT(DISTINCT o_orderkey) AS dist_orderkey,
+                CAST(MIN(o_orderkey) AS VARCHAR) AS min_orderkey,
+                CAST(MAX(o_orderkey) AS VARCHAR) AS max_orderkey,
+                COUNT(*) - COUNT(o_custkey) AS null_custkey,
+                COUNT(DISTINCT o_custkey) AS dist_custkey,
+                CAST(MIN(o_custkey) AS VARCHAR) AS min_custkey,
+                CAST(MAX(o_custkey) AS VARCHAR) AS max_custkey,
+                COUNT(*) - COUNT(o_orderstatus) AS null_status,
+                COUNT(DISTINCT o_orderstatus) AS dist_status,
+                CAST(MIN(o_orderstatus) AS VARCHAR) AS min_status,
+                CAST(MAX(o_orderstatus) AS VARCHAR) AS max_status,
+                COUNT(*) - COUNT(o_totalprice) AS null_price,
+                COUNT(DISTINCT o_totalprice) AS dist_price,
+                CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+                    AS min_price,
+                CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+                    AS max_price,
+                COUNT(*) - COUNT(o_orderpriority) AS null_prio,
+                COUNT(DISTINCT o_orderpriority) AS dist_prio,
+                CAST(MIN(o_orderpriority) AS VARCHAR) AS min_prio,
+                CAST(MAX(o_orderpriority) AS VARCHAR) AS max_prio
+            FROM orders
+        )
+        SELECT col_name, n_rows,
+               CAST(n_null AS BIGINT) AS n_null,
+               CAST(n_distinct AS BIGINT) AS n_distinct,
+               min_str, max_str
+        FROM (
+            SELECT 'o_orderkey' AS col_name, n_rows, null_orderkey AS n_null,
+                   dist_orderkey AS n_distinct, min_orderkey AS min_str,
+                   max_orderkey AS max_str FROM m
+            UNION ALL
+            SELECT 'o_custkey', n_rows, null_custkey, dist_custkey,
+                   min_custkey, max_custkey FROM m
+            UNION ALL
+            SELECT 'o_orderstatus', n_rows, null_status, dist_status,
+                   min_status, max_status FROM m
+            UNION ALL
+            SELECT 'o_totalprice', n_rows, null_price, dist_price,
+                   min_price, max_price FROM m
+            UNION ALL
+            SELECT 'o_orderpriority', n_rows, null_prio, dist_prio,
+                   min_prio, max_prio FROM m
+        )
+        ORDER BY col_name
+    """,
+    doc=(
+        "Automated per-column data-quality profile of the orders table "
+        "— row count, null count, exact distinct count, min/max (as "
+        "canonical strings; doubles go through DECIMAL(18,2) so both "
+        "engines print identical text) — the table-health report every "
+        "warehouse catalog publishes, long-format one row per column. "
+        "ALL metrics for ALL columns come from ONE aggregate pass over "
+        "the table (Spark plans the multi-distinct via a single expand "
+        "+ hash-agg), then a 5-row literal unpivot on the driver-side "
+        "1-row result — no per-column rescans. Complements "
+        "dq_constraint_audit (row-level rule violations) with "
+        "column-level statistics. Scale: exact COUNT(DISTINCT) over "
+        "high-cardinality keys is the declared exact form; at 100 TB "
+        "swap in approx_count_distinct (agg_approx_distinct) — the "
+        "plan shape (one pass, one row out per column) is unchanged."
+    ),
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("null_orderkey"),
+        F.countDistinct("o_orderkey").alias("dist_orderkey"),
+        F.min("o_orderkey").cast("string").alias("min_orderkey"),
+        F.max("o_orderkey").cast("string").alias("max_orderkey"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        F.countDistinct("o_custkey").alias("dist_custkey"),
+        F.min("o_custkey").cast("string").alias("min_custkey"),
+        F.max("o_custkey").cast("string").alias("max_custkey"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("null_status"),
+        F.countDistinct("o_orderstatus").alias("dist_status"),
+        F.min("o_orderstatus").cast("string").alias("min_status"),
+        F.max("o_orderstatus").cast("string").alias("max_status"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("null_price"),
+        F.countDistinct("o_totalprice").alias("dist_price"),
+        F.min("o_totalprice").cast(DEC).cast("string").alias("min_price"),
+        F.max("o_totalprice").cast(DEC).cast("string").alias("max_price"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("null_prio"),
+        F.countDistinct("o_orderpriority").alias("dist_prio"),
+        F.min("o_orderpriority").cast("string").alias("min_prio"),
+        F.max("o_orderpriority").cast("string").alias("max_prio"),
+    )
+    rows = [
+        ("o_orderkey", "null_orderkey", "dist_orderkey", "min_orderkey", "max_orderkey"),
+        ("o_custkey", "null_custkey", "dist_custkey", "min_custkey", "max_custkey"),
+        ("o_orderstatus", "null_status", "dist_status", "min_status", "max_status"),
+        ("o_totalprice", "null_price", "dist_price", "min_price", "max_price"),
+        ("o_orderpriority", "null_prio", "dist_prio", "min_prio", "max_prio"),
+    ]
+    # Long format via explode of a literal struct array over the single
+    # 1-row aggregate — a union of per-column projections would make
+    # Catalyst re-plan (and re-scan) the aggregate once per column.
+    profile = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("col_name"),
+                    F.col(nn).cast("bigint").alias("n_null"),
+                    F.col(nd).cast("bigint").alias("n_distinct"),
+                    F.col(mn).alias("min_str"),
+                    F.col(mx).alias("max_str"),
+                )
+                for name, nn, nd, mn, mx in rows
+            ]
+        )
+    )
+    return m.select("n_rows", profile.alias("p")).select(
+        F.col("p.col_name").alias("col_name"),
+        "n_rows",
+        F.col("p.n_null").alias("n_null"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_str").alias("min_str"),
+        F.col("p.max_str").alias("max_str"),
+    )
+
+
+@register(
+    "agg_entropy",
+    "D",
+    oracle="""
+        WITH cnt AS (
+            SELECT o_custkey, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT o_custkey, c,
+                   CAST(SUM(c) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+            FROM cnt
+        )
+        SELECT o_custkey,
+               CAST(MAX(n) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_categories,
+               CAST(SUM(CAST(ROUND(
+                       (CAST(c AS DOUBLE) / n)
+                       * ln(CAST(n AS DOUBLE) / c), 6)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS entropy
+        FROM tot
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+    """,
+    doc=(
+        "Shannon entropy of each customer's order-priority mix — the "
+        "concentration/diversity profiler (0 = always the same "
+        "priority, ln(5) = uniform over all five), the information-"
+        "theoretic sibling of agg_hhi's sum-of-squares concentration. "
+        "Each category contributes (c/n)·ln(n/c) — a NONNEGATIVE "
+        "term built from two integers (so the single-category case is "
+        "exactly ln(1)=0, never a −0.0 from catastrophic "
+        "cancellation) — rounded to 6 digits and accumulated as "
+        "DECIMAL(28,6) (exact, partition-order-invariant; the "
+        "llm_text_perplexity quantization rule). One hash aggregate "
+        "to (custkey, priority) counts, a custkey-partitioned window "
+        "for the group total, then the per-custkey roll-up — "
+        "map-side combinable, linear, no join."
+    ),
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.withColumn(
+        "n",
+        F.sum("c").over(Window.partitionBy("o_custkey")).cast("bigint"),
+    )
+    term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("n").cast("double") / F.col("c")
+    )
+    return tot.groupBy("o_custkey").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(F.round(term, 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("entropy"),
+    )
+
+
+@register(
+    "agg_countmin_sketch",
+    "D",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT user_id,
+                   {SQL_G0.format(col="CAST(user_id AS VARCHAR)")} AS g0,
+                   {SQL_G1.format(col="CAST(user_id AS VARCHAR)")} AS g1
+            FROM events
+        ),
+        buckets AS (
+            SELECT user_id, d.i,
+                   CASE d.i
+                       WHEN 0 THEN {sql_mix(0)} % 32
+                       WHEN 1 THEN {sql_mix(1)} % 32
+                       WHEN 2 THEN {sql_mix(2)} % 32
+                       ELSE {sql_mix(3)} % 32
+                   END AS b
+            FROM hashed
+            CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) d
+        ),
+        sketch AS (
+            SELECT i, b, CAST(COUNT(*) AS BIGINT) AS cell
+            FROM buckets GROUP BY i, b
+        ),
+        probes AS (
+            SELECT DISTINCT user_id, i, b FROM buckets
+        ),
+        est AS (
+            SELECT p.user_id, MIN(s.cell) AS cms_est
+            FROM probes p JOIN sketch s ON s.i = p.i AND s.b = p.b
+            GROUP BY p.user_id
+        ),
+        exact AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, e.exact_cnt, est.cms_est,
+               est.cms_est - e.exact_cnt AS overestimate
+        FROM exact e JOIN est USING (user_id)
+        ORDER BY e.user_id
+    """,
+    doc=(
+        "Count-min sketch frequency estimation over the event stream: "
+        "a depth-4 × width-32 counter grid built in ONE pass (each "
+        "record increments 4 cells chosen by the engine-portable "
+        "universal-hash family of functions/portable_hash.py), probed "
+        "with min-over-rows for every distinct user — reported beside "
+        "the exact count so the one-sided overestimate (collision "
+        "inflation, bounded by εN w.h.p.) is visible and hash-verified "
+        "cross-engine, the same audit shape as llm_minhash_accuracy. "
+        "Scale: the sketch IS the point — 128 cells of bounded state "
+        "regardless of input size (vs the exact groupBy's "
+        "per-key state), built by a map-side-combinable hash-agg on "
+        "(depth, bucket) and broadcast back for the probe join; the "
+        "per-record work is one md5 + 4 integer mixes, all "
+        "whole-stage-codegen. The exact side here is the audit "
+        "baseline, not part of the sketch path."
+    ),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.portable_hash import (
+        P,
+        mix_col,
+        ph0,
+        ph1,
+    )
+
+    W = 32
+    e = load(spark, sf_dir, "events").select("user_id")
+    hashed = e.select(
+        "user_id",
+        (ph0(F.col("user_id").cast("string")) % P).alias("g0"),
+        (ph1(F.col("user_id").cast("string")) % P).alias("g1"),
+    )
+    buckets = hashed.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (mix_col(F.col("g0"), F.col("g1"), i) % W).alias("b"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("db"),
+    ).select("user_id", F.col("db.i").alias("i"), F.col("db.b").alias("b"))
+    sketch = buckets.groupBy("i", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell")
+    )
+    probes = buckets.select("user_id", "i", "b").distinct()
+    est = (
+        probes.join(
+            F.broadcast(sketch.withColumnsRenamed({"i": "si", "b": "sb"})),
+            (F.col("si") == F.col("i")) & (F.col("sb") == F.col("b")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    )

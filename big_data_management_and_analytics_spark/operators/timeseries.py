@@ -1297,3 +1297,267 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_norm"),
         )
     )
+
+
+@register(
+    "ts_acf",
+    "E",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_diff('hour', TIMESTAMP '1970-01-01',
+                                  date_trunc('hour', ts)) AS BIGINT) AS ht,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        lags AS (SELECT UNNEST([1, 2, 3]) AS lag),
+        pairs AS (
+            SELECT a.event_type, l.lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(a.y AS DECIMAL(38,0))) AS sa,
+                   SUM(CAST(b.y AS DECIMAL(38,0))) AS sb,
+                   SUM(CAST(a.y AS DECIMAL(19,0))
+                       * CAST(b.y AS DECIMAL(19,0))) AS sab,
+                   SUM(CAST(a.y AS DECIMAL(19,0))
+                       * CAST(a.y AS DECIMAL(19,0))) AS saa,
+                   SUM(CAST(b.y AS DECIMAL(19,0))
+                       * CAST(b.y AS DECIMAL(19,0))) AS sbb
+            FROM hourly a
+            CROSS JOIN lags l
+            JOIN hourly b
+              ON b.event_type = a.event_type AND b.ht = a.ht + l.lag
+            GROUP BY a.event_type, l.lag
+        )
+        SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+               CASE WHEN (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) > 0
+                     AND (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb) > 0
+                    THEN ROUND(
+                        (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+                        / sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+                        / sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb),
+                        6)
+               END AS acf
+        FROM pairs
+        ORDER BY event_type, lag
+    """,
+    doc=(
+        "Autocorrelation function at lags 1-3 per event-type hourly "
+        "series — the seasonality/persistence probe behind every "
+        "forecasting pipeline (is the series mean-reverting? does an "
+        "hourly cycle survive?). The hourly grain is an exact cents "
+        "sum; pairs align by an equi-join on an INTEGER hour index "
+        "(epoch-hour, so `b.ht = a.ht + lag` is codegen arithmetic, "
+        "no interval math), and every moment (Σa, Σb, Σab, Σa², Σb²) "
+        "accumulates as EXACT DECIMAL — the Pearson-on-lagged-slices "
+        "formulation of agg_corr_matrix applied to (x_t, x_{t+k}). "
+        "One hash-agg to hourly, one shuffle join on (event_type, ht), "
+        "one hash-agg to moments: linear in hours, and the pair fan-out "
+        "is |lags|·hours, not hours². The only floats are the final "
+        "guarded divisions, rounded to 6 digits."
+    ),
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hb"), "value"
+    )
+    hourly = (
+        e.groupBy("event_type", "hb")
+        .agg(F.sum(cents("value")).alias("y"))
+        .select(
+            "event_type",
+            F.expr(
+                "timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', hb)"
+            ).cast("bigint").alias("ht"),
+            "y",
+        )
+    )
+    a = hourly.withColumn("lag", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+    b = hourly.select(
+        F.col("event_type").alias("bt"), F.col("ht").alias("bht"),
+        F.col("y").alias("yb"),
+    )
+    d19 = "decimal(19,0)"
+    pairs = (
+        a.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("bht") == F.col("ht") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("yb").cast("decimal(38,0)")).alias("sb"),
+            F.sum(F.col("y").cast(d19) * F.col("yb").cast(d19)).alias("sab"),
+            F.sum(F.col("y").cast(d19) * F.col("y").cast(d19)).alias("saa"),
+            F.sum(F.col("yb").cast(d19) * F.col("yb").cast(d19)).alias("sbb"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    var_a = nd * F.col("saa") - F.col("sa").cast("double") * F.col("sa")
+    var_b = nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb")
+    cov = nd * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    return pairs.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (var_a > 0) & (var_b > 0),
+            F.round(cov / F.sqrt(var_a) / F.sqrt(var_b), 6),
+        ).alias("acf"),
+    )
+
+
+@register(
+    "ts_seasonal_decompose",
+    "E",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hb,
+                   CAST(hour(date_trunc('hour', ts)) AS BIGINT) AS hod,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2, 3
+        ),
+        seasonal AS (
+            SELECT event_type, hod,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS s_sum,
+                   CAST(COUNT(*) AS BIGINT) AS s_cnt
+            FROM hourly GROUP BY 1, 2
+        )
+        SELECT h.event_type, h.hb, h.hod,
+               ROUND(h.y / 100.0, 2) AS observed,
+               ROUND(CAST(s.s_sum AS DOUBLE) / (100.0 * s.s_cnt), 6)
+                   AS seasonal_mean,
+               ROUND(CAST(CAST(h.y AS DECIMAL(38,0)) * s.s_cnt - s.s_sum
+                          AS DOUBLE) / (100.0 * s.s_cnt), 6) AS deviation
+        FROM hourly h
+        JOIN seasonal s
+          ON s.event_type = h.event_type AND s.hod = h.hod
+        ORDER BY h.event_type, h.hb
+    """,
+    doc=(
+        "Hour-of-day seasonal decomposition per event-type series: each "
+        "hourly observation split into the seasonal component (the "
+        "series' mean at that clock hour) and the residual deviation — "
+        "the seasonal-naive baseline every anomaly detector is judged "
+        "against. The deviation is computed INTEGER-EXACT by scaling "
+        "through the seasonal count (y·cnt − Σy in DECIMAL(38,0)) so no "
+        "float mean is ever subtracted — one guarded division per row "
+        "at the end, rounded. Scale: the seasonal table is at most "
+        "24·|series| rows → broadcast join back onto the hourly grain; "
+        "one hash-agg + one map-side join, no extra shuffle of the "
+        "fact, linear in hours."
+    ),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hb"), "value"
+    )
+    hourly = (
+        e.groupBy("event_type", "hb")
+        .agg(F.sum(cents("value")).alias("y"))
+        .withColumn("hod", F.hour("hb").cast("bigint"))
+    )
+    seasonal = hourly.groupBy(
+        F.col("event_type").alias("st"), F.col("hod").alias("shod")
+    ).agg(
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
+    )
+    joined = hourly.join(
+        F.broadcast(seasonal),
+        (F.col("st") == F.col("event_type")) & (F.col("shod") == F.col("hod")),
+    )
+    dev_scaled = F.col("y").cast("decimal(38,0)") * F.col("s_cnt") - F.col("s_sum")
+    return joined.select(
+        "event_type",
+        "hb",
+        "hod",
+        F.round(F.col("y") / 100.0, 2).alias("observed"),
+        F.round(
+            F.col("s_sum").cast("double") / (F.lit(100.0) * F.col("s_cnt")), 6
+        ).alias("seasonal_mean"),
+        F.round(
+            dev_scaled.cast("double") / (F.lit(100.0) * F.col("s_cnt")), 6
+        ).alias("deviation"),
+    )
+
+
+@register(
+    "events_pattern_match",
+    "E",
+    oracle="""
+        WITH coded AS (
+            SELECT user_id, ts, event_id,
+                   substr(event_type, 1, 1) AS c
+            FROM events
+        ),
+        journeys AS (
+            SELECT user_id,
+                   string_agg(c, '' ORDER BY ts, event_id) AS journey
+            FROM coded GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(journey) AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(journey, 'v[ce]*p'))
+                    AS BIGINT) AS n_conversions,
+               CAST(len(regexp_extract_all(journey, 's'))
+                    AS BIGINT) AS n_signups,
+               CASE WHEN journey LIKE '%v%' THEN 1 ELSE 0 END AS has_view
+        FROM journeys
+        ORDER BY user_id
+    """,
+    doc=(
+        "MATCH_RECOGNIZE-style sequence pattern matching over per-user "
+        "event journeys: each user's history becomes an ordered string "
+        "of event-type codes (c/e/p/s/v) and conversion motifs are "
+        "counted by regex — here `v[ce]*p` (a view, any clicks/errors, "
+        "then a purchase; non-overlapping greedy scan, identical "
+        "semantics in Java regex and the oracle's RE2 for this "
+        "alternation-free pattern). The journey string is built by "
+        "sort_array over (ts, event_id, code) structs — a total, "
+        "deterministic order with the event-id tiebreak, equivalent to "
+        "the oracle's ORDER BY string_agg — then one regexp_count per "
+        "user. Complements events_funnel (strict step order, one pass) "
+        "and events_topk_paths (n-gram transitions) with arbitrary "
+        "regex motifs. Scale: one shuffle by user_id; per-user state is "
+        "the journey string, bounded by per-user activity — at 100 TB "
+        "grain, sessionize first (stream_session_batch) so the regex "
+        "runs per session, not per lifetime; the plan shape is "
+        "unchanged."
+    ),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    journeys = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "c"))
+                    ),
+                    lambda s: s.getField("c"),
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    return journeys.select(
+        "user_id",
+        F.length("journey").cast("bigint").alias("n_events"),
+        F.regexp_count("journey", F.lit("v[ce]*p")).cast("bigint").alias(
+            "n_conversions"
+        ),
+        F.regexp_count("journey", F.lit("s")).cast("bigint").alias("n_signups"),
+        F.when(F.col("journey").contains("v"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("has_view"),
+    )

@@ -89,6 +89,11 @@ SENSITIVE = [
     "win_rolling_median",  # sorted-frame pick/interpolate
     "ts_cusum_changepoint",# decimal-scaled prefix statistic
     "events_time_to_convert",  # exact-second latencies + percentile_cont
+    # round-3 fourth-sitting additions
+    "ts_acf",              # exact decimal lag moments -> guarded division
+    "ts_seasonal_decompose",  # decimal-scaled deviation (y*cnt - sum)
+    "agg_entropy",         # decimal-quantized nonnegative plogp terms
+    "events_pattern_match",  # sort_array journey strings + regexp counts
 ]
 
 

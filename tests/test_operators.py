@@ -1745,3 +1745,170 @@ def test_cusum_locates_planted_level_shift(spark, tmp_path):
     assert r["changepoint_hour"].hour == 9
     assert r["n_hours"] == 20
     assert r["cusum_norm"] < 0
+
+
+def test_acf_alternating_series(spark, tmp_path):
+    """A perfectly alternating hourly series (10, 20, 10, 20, ...) has
+    lag-1 autocorrelation −1 and lag-2 autocorrelation +1 exactly."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [
+        (h + 1, _ts(f"2024-01-01T{h:02d}:30:00"), 1, "click",
+         10.0 if h % 2 == 0 else 20.0, "{}")
+        for h in range(12)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "acf")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["lag"]: r for r in timeseries.ts_acf(spark, d).collect()}
+    assert out[1]["acf"] == -1.0
+    assert out[2]["acf"] == 1.0
+    assert out[1]["n_pairs"] == 11
+    assert out[2]["n_pairs"] == 10
+
+
+def test_seasonal_decompose_planted_deviation(spark, tmp_path):
+    """Two days where every clock hour repeats its value except hour 9
+    (10 vs 30): hour-9 deviations are ±10 around the seasonal mean 20,
+    all other hours decompose to deviation 0."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    eid = 0
+    for day in (1, 2):
+        for h in (8, 9, 10):
+            eid += 1
+            v = 5.0 if h != 9 else (10.0 if day == 1 else 30.0)
+            rows.append(
+                (eid, _ts(f"2024-01-0{day}T{h:02d}:15:00"), 1, "click", v, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "seas")
+    ev.write.parquet(d + "/events.parquet")
+    out = timeseries.ts_seasonal_decompose(spark, d).collect()
+    by_key = {(r["hb"].day, r["hb"].hour): r for r in out}
+    assert by_key[(1, 9)]["seasonal_mean"] == 20.0
+    assert by_key[(1, 9)]["deviation"] == -10.0
+    assert by_key[(2, 9)]["deviation"] == 10.0
+    assert all(
+        by_key[(day, h)]["deviation"] == 0.0
+        for day in (1, 2) for h in (8, 10)
+    )
+
+
+def test_pattern_match_planted_journeys(spark, tmp_path):
+    """User 1 (view→click→purchase) converts once; user 2's
+    view→error→click→purchase also matches v[ce]*p; user 3's
+    purchase-then-view never matches; signups count independently."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    seq = [
+        (1, "view"), (1, "click"), (1, "purchase"),
+        (2, "signup"), (2, "view"), (2, "error"), (2, "click"),
+        (2, "purchase"),
+        (3, "purchase"), (3, "view"),
+    ]
+    rows = [
+        (i + 1, _ts(f"2024-01-01T10:{i:02d}:00"), u, t, 1.0, "{}")
+        for i, (u, t) in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "pat")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["user_id"]: r
+           for r in timeseries.events_pattern_match(spark, d).collect()}
+    assert out[1]["n_conversions"] == 1 and out[1]["n_signups"] == 0
+    assert out[2]["n_conversions"] == 1 and out[2]["n_signups"] == 1
+    assert out[3]["n_conversions"] == 0 and out[3]["has_view"] == 1
+    assert out[1]["n_events"] == 3
+
+
+def test_dq_profile_planted_nulls_and_distincts(spark, tmp_path):
+    """Planted orders: one NULL custkey, two distinct statuses, and the
+    double min/max rendered through DECIMAL(18,2) as canonical text."""
+    from big_data_management_and_analytics_spark.operators import aggregations
+
+    rows = [
+        (1, 10, "O", 100.5, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+        (2, 10, "F", 250.25, _ts("2024-01-02T00:00:00"), "2-HIGH"),
+        (3, None, "F", 99.99, _ts("2024-01-03T00:00:00"), "2-HIGH"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "dqp")
+    orders.write.parquet(d + "/orders.parquet")
+    out = {r["col_name"]: r
+           for r in aggregations.dq_profile(spark, d).collect()}
+    assert set(out) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_totalprice", "o_orderpriority"}
+    assert all(r["n_rows"] == 3 for r in out.values())
+    assert out["o_custkey"]["n_null"] == 1
+    assert out["o_custkey"]["n_distinct"] == 1
+    assert out["o_orderstatus"]["n_distinct"] == 2
+    assert out["o_totalprice"]["min_str"] == "99.99"
+    assert out["o_totalprice"]["max_str"] == "250.25"
+    assert out["o_orderkey"]["max_str"] == "3"
+
+
+def test_entropy_pure_and_uniform_groups(spark, tmp_path):
+    """A customer with one priority has entropy exactly 0; a 2+2 split
+    over two priorities gives 2·round(0.5·ln 2, 6) = 0.693148 (the
+    quantized-sum convention, deterministic both engines)."""
+    from big_data_management_and_analytics_spark.operators import aggregations
+
+    rows = [
+        (1, 100, "O", 1.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+        (2, 100, "O", 1.0, _ts("2024-01-02T00:00:00"), "1-URGENT"),
+        (3, 100, "O", 1.0, _ts("2024-01-03T00:00:00"), "1-URGENT"),
+        (4, 200, "O", 1.0, _ts("2024-01-04T00:00:00"), "1-URGENT"),
+        (5, 200, "O", 1.0, _ts("2024-01-05T00:00:00"), "1-URGENT"),
+        (6, 200, "O", 1.0, _ts("2024-01-06T00:00:00"), "2-HIGH"),
+        (7, 200, "O", 1.0, _ts("2024-01-07T00:00:00"), "2-HIGH"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "ent")
+    orders.write.parquet(d + "/orders.parquet")
+    out = {r["o_custkey"]: r
+           for r in aggregations.agg_entropy(spark, d).collect()}
+    assert out[100]["entropy"] == 0.0 and out[100]["n_categories"] == 1
+    assert out[200]["entropy"] == 0.693148
+    assert out[200]["n_orders"] == 4 and out[200]["n_categories"] == 2
+
+
+def test_countmin_single_key_exact_and_overestimate_sign(spark, tmp_path):
+    """With a single key the sketch cannot collide: estimate == exact.
+    On the shared fixture every estimate is >= exact (one-sided error)."""
+    from big_data_management_and_analytics_spark.operators import aggregations
+    from tests.conftest import SF_SMALL
+
+    rows = [
+        (i + 1, _ts("2024-01-01T00:00:00"), 7, "click", 1.0, "{}")
+        for i in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "cms")
+    ev.write.parquet(d + "/events.parquet")
+    solo = aggregations.agg_countmin_sketch(spark, d).collect()
+    assert len(solo) == 1
+    assert solo[0]["cms_est"] == solo[0]["exact_cnt"] == 5
+
+    full = aggregations.agg_countmin_sketch(spark, SF_SMALL).collect()
+    assert len(full) > 1
+    assert all(r["overestimate"] >= 0 for r in full)

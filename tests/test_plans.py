@@ -533,3 +533,27 @@ def test_no_single_partition_windows_exhaustive(spark, registry):
         if hits:
             bad[name] = hits[0].strip()[:120]
     assert not bad, bad
+
+
+def test_seasonal_decompose_broadcasts_seasonal(spark, registry):
+    """The 24·|series| seasonal table must broadcast back onto the hourly
+    grain — one shuffle (the hourly agg), no second fact shuffle."""
+    plan = _plan(registry["ts_seasonal_decompose"].fn(spark, SF_T2))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_countmin_sketch_broadcasts_cells(spark, registry):
+    """The 128-cell sketch is bounded state: the probe join must
+    broadcast it, never shuffle the distinct-key side on (i, b)."""
+    plan = _plan(registry["agg_countmin_sketch"].fn(spark, SF_T2))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dq_profile_single_scan(spark, registry):
+    """All 21 per-column metrics come from ONE pass over orders: the
+    5-row long-format output must not rescan the parquet per column
+    (a union-per-column formulation plans 5 file scans)."""
+    import re
+
+    plan = _plan(registry["dq_profile"].fn(spark, SF_T2))
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
