@@ -26,7 +26,9 @@ from big_data_management_and_analytics_spark.functions.portable_hash import (
     SQL_G1,
     mix_col,
     ph0,
+    ph0_hex,
     ph1,
+    ph1_hex,
     sql_mix,
 )
 from big_data_management_and_analytics_spark.functions.strings import tokens
@@ -216,10 +218,11 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
+        .select("doc_id", F.md5("tok").alias("hx"))
         .select(
             "doc_id",
-            (ph0(F.col("tok")) % P).alias("g0"),
-            (ph1(F.col("tok")) % P).alias("g1"),
+            (ph0_hex(F.col("hx")) % P).alias("g0"),
+            (ph1_hex(F.col("hx")) % P).alias("g1"),
         )
     )
     return words.groupBy("doc_id").agg(
@@ -591,7 +594,8 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
-        .select("doc_id", ph0(F.col("tok")).alias("h0"), ph1(F.col("tok")).alias("h1"))
+        .select("doc_id", F.md5("tok").alias("hx"))
+        .select("doc_id", ph0_hex(F.col("hx")).alias("h0"), ph1_hex(F.col("hx")).alias("h1"))
     )
 
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS

@@ -594,3 +594,171 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return audio.mapInPandas(feats, out_schema)
+
+
+PHASH_MAX_HAMMING = 8
+
+
+def ahash_bands_batch(payloads: pd.Series) -> pd.DataFrame:
+    """64-bit average-hash (aHash) of each PGM payload, returned as four
+    16-bit band integers (b0..b3, bit i of band k = block 16k+i).
+
+    The raster maps onto an 8×8 block grid (row block = (r·8)//h, col
+    block = c//4 for the fixed 32-px width); bit = block mean > image
+    mean, decided by the INTEGER cross-product s·N > S·n so no float
+    mean is ever compared — bit-identical to the SQL oracle's integer
+    arithmetic, and blocks that receive no rows (h < 8) are 0 on both
+    sides."""
+    cols = {f"b{k}": [] for k in range(4)}
+    colblk = np.arange(PGM_WIDTH, dtype=np.int64) // 4
+    ids = None
+    for b in payloads:
+        w, h, maxval, raster = parse_pgm(b)
+        r64 = raster.astype(np.int64)
+        rowblk = (np.arange(h, dtype=np.int64) * 8) // h
+        blk = (rowblk[:, None] * 8 + colblk[None, :]).ravel()
+        # float64 bincount sums are exact below 2^53 — integer-exact here
+        sums = np.bincount(blk, weights=r64.ravel(), minlength=64).astype(
+            np.int64
+        )
+        counts = np.bincount(blk, minlength=64).astype(np.int64)
+        s_tot = int(r64.sum())
+        n_tot = r64.size
+        bits = (sums * n_tot) > (s_tot * counts)
+        for k in range(4):
+            cols[f"b{k}"].append(
+                int(sum(1 << j for j in range(16) if bits[16 * k + j]))
+            )
+    return pd.DataFrame(
+        {k: pd.array(v, dtype="int64") for k, v in cols.items()},
+        index=payloads.index,
+    )
+
+
+@register(
+    "mm_phash_neardup",
+    "K",
+    oracle=f"""
+        WITH {_MM_BYTES_CTE},
+        pix AS (
+            SELECT g.doc_id, g.h, gs.i AS idx,
+                   CASE WHEN gs.i < g.n
+                        THEN ('0x' || substr(hex(d.b), 2 * gs.i + 1, 2))::BIGINT
+                        ELSE 32 END AS v
+            FROM geom g JOIN d USING (doc_id),
+            LATERAL (SELECT UNNEST(generate_series(0, g.h * 32 - 1)) AS i) gs
+        ),
+        blocks AS (
+            SELECT doc_id,
+                   ((idx // 32) * 8) // h * 8 + (idx % 32) // 4 AS blk,
+                   SUM(v) AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM pix GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT doc_id, SUM(s) AS st, SUM(cnt) AS nt
+            FROM blocks GROUP BY 1
+        ),
+        bits AS (
+            SELECT b.doc_id, b.blk,
+                   CASE WHEN b.s * t.nt > t.st * b.cnt
+                        THEN 1 ELSE 0 END AS bit
+            FROM blocks b JOIN tot t USING (doc_id)
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(CASE WHEN blk // 16 = 0
+                       THEN bit * (1 << (blk % 16)) END), 0) AS BIGINT) AS b0,
+                   CAST(COALESCE(SUM(CASE WHEN blk // 16 = 1
+                       THEN bit * (1 << (blk % 16)) END), 0) AS BIGINT) AS b1,
+                   CAST(COALESCE(SUM(CASE WHEN blk // 16 = 2
+                       THEN bit * (1 << (blk % 16)) END), 0) AS BIGINT) AS b2,
+                   CAST(COALESCE(SUM(CASE WHEN blk // 16 = 3
+                       THEN bit * (1 << (blk % 16)) END), 0) AS BIGINT) AS b3
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                    + bit_count(xor(a.b2, b.b2))
+                    + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+        FROM hashes a JOIN hashes b
+          ON a.doc_id < b.doc_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2))
+              + bit_count(xor(a.b3, b.b3)) <= {PHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "Image near-duplicate detection via perceptual hashing — the "
+        "multimodal twin of llm_dedup_minhash. Each PGM payload is "
+        "decoded in an Arrow-batched mapInPandas pass to a 64-bit "
+        "average-hash (8×8 block-mean grid thresholded against the "
+        "image mean, the classic aHash), carried as four 16-bit bands; "
+        "candidate pairs come from an EQUI-join on any equal band "
+        "(Hamming ≤ 8 over 64 bits guarantees ≥ one exact 16-bit band "
+        "by pigeonhole — no all-pairs scan anywhere in the Spark "
+        "plan), then the verified Hamming distance filters candidates. "
+        "Every hash bit is decided by the integer cross-product "
+        "s·N > S·n (no float means), so the DuckDB oracle re-derives "
+        "identical hashes from hex(blob) pixel arithmetic and the "
+        "OUTPUT PAIRS are hash-verified cross-engine — an oracle-tier "
+        "multimodal dedup. Scale: hashing is map-only; the band join "
+        "shuffles 4 small rows per image; collision buckets are "
+        "band-value-bounded (the minhash banding argument). Swap the "
+        "PGM parser for a JPEG decoder + DCT (true pHash) and only the "
+        "batch function body changes."
+    ),
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_table(spark, sf_dir)
+    hash_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.LongType()) for k in range(4)]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out[["b0", "b1", "b2", "b3"]] = ahash_bands_batch(pdf["payload"])
+            yield out
+
+    hashes = media.mapInPandas(hash_batch, hash_schema)
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
+                for k in range(4)
+            ]
+        )
+    ).alias("kv")
+    bandrows = hashes.select("doc_id", "b0", "b1", "b2", "b3", kv).select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.col("kv.k").alias("k"), F.col("kv.v").alias("v"),
+    )
+    left = bandrows
+    right = bandrows.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"), F.col("b3").alias("c3"),
+        F.col("k").alias("rk"), F.col("v").alias("rv"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("k") == F.col("rk"))
+            & (F.col("v") == F.col("rv"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select("doc_id", "doc_b", "b0", "b1", "b2", "b3",
+                "c0", "c1", "c2", "c3")
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"b{k}").bitwiseXOR(F.col(f"c{k}")))
+        for k in range(4)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select(F.col("doc_id").alias("doc_a"), "doc_b", "hamming")
+    )

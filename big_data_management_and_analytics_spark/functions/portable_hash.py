@@ -56,14 +56,29 @@ MIX: list[tuple[int, int, int]] = [
 ]
 
 
+def ph0_hex(hx) -> Column:
+    """60-bit integer from an already-computed md5 hex column."""
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+
+
+def ph1_hex(hx) -> Column:
+    """60-bit integer from an already-computed md5 hex column."""
+    return F.conv(F.substring(hx, 17, 15), 16, 10).cast("long")
+
+
 def ph0(col) -> Column:
-    """60-bit integer from md5 hex chars 1–15 (Spark side)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    """60-bit integer from md5 hex chars 1–15 (Spark side).
+
+    When BOTH ph0 and ph1 of the same column are needed, materialize
+    the md5 once in its own projection and use ph0_hex/ph1_hex —
+    CollapseProject keeps the shared non-cheap md5 in a separate
+    project (one digest per row instead of two)."""
+    return ph0_hex(F.md5(col))
 
 
 def ph1(col) -> Column:
     """60-bit integer from md5 hex chars 17–31 (Spark side)."""
-    return F.conv(F.substring(F.md5(col), 17, 15), 16, 10).cast("long")
+    return ph1_hex(F.md5(col))
 
 
 def mix_col(g0: Column, g1: Column, i: int) -> Column:

@@ -1249,16 +1249,18 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_management_and_analytics_spark.functions.portable_hash import (
         P,
         mix_col,
-        ph0,
-        ph1,
+        ph0_hex,
+        ph1_hex,
     )
 
     W = 32
     e = load(spark, sf_dir, "events").select("user_id")
     hashed = e.select(
+        "user_id", F.md5(F.col("user_id").cast("string")).alias("hx")
+    ).select(
         "user_id",
-        (ph0(F.col("user_id").cast("string")) % P).alias("g0"),
-        (ph1(F.col("user_id").cast("string")) % P).alias("g1"),
+        (ph0_hex(F.col("hx")) % P).alias("g0"),
+        (ph1_hex(F.col("hx")) % P).alias("g1"),
     )
     buckets = hashed.select(
         "user_id",

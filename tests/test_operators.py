@@ -1912,3 +1912,42 @@ def test_countmin_single_key_exact_and_overestimate_sign(spark, tmp_path):
     full = aggregations.agg_countmin_sketch(spark, SF_SMALL).collect()
     assert len(full) > 1
     assert all(r["overestimate"] >= 0 for r in full)
+
+
+def test_phash_neardup_planted_images(spark, tmp_path):
+    """Identical texts produce identical aHashes (hamming 0); a
+    half-low/half-high raster is 32 bits away from a flat one (all
+    blocks equal the mean -> every bit 0) and must be band-matched as a
+    candidate yet rejected by the hamming filter."""
+    from big_data_management_and_analytics_spark.functions import multimodal
+
+    # 512 chars = a 16x32 raster with no padding and row-block = r//2,
+    # so the half/half doc splits exactly into 32 low + 32 high blocks.
+    base = "ab" * 256
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),
+        (3, "a" * 256 + "z" * 256, "en", "web", 512),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "phash")
+    docs.write.parquet(d + "/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal.mm_phash_neardup(spark, d).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # direct numpy re-derivation of the half/half hash: low half 0-bits,
+    # high half 1-bits -> bands (0, 0, 0xffff, 0xffff)
+    import pandas as pd
+
+    payload = multimodal._media_table(spark, d).filter("doc_id = 3").collect()[0][
+        "payload"
+    ]
+    bands = multimodal.ahash_bands_batch(pd.Series([bytes(payload)]))
+    assert list(bands.iloc[0]) == [0, 0, 0xFFFF, 0xFFFF]

@@ -557,3 +557,12 @@ def test_dq_profile_single_scan(spark, registry):
 
     plan = _plan(registry["dq_profile"].fn(spark, SF_T2))
     assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
+
+
+def test_phash_neardup_equi_join_only(spark, registry):
+    """Candidate generation must be the banded EQUI-join — any plan
+    with a nested-loop/cartesian candidate stage is the O(n²) shape
+    this operator exists to avoid."""
+    plan = _plan(registry["mm_phash_neardup"].fn(spark, SF_T2))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
