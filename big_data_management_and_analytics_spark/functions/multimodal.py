@@ -722,7 +722,13 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[["b0", "b1", "b2", "b3"]] = ahash_bands_batch(pdf["payload"])
             yield out
 
-    hashes = media.mapInPandas(hash_batch, hash_schema)
+    # Lazy localCheckpoint: the per-image Python hash pass feeds BOTH
+    # sides of the self-join, and Spark does not reuse the exchange
+    # across differently-aliased subplans — without this the decode+hash
+    # work (the expensive part) executes twice.
+    hashes = media.mapInPandas(hash_batch, hash_schema).localCheckpoint(
+        eager=False
+    )
     kv = F.explode(
         F.array(
             *[
@@ -742,23 +748,25 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b2").alias("c2"), F.col("b3").alias("c3"),
         F.col("k").alias("rk"), F.col("v").alias("rv"),
     )
-    cand = (
+    hamming = sum(
+        F.bit_count(F.col(f"b{k}").bitwiseXOR(F.col(f"c{k}")))
+        for k in range(4)
+    )
+    # Hamming first, threshold second, THEN dedup the multi-band matches
+    # — the distinct runs on three narrow columns of the tiny survivor
+    # set instead of ten columns of every candidate.
+    return (
         left.join(
             right,
             (F.col("k") == F.col("rk"))
             & (F.col("v") == F.col("rv"))
             & (F.col("doc_id") < F.col("doc_b")),
         )
-        .select("doc_id", "doc_b", "b0", "b1", "b2", "b3",
-                "c0", "c1", "c2", "c3")
-        .distinct()
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"b{k}").bitwiseXOR(F.col(f"c{k}")))
-        for k in range(4)
-    )
-    return (
-        cand.withColumn("hamming", hamming.cast("bigint"))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            hamming.cast("bigint").alias("hamming"),
+        )
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
-        .select(F.col("doc_id").alias("doc_a"), "doc_b", "hamming")
+        .distinct()
     )
