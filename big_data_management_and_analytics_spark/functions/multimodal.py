@@ -635,11 +635,9 @@ def ahash_bands_batch(payloads: pd.Series) -> pd.DataFrame:
     )
 
 
-@register(
-    "mm_phash_neardup",
-    "K",
-    oracle=f"""
-        WITH {_MM_BYTES_CTE},
+# Shared oracle CTE chain: raster pixels → 8×8 block sums → aHash bits →
+# four 16-bit band integers per doc (appended after _MM_BYTES_CTE).
+_PHASH_HASHES_CTE = """
         pix AS (
             SELECT g.doc_id, g.h, gs.i AS idx,
                    CASE WHEN gs.i < g.n
@@ -675,7 +673,39 @@ def ahash_bands_batch(payloads: pd.Series) -> pd.DataFrame:
                    CAST(COALESCE(SUM(CASE WHEN blk // 16 = 3
                        THEN bit * (1 << (blk % 16)) END), 0) AS BIGINT) AS b3
             FROM bits GROUP BY doc_id
-        )
+        )"""
+
+
+def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3) aHash band table, hashed once per query.
+
+    Lazy localCheckpoint: the per-image Python hash pass can feed BOTH
+    sides of a self-join, and Spark does not reuse the exchange across
+    differently-aliased subplans — without this the decode+hash work
+    (the expensive part) executes twice."""
+    media = _media_table(spark, sf_dir)
+    hash_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"b{k}", T.LongType()) for k in range(4)]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out[["b0", "b1", "b2", "b3"]] = ahash_bands_batch(pdf["payload"])
+            yield out
+
+    return media.mapInPandas(hash_batch, hash_schema).localCheckpoint(
+        eager=False
+    )
+
+
+@register(
+    "mm_phash_neardup",
+    "K",
+    oracle=f"""
+        WITH {_MM_BYTES_CTE},
+        {_PHASH_HASHES_CTE}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
                     + bit_count(xor(a.b2, b.b2))
@@ -710,25 +740,7 @@ def ahash_bands_batch(payloads: pd.Series) -> pd.DataFrame:
     ),
 )
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = _media_table(spark, sf_dir)
-    hash_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType())]
-        + [T.StructField(f"b{k}", T.LongType()) for k in range(4)]
-    )
-
-    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf[["doc_id"]].copy()
-            out[["b0", "b1", "b2", "b3"]] = ahash_bands_batch(pdf["payload"])
-            yield out
-
-    # Lazy localCheckpoint: the per-image Python hash pass feeds BOTH
-    # sides of the self-join, and Spark does not reuse the exchange
-    # across differently-aliased subplans — without this the decode+hash
-    # work (the expensive part) executes twice.
-    hashes = media.mapInPandas(hash_batch, hash_schema).localCheckpoint(
-        eager=False
-    )
+    hashes = _phash_hashes(spark, sf_dir)
     kv = F.explode(
         F.array(
             *[
@@ -770,3 +782,62 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+@register(
+    "mm_phash_groups",
+    "K",
+    oracle=f"""
+        WITH {_MM_BYTES_CTE},
+        {_PHASH_HASHES_CTE},
+        bands AS (
+            SELECT doc_id, bb.k, bb.v
+            FROM hashes CROSS JOIN LATERAL (VALUES
+                (0, b0), (1, b1), (2, b2), (3, b3)
+            ) AS bb(k, v)
+        ),
+        rep AS (
+            SELECT k, v, MIN(doc_id) AS bucket_rep,
+                   CAST(COUNT(*) AS BIGINT) AS bucket_n
+            FROM bands GROUP BY k, v
+        )
+        SELECT b.doc_id,
+               MIN(r.bucket_rep) AS group_rep,
+               MAX(r.bucket_n) AS max_bucket_size,
+               MIN(r.bucket_rep) < b.doc_id AS is_candidate_dup
+        FROM bands b JOIN rep r USING (k, v)
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """,
+    doc=(
+        "Image dedup in GROUP form: the 100 TB shape of "
+        "mm_phash_neardup. Each image's four aHash bands are LSH "
+        "buckets; every bucket's representative is its min doc_id and "
+        "each image joins the min representative over its buckets — "
+        "the llm_dedup_minhash 1-hop union applied to perceptual "
+        "hashes, so a block of k near-identical images costs k rows, "
+        "never k² pairs (the pair operator exists for audit; this one "
+        "is what a production image-dedup pass keeps). Reuses "
+        "_bucket_group_assign (signature pass + two groupBys, all "
+        "linear) and the hashes are the same integer-exact aHash, so "
+        "the grouping is hash-verified cross-engine — oracle-tier."
+    ),
+)
+def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.llm_dedup import (
+        _bucket_group_assign,
+    )
+
+    hashes = _phash_hashes(spark, sf_dir)
+    banded = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("kv"),
+    ).select("doc_id", F.col("kv.k").alias("k"), F.col("kv.v").alias("v"))
+    return _bucket_group_assign(banded, "doc_id", bucket_cols=("k", "v"))

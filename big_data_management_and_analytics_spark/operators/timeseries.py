@@ -1561,3 +1561,159 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("has_view"),
     )
+
+
+@register(
+    "ts_forecast_snaive",
+    "E",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_diff('hour', TIMESTAMP '1970-01-01',
+                                  date_trunc('hour', ts)) AS BIGINT) AS ht,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT a.event_type,
+                   ABS(a.y - f.y) AS abs_err,
+                   a.y AS actual
+            FROM hourly a
+            JOIN hourly f
+              ON f.event_type = a.event_type AND f.ht = a.ht - 24
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_backtest,
+               CAST(COUNT(*) FILTER (WHERE actual <> 0) AS BIGINT)
+                   AS n_nonzero,
+               ROUND(SUM(abs_err) / (100.0 * COUNT(*)), 6) AS mae,
+               ROUND(CAST(SUM(CAST(ROUND(
+                       CAST(abs_err AS DOUBLE) / ABS(actual), 6)
+                     AS DECIMAL(28,6))) FILTER (WHERE actual <> 0)
+                     AS DOUBLE)
+                     / COUNT(*) FILTER (WHERE actual <> 0), 6) AS mape
+        FROM scored
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=(
+        "Seasonal-naive forecast backtest per series: predict each hour "
+        "with the value 24 hours earlier and score MAE / MAPE over the "
+        "whole history — the baseline every real forecasting model must "
+        "beat, and the standard data-quality canary for metric drift. "
+        "Errors are INTEGER cents (|y_t − y_{t−24}| of exact hourly "
+        "sums, aligned by an integer epoch-hour equi-join like ts_acf); "
+        "MAE is one exact integer sum with a terminal division, and "
+        "each MAPE term is a per-row double rounded to 6 digits and "
+        "accumulated as DECIMAL(28,6) (the perplexity quantization "
+        "rule) over the nonzero actuals. One hash-agg, one shuffle "
+        "join on (series, hour), one roll-up — linear, no window."
+    ),
+)
+def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hb"), "value"
+    )
+    hourly = (
+        e.groupBy("event_type", "hb")
+        .agg(F.sum(cents("value")).alias("y"))
+        .select(
+            "event_type",
+            F.expr(
+                "timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', hb)"
+            ).cast("bigint").alias("ht"),
+            "y",
+        )
+    )
+    f = hourly.select(
+        F.col("event_type").alias("ft"), F.col("ht").alias("fht"),
+        F.col("y").alias("yhat"),
+    )
+    scored = hourly.join(
+        f,
+        (F.col("ft") == F.col("event_type"))
+        & (F.col("fht") == F.col("ht") - 24),
+    ).select(
+        "event_type",
+        F.abs(F.col("y") - F.col("yhat")).alias("abs_err"),
+        F.col("y").alias("actual"),
+    )
+    nonzero = F.col("actual") != 0
+    mape_term = F.round(
+        F.col("abs_err").cast("double") / F.abs(F.col("actual")), 6
+    ).cast("decimal(28,6)")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_backtest"),
+        F.count(F.when(nonzero, 1)).cast("bigint").alias("n_nonzero"),
+        F.round(
+            F.sum("abs_err") / (F.lit(100.0) * F.count(F.lit(1))), 6
+        ).alias("mae"),
+        F.round(
+            F.sum(F.when(nonzero, mape_term)).cast("double")
+            / F.count(F.when(nonzero, 1)),
+            6,
+        ).alias("mape"),
+    )
+
+
+@register(
+    "dq_freshness",
+    "L",
+    oracle="""
+        WITH per_series AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS first_ts,
+                   MAX(ts) AS last_ts
+            FROM events GROUP BY event_type
+        ),
+        global_max AS (SELECT MAX(ts) AS gmax FROM events)
+        SELECT p.event_type, p.n_events, p.first_ts, p.last_ts,
+               CAST(date_diff('hour', date_trunc('hour', p.last_ts),
+                              date_trunc('hour', g.gmax)) AS BIGINT)
+                   AS staleness_hours,
+               CAST(date_diff('hour', date_trunc('hour', p.first_ts),
+                              date_trunc('hour', p.last_ts)) AS BIGINT)
+                   AS span_hours
+        FROM per_series p CROSS JOIN global_max g
+        ORDER BY p.event_type
+    """,
+    doc=(
+        "Per-series freshness audit: event count, first/last arrival, "
+        "hours of staleness behind the corpus' newest event, and the "
+        "series' own span — the is-this-feed-still-alive check every "
+        "ingestion pipeline page fires on (complements dq_profile's "
+        "column statistics and dq_constraint_audit's row rules). One "
+        "hash aggregate per series plus a one-row global max broadcast "
+        "back as a scalar crossJoin (the tpch_q11 pattern — one row × "
+        "N is map-side); staleness diffs HOUR-TRUNCATED timestamps — "
+        "on exact hour multiples Spark's elapsed-hours timestampdiff "
+        "and the oracle's boundary-crossing date_diff agree (they "
+        "diverge on sub-hour offsets), and the result is a plain "
+        "integer, no floats anywhere."
+    ),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_type", "ts")
+    per_series = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    gmax = e.agg(F.max("ts").alias("gmax"))
+    return per_series.crossJoin(F.broadcast(gmax)).select(
+        "event_type",
+        "n_events",
+        "first_ts",
+        "last_ts",
+        F.expr(
+            "timestampdiff(HOUR, date_trunc('hour', last_ts),"
+            " date_trunc('hour', gmax))"
+        ).cast("bigint").alias("staleness_hours"),
+        F.expr(
+            "timestampdiff(HOUR, date_trunc('hour', first_ts),"
+            " date_trunc('hour', last_ts))"
+        ).cast("bigint").alias("span_hours"),
+    )

@@ -94,6 +94,7 @@ SENSITIVE = [
     "ts_seasonal_decompose",  # decimal-scaled deviation (y*cnt - sum)
     "agg_entropy",         # decimal-quantized nonnegative plogp terms
     "events_pattern_match",  # sort_array journey strings + regexp counts
+    "ts_forecast_snaive",  # integer cents errors + quantized MAPE terms
 ]
 
 

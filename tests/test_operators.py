@@ -1951,3 +1951,83 @@ def test_phash_neardup_planted_images(spark, tmp_path):
     ]
     bands = multimodal.ahash_bands_batch(pd.Series([bytes(payload)]))
     assert list(bands.iloc[0]) == [0, 0, 0xFFFF, 0xFFFF]
+
+
+def test_phash_groups_one_hop_union(spark, tmp_path):
+    """Identical docs 1/2 share every band; the half/half doc 3 still
+    shares its all-zero low bands with them, so the 1-hop union pulls
+    all three into doc 1's group (coarser than the pair operator's
+    hamming filter — by design, like minhash grouping)."""
+    from big_data_management_and_analytics_spark.functions import multimodal
+
+    base = "ab" * 256
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),
+        (3, "a" * 256 + "z" * 256, "en", "web", 512),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "pgroup")
+    docs.write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r
+           for r in multimodal.mm_phash_groups(spark, d).collect()}
+    assert out[1]["group_rep"] == 1 and not out[1]["is_candidate_dup"]
+    assert out[2]["group_rep"] == 1 and out[2]["is_candidate_dup"]
+    assert out[3]["group_rep"] == 1  # shares the all-zero b0/b1 buckets
+    assert out[1]["max_bucket_size"] == 3
+
+
+def test_snaive_backtest_planted_spike(spark, tmp_path):
+    """48 hourly points of 10.0 with one 20.0 spike at hour 36: the
+    24 backtest pairs have one 10.00-unit error -> MAE 1000/(100*24)
+    and a single MAPE term of 10/20 (relative to the spike ACTUAL)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    for h in range(48):
+        day, hod = divmod(h, 24)
+        rows.append(
+            (h + 1, _ts(f"2024-01-0{day + 1}T{hod:02d}:30:00"), 1, "click",
+             20.0 if h == 36 else 10.0, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "snaive")
+    ev.write.parquet(d + "/events.parquet")
+    out = timeseries.ts_forecast_snaive(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_backtest"] == 24 and r["n_nonzero"] == 24
+    assert r["mae"] == round(1000 / (100.0 * 24), 6)
+    assert r["mape"] == round(0.5 / 24, 6)
+
+
+def test_freshness_planted_staleness(spark, tmp_path):
+    """Series 'click' stops 5 hours before 'view' (the corpus max):
+    staleness 5 vs 0, spans measured on hour-truncated bounds."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [
+        (1, _ts("2024-01-01T08:10:00"), 1, "click", 1.0, "{}"),
+        (2, _ts("2024-01-01T10:40:00"), 1, "click", 1.0, "{}"),
+        (3, _ts("2024-01-01T09:20:00"), 1, "view", 1.0, "{}"),
+        (4, _ts("2024-01-01T15:50:00"), 1, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "fresh")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["event_type"]: r
+           for r in timeseries.dq_freshness(spark, d).collect()}
+    assert out["view"]["staleness_hours"] == 0
+    assert out["click"]["staleness_hours"] == 5
+    assert out["click"]["span_hours"] == 2
+    assert out["view"]["span_hours"] == 6
+    assert out["click"]["n_events"] == 2

@@ -566,3 +566,11 @@ def test_phash_neardup_equi_join_only(spark, registry):
     plan = _plan(registry["mm_phash_neardup"].fn(spark, SF_T2))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phash_groups_no_pair_materialization(spark, registry):
+    """The group form must never build the pair space: no nested loop,
+    no cartesian — two hash aggregates over the banded rows."""
+    plan = _plan(registry["mm_phash_groups"].fn(spark, SF_T2))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
