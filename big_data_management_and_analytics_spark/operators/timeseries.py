@@ -1717,3 +1717,121 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " date_trunc('hour', last_ts))"
         ).cast("bigint").alias("span_hours"),
     )
+
+
+@register(
+    "ts_anomaly_seasonal",
+    "E",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hb,
+                   CAST(hour(date_trunc('hour', ts)) AS BIGINT) AS hod,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2, 3
+        ),
+        seasonal AS (
+            SELECT event_type, hod,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS s_sum,
+                   CAST(COUNT(*) AS BIGINT) AS s_cnt
+            FROM hourly GROUP BY 1, 2
+        ),
+        devs AS (
+            SELECT h.event_type, h.hb,
+                   ROUND(CAST(CAST(h.y AS DECIMAL(38,0)) * s.s_cnt - s.s_sum
+                              AS DOUBLE) / (100.0 * s.s_cnt), 6) AS dev
+            FROM hourly h
+            JOIN seasonal s
+              ON s.event_type = h.event_type AND s.hod = h.hod
+        ),
+        med AS (
+            SELECT event_type, quantile_cont(dev, 0.5) AS med_dev
+            FROM devs GROUP BY event_type
+        ),
+        stats AS (
+            SELECT d.event_type,
+                   ANY_VALUE(m.med_dev) AS med_dev,
+                   quantile_cont(abs(d.dev - m.med_dev), 0.5) AS mad_dev
+            FROM devs d JOIN med m USING (event_type)
+            GROUP BY d.event_type
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               ROUND(ANY_VALUE(s.med_dev), 6) AS median_dev,
+               ROUND(ANY_VALUE(s.mad_dev), 6) AS mad_dev,
+               CAST(SUM(CASE WHEN s.mad_dev > 0
+                             AND abs(d.dev - s.med_dev) > 3 * s.mad_dev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM devs d JOIN stats s USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    doc=(
+        "Seasonality-adjusted anomaly detection: the hour-of-day "
+        "component is removed first (ts_seasonal_decompose's integer-"
+        "exact residual), THEN the robust median/MAD rule flags hours "
+        "more than 3 MADs off — so a daily peak is never a false "
+        "positive and a flat 3am spike never hides (the win_anomaly_mad "
+        "rule applied to residuals instead of raw values). Residuals "
+        "are rounded once (6 digits) before the two exact interpolated "
+        "percentiles per series (Spark percentile ≡ DuckDB "
+        "quantile_cont, the agg_percentile_exact parity), so every "
+        "float both engines see is identical. Scale: hourly hash-agg → "
+        "broadcast seasonal join → per-series percentile shuffle on "
+        "|series| keys; all row counts after the first agg are "
+        "|series|·|hours|, independent of raw event volume."
+    ),
+)
+def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hb"), "value"
+    )
+    hourly = (
+        e.groupBy("event_type", "hb")
+        .agg(F.sum(cents("value")).alias("y"))
+        .withColumn("hod", F.hour("hb").cast("bigint"))
+    )
+    seasonal = hourly.groupBy(
+        F.col("event_type").alias("st"), F.col("hod").alias("shod")
+    ).agg(
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
+    )
+    devs = hourly.join(
+        F.broadcast(seasonal),
+        (F.col("st") == F.col("event_type")) & (F.col("shod") == F.col("hod")),
+    ).select(
+        "event_type",
+        "hb",
+        F.round(
+            (F.col("y").cast("decimal(38,0)") * F.col("s_cnt") - F.col("s_sum"))
+            .cast("double")
+            / (F.lit(100.0) * F.col("s_cnt")),
+            6,
+        ).alias("dev"),
+    )
+    med = devs.groupBy(F.col("event_type").alias("mt")).agg(
+        F.expr("percentile(dev, 0.5)").alias("med_dev")
+    )
+    dev_med = devs.join(
+        F.broadcast(med), F.col("mt") == F.col("event_type")
+    ).select("event_type", "hb", "dev", "med_dev")
+    stats = dev_med.groupBy(F.col("event_type").alias("qt")).agg(
+        F.first("med_dev").alias("s_med"),
+        F.expr("percentile(abs(dev - med_dev), 0.5)").alias("mad_dev"),
+    )
+    scored = dev_med.join(
+        F.broadcast(stats), F.col("qt") == F.col("event_type")
+    )
+    is_anom = (F.col("mad_dev") > 0) & (
+        F.abs(F.col("dev") - F.col("s_med")) > 3 * F.col("mad_dev")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.round(F.first("s_med"), 6).alias("median_dev"),
+        F.round(F.first("mad_dev"), 6).alias("mad_dev"),
+        F.sum(F.when(is_anom, 1).otherwise(0)).cast("bigint").alias(
+            "n_anomalies"
+        ),
+    )

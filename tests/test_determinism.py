@@ -95,6 +95,7 @@ SENSITIVE = [
     "agg_entropy",         # decimal-quantized nonnegative plogp terms
     "events_pattern_match",  # sort_array journey strings + regexp counts
     "ts_forecast_snaive",  # integer cents errors + quantized MAPE terms
+    "ts_anomaly_seasonal", # rounded residuals -> two exact percentiles
 ]
 
 

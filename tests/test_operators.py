@@ -2031,3 +2031,36 @@ def test_freshness_planted_staleness(spark, tmp_path):
     assert out["click"]["span_hours"] == 2
     assert out["view"]["span_hours"] == 6
     assert out["click"]["n_events"] == 2
+
+
+def test_anomaly_seasonal_planted_spike(spark, tmp_path):
+    """Base grid: 4 days x 6 clock hours, value 10+day — every hour of
+    day repeats the same {-1.5,-0.5,0.5,1.5} deviation ladder, so
+    med=-0.5/MAD=1.0 once one cell (day 1, hod 3) spikes to 100. The
+    spike drags its whole hour-of-day column past the 3-MAD fence: all
+    four cells of hod 3 flag, nothing else does."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    eid = 0
+    for day in range(4):
+        for hod in range(6):
+            eid += 1
+            v = 100.0 if (day == 1 and hod == 3) else float(10 + day)
+            rows.append(
+                (eid, _ts(f"2024-01-0{day + 1}T{hod:02d}:15:00"), 1,
+                 "click", v, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "anomseas")
+    ev.write.parquet(d + "/events.parquet")
+    out = timeseries.ts_anomaly_seasonal(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_hours"] == 24
+    assert r["median_dev"] == -0.5
+    assert r["mad_dev"] == 1.0
+    assert r["n_anomalies"] == 4
