@@ -284,3 +284,113 @@ def test_attribution_matches_bruteforce_on_random_sessions(spark, tmp_path):
         assert r["n_assists"] == expected_assists[tt], tt
         assert r["n_last_touch"] == expected_last[tt], tt
         assert abs(r["linear_credit"] - expected_credit[tt]) < 1e-6, tt
+
+
+def test_phash_pairs_match_bruteforce_on_random_docs(spark, tmp_path):
+    """The banded equi-join must surface EXACTLY the pairs within the
+    hamming threshold: recompute every aHash with independent numpy
+    code (block membership via index floor-division, not bincount) and
+    compare against the O(n²) scan — clustered duplicates with single
+    character flips plus random-text decoys exercise both the
+    candidate-generation recall and the threshold precision."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(20260814)
+    texts = {}
+    did = 0
+    for _ in range(12):  # clusters of near-identical docs
+        base = "".join(rng.choice("abcdefgh ") for _ in range(rng.randrange(64, 400)))
+        for _ in range(rng.randrange(1, 4)):
+            did += 1
+            t = list(base)
+            for _ in range(rng.randrange(0, 3)):
+                t[rng.randrange(len(t))] = rng.choice("xyz")
+            texts[did] = "".join(t)
+    for _ in range(15):  # unrelated decoys
+        did += 1
+        texts[did] = "".join(
+            rng.choice("abcdefghijklmnop q") for _ in range(rng.randrange(40, 500))
+        )
+
+    def ahash(text: str) -> list[int]:
+        b = text.encode()
+        h = -(-len(b) // 32)
+        raster = np.frombuffer(b + b" " * (h * 32 - len(b)), np.uint8)
+        raster = raster.reshape(h, 32).astype(np.int64)
+        S, N = int(raster.sum()), raster.size
+        bits = []
+        for blk in range(64):
+            br, bc = divmod(blk, 8)
+            rs = [r for r in range(h) if (r * 8) // h == br]
+            sub = raster[rs, bc * 4:(bc + 1) * 4]
+            s, n = int(sub.sum()), sub.size
+            bits.append(1 if s * N > S * n else 0)
+        return [
+            sum(bits[16 * k + j] << j for j in range(16)) for k in range(4)
+        ]
+
+    hashes = {d: ahash(t) for d, t in texts.items()}
+    expected = set()
+    for a in hashes:
+        for b in hashes:
+            if a < b:
+                ham = sum(
+                    bin(x ^ y).count("1")
+                    for x, y in zip(hashes[a], hashes[b])
+                )
+                shares_band = any(
+                    x == y for x, y in zip(hashes[a], hashes[b])
+                )
+                if ham <= 8:
+                    assert shares_band  # the pigeonhole guarantee itself
+                    expected.add((a, b, ham))
+
+    docs = spark.createDataFrame(
+        [(d, t, "en", "web", len(t)) for d, t in texts.items()],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "phashprop")
+    docs.write.parquet(path + "/documents.parquet")
+    from big_data_management_and_analytics_spark.functions import multimodal
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal.mm_phash_neardup(spark, path).collect()
+    }
+    assert got == expected
+
+
+def test_acf_matches_numpy_on_random_series(spark, tmp_path):
+    """ts_acf's decimal-moment Pearson must agree with numpy.corrcoef
+    on the lagged slices to 6 digits, for a gap-free random series."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(1, 500), 2) for _ in range(80)]
+    rows = [
+        (i + 1, _ts_prop(i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "acfprop")
+    ev.write.parquet(d + "/events.parquet")
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    got = {r["lag"]: r["acf"] for r in timeseries.ts_acf(spark, d).collect()}
+    cents_arr = np.array([round(v * 100) for v in vals], dtype=np.float64)
+    for lag in (1, 2, 3):
+        expect = np.corrcoef(cents_arr[:-lag], cents_arr[lag:])[0, 1]
+        assert abs(got[lag] - round(expect, 6)) <= 1e-6
+
+
+def _ts_prop(i: int):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i, minutes=30)
