@@ -1835,3 +1835,69 @@ def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalies"
         ),
     )
+
+
+@register(
+    "events_inter_event_time",
+    "L",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        gaps AS (
+            SELECT user_id,
+                   CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000
+                        AS BIGINT) AS gap_s
+            FROM ordered WHERE prev_ts IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap_s), 4)
+                   AS median_gap_s,
+               ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY gap_s), 4)
+                   AS p90_gap_s,
+               CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+        FROM gaps
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc=(
+        "Inter-event (inter-arrival) time distribution per user: the "
+        "lag gap between consecutive events in (ts, event_id) total "
+        "order, summarized as exact interpolated median/p90 plus max — "
+        "the engagement-cadence metric behind session-timeout tuning "
+        "(pick the session gap threshold where the p90 inter-arrival "
+        "curve breaks) and churn scoring. Gaps are EXACT integer "
+        "seconds from microsecond epochs (floored once — truncating "
+        "each timestamp separately drifts ±1 s on sub-second parts, "
+        "the events_time_to_convert lesson); the percentile is the "
+        "established percentile ≡ percentile_cont identity. One "
+        "user-partitioned lag window and one per-user aggregate — a "
+        "single shuffle on user_id, linear."
+    ),
+)
+def events_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("prev_ts"))
+                / F.lit(1000000)
+            )
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("median_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )

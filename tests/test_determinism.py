@@ -96,6 +96,7 @@ SENSITIVE = [
     "events_pattern_match",  # sort_array journey strings + regexp counts
     "ts_forecast_snaive",  # integer cents errors + quantized MAPE terms
     "ts_anomaly_seasonal", # rounded residuals -> two exact percentiles
+    "events_inter_event_time",  # exact-second lag gaps + percentile_cont
 ]
 
 

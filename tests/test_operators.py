@@ -2064,3 +2064,31 @@ def test_anomaly_seasonal_planted_spike(spark, tmp_path):
     assert r["median_dev"] == -0.5
     assert r["mad_dev"] == 1.0
     assert r["n_anomalies"] == 4
+
+
+def test_inter_event_time_planted_gaps(spark, tmp_path):
+    """Three events at +0s, +10s, +40s give gaps {10, 30}: median
+    interpolates to 20.0, p90 to 28.0, max 30; sub-second offsets must
+    floor on the DIFFERENCE (the 0.4s->10.6s gap is 10s, not 9 or 11)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0, 400000)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=10, microseconds=200000), 7, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=40, microseconds=200000), 7, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "iet")
+    ev.write.parquet(d + "/events.parquet")
+    out = timeseries.events_inter_event_time(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_gaps"] == 2
+    assert r["median_gap_s"] == 20.0
+    assert r["p90_gap_s"] == 28.0
+    assert r["max_gap_s"] == 30
