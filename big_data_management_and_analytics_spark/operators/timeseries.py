@@ -1901,3 +1901,76 @@ def events_inter_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+@register(
+    "win_streaks",
+    "E",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                                  date_trunc('day', ts)) AS BIGINT) AS d
+            FROM events
+        ),
+        isl AS (
+            SELECT user_id, d,
+                   d - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY d) AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, island,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(d) AS start_d
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               MAX(len) AS longest_streak,
+               CAST(MAX_BY(start_d, len * 2097152 - start_d) AS BIGINT)
+                   AS longest_start_day,
+               CAST(SUM(len) AS BIGINT) AS n_active_days
+        FROM streaks
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc=(
+        "Longest consecutive-day activity streak per user — the "
+        "engagement/retention headline metric (duolingo-style streaks), "
+        "built on the gaps-and-islands identity: distinct active days "
+        "minus their per-user row_number is constant within a "
+        "consecutive run. Day indices are INTEGER epoch-days (truncated "
+        "then diffed, the dq_freshness convention), the island key is "
+        "integer arithmetic, and the longest-streak pick ties toward "
+        "the EARLIEST start via the scalar max_by key len·2²¹ − start "
+        "(injective while streaks < 2²¹ days — centuries — so it IS "
+        "the (len DESC, start ASC) total order in both engines). "
+        "Shuffles once on user_id "
+        "for the distinct+window, then two narrow hash aggregates — "
+        "linear; per-user state is active-day counts, never raw events."
+    ),
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP '1970-01-01 00:00:00',"
+            " date_trunc('day', ts))"
+        ).cast("bigint").alias("d"),
+    )
+    days = e.distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("island", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").alias("start_d"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.max_by("start_d", F.col("len") * F.lit(2097152) - F.col("start_d"))
+        .cast("bigint")
+        .alias("longest_start_day"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )

@@ -2092,3 +2092,38 @@ def test_inter_event_time_planted_gaps(spark, tmp_path):
     assert r["median_gap_s"] == 20.0
     assert r["p90_gap_s"] == 28.0
     assert r["max_gap_s"] == 30
+
+
+def test_streaks_planted_runs(spark, tmp_path):
+    """Active days {1,2,3, 7,8, 20} -> three streaks, longest 3 starting
+    at the earliest run; a tie between two 2-day runs must pick the
+    EARLIER start (the len*2^21 - start key)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    def day(n, uid, eid):
+        return (eid, dt.datetime(2024, 1, n, 12, 0, 0), uid, "click", 1.0, "{}")
+
+    rows = [
+        # user 1: runs [1-3], [7-8], [20]
+        day(1, 1, 1), day(2, 1, 2), day(3, 1, 3),
+        day(7, 1, 4), day(8, 1, 5), day(20, 1, 6),
+        # duplicate event same day must not split streaks
+        day(2, 1, 7),
+        # user 2: two 2-day runs [5-6], [10-11] -> tie, pick start=5
+        day(5, 2, 8), day(6, 2, 9), day(10, 2, 10), day(11, 2, 11),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "streaks")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["user_id"]: r for r in timeseries.win_streaks(spark, d).collect()}
+    epoch = dt.date(1970, 1, 1)
+    assert out[1]["n_streaks"] == 3
+    assert out[1]["longest_streak"] == 3
+    assert out[1]["longest_start_day"] == (dt.date(2024, 1, 1) - epoch).days
+    assert out[1]["n_active_days"] == 6
+    assert out[2]["longest_streak"] == 2
+    assert out[2]["longest_start_day"] == (dt.date(2024, 1, 5) - epoch).days
