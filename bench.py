@@ -47,6 +47,7 @@ HEADLINE = [
     "llm_contamination_bloom",# bloom build + codegen probe (100 TB plan form)
     "llm_dedup_ssjoin",       # exact prefix-filtered similarity join (output-bound)
     "agg_abc_analysis",       # two-pass global prefix sum + integer thresholds
+    "mm_phash_neardup",       # image aHash + hamming-band LSH (multimodal dedup)
 ]
 
 # Declared exact small-scale baselines — O(n²) pair space BY DESIGN (the

@@ -1354,3 +1354,75 @@ def llm_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nll").cast("double").alias("nll_sum"),
         F.round(F.sum("nll").cast("double") / F.sum("tf"), 6).alias("avg_nll"),
     )
+
+
+@register(
+    "llm_text_readability",
+    "K",
+    oracle=f"""
+        WITH counts AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[.!?]+'))
+                        AS BIGINT) AS n_sentences,
+                   CAST(len(list_filter({SQL_TOKENS.format(col='text')},
+                                        t -> t <> ''))
+                        AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_syllable_groups
+            FROM documents
+        )
+        SELECT doc_id, n_sentences, n_words, n_syllable_groups,
+               ROUND(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE)
+                                / GREATEST(n_sentences, 1))
+                     - 84.6 * (CAST(n_syllable_groups AS DOUBLE) / n_words),
+                     6) AS flesch_score
+        FROM counts
+        WHERE n_words > 0
+        ORDER BY doc_id
+    """,
+    doc=(
+        "Flesch-style readability scoring per document — the classic "
+        "prose-complexity quality filter (syllables approximated as "
+        "vowel-group runs, the standard regex surrogate; sentences as "
+        "terminal-punctuation runs, floored at 1 so headline-only docs "
+        "stay defined). Joins llm_text_quality's surface heuristics "
+        "with a graded score a corpus-mix policy can threshold on. "
+        "All three counts are regexp_count/size over the canonical "
+        "tokenizer — map-only codegen, no shuffle, no UDF; the score "
+        "is one double expression over three INTEGERS rounded once, so "
+        "it is bit-identical cross-engine and partition-invariant by "
+        "construction."
+    ),
+)
+def llm_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = spread(d, "doc_id").select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[.!?]+")).cast("bigint").alias(
+            "n_sentences"
+        ),
+        F.size(F.filter(tokens(F.col("text")), lambda t: t != "")).cast(
+            "bigint"
+        ).alias("n_words"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast(
+            "bigint"
+        ).alias("n_syllable_groups"),
+    )
+    return counts.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllable_groups",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (
+                F.col("n_words").cast("double")
+                / F.greatest(F.col("n_sentences"), F.lit(1))
+            )
+            - F.lit(84.6)
+            * (F.col("n_syllable_groups").cast("double") / F.col("n_words")),
+            6,
+        ).alias("flesch_score"),
+    )

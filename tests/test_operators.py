@@ -2127,3 +2127,35 @@ def test_streaks_planted_runs(spark, tmp_path):
     assert out[1]["n_active_days"] == 6
     assert out[2]["longest_streak"] == 2
     assert out[2]["longest_start_day"] == (dt.date(2024, 1, 5) - epoch).days
+
+
+def test_readability_planted_prose(spark, tmp_path):
+    """'go on. we do it.' -> 2 sentences, 5 words, 5 vowel groups; the
+    Flesch formula reproduces exactly from those integers. A doc with
+    no terminal punctuation floors sentences at 1 in the score but
+    reports the raw 0 count."""
+    from big_data_management_and_analytics_spark.functions import llm_text
+
+    rows = [
+        (1, "go on. we do it.", "en", "web", 16),
+        (2, "no punctuation here", "en", "web", 19),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "read")
+    docs.write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r
+           for r in llm_text.llm_text_readability(spark, d).collect()}
+    r1 = out[1]
+    assert r1["n_sentences"] == 2 and r1["n_words"] == 5
+    assert r1["n_syllable_groups"] == 5  # o, o, e, o, i
+    assert r1["flesch_score"] == round(
+        206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 6
+    )
+    r2 = out[2]
+    assert r2["n_sentences"] == 0
+    assert r2["flesch_score"] == round(
+        206.835 - 1.015 * (3 / 1) - 84.6 * (r2["n_syllable_groups"] / 3), 6
+    )
