@@ -596,12 +596,19 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.mapInPandas(feats, out_schema)
 
 
-PHASH_MAX_HAMMING = 8
+# 8 LSH bands of 8 bits each over the 64-bit hash: by pigeonhole, any
+# pair within Hamming distance B-1 = 7 must agree exactly on at least
+# one band, so the band equi-join has PERFECT recall at the threshold
+# below (4 bands of 16 bits would only guarantee distance <= 3 — a pair
+# differing by one bit in every band shares none).
+PHASH_N_BANDS = 8
+PHASH_BAND_BITS = 64 // PHASH_N_BANDS
+PHASH_MAX_HAMMING = PHASH_N_BANDS - 1
 
 
 def ahash_bands_batch(payloads: pd.Series) -> pd.DataFrame:
-    """64-bit average-hash (aHash) of each PGM payload, returned as four
-    16-bit band integers (b0..b3, bit i of band k = block 16k+i).
+    """64-bit average-hash (aHash) of each PGM payload, returned as
+    eight 8-bit band integers (b0..b7, bit i of band k = block 8k+i).
 
     The raster maps onto an 8×8 block grid (row block = (r·8)//h, col
     block = c//4 for the fixed 32-px width); bit = block mean > image
@@ -609,11 +616,17 @@ def ahash_bands_batch(payloads: pd.Series) -> pd.DataFrame:
     mean is ever compared — bit-identical to the SQL oracle's integer
     arithmetic, and blocks that receive no rows (h < 8) are 0 on both
     sides."""
-    cols = {f"b{k}": [] for k in range(4)}
+    cols = {f"b{k}": [] for k in range(PHASH_N_BANDS)}
     colblk = np.arange(PGM_WIDTH, dtype=np.int64) // 4
-    ids = None
     for b in payloads:
         w, h, maxval, raster = parse_pgm(b)
+        # s·N and S·n stay below 255·n² — int64-exact only while the
+        # payload is under ~190 MB (255·n² < 2^63); the oracle computes
+        # the same products in int128, so fail loud rather than wrap.
+        if raster.size > 100_000_000:
+            raise ValueError(
+                f"payload too large for int64 aHash products: {raster.size} px"
+            )
         r64 = raster.astype(np.int64)
         rowblk = (np.arange(h, dtype=np.int64) * 8) // h
         blk = (rowblk[:, None] * 8 + colblk[None, :]).ravel()
@@ -625,9 +638,15 @@ def ahash_bands_batch(payloads: pd.Series) -> pd.DataFrame:
         s_tot = int(r64.sum())
         n_tot = r64.size
         bits = (sums * n_tot) > (s_tot * counts)
-        for k in range(4):
+        for k in range(PHASH_N_BANDS):
             cols[f"b{k}"].append(
-                int(sum(1 << j for j in range(16) if bits[16 * k + j]))
+                int(
+                    sum(
+                        1 << j
+                        for j in range(PHASH_BAND_BITS)
+                        if bits[PHASH_BAND_BITS * k + j]
+                    )
+                )
             )
     return pd.DataFrame(
         {k: pd.array(v, dtype="int64") for k, v in cols.items()},
@@ -635,9 +654,18 @@ def ahash_bands_batch(payloads: pd.Series) -> pd.DataFrame:
     )
 
 
+def _phash_band_sql(k: int) -> str:
+    return (
+        f"CAST(COALESCE(SUM(CASE WHEN blk // {PHASH_BAND_BITS} = {k}\n"
+        f"                   THEN bit * (1 << (blk % {PHASH_BAND_BITS})) END), 0)"
+        f" AS BIGINT) AS b{k}"
+    )
+
+
 # Shared oracle CTE chain: raster pixels → 8×8 block sums → aHash bits →
-# four 16-bit band integers per doc (appended after _MM_BYTES_CTE).
-_PHASH_HASHES_CTE = """
+# eight 8-bit band integers per doc (appended after _MM_BYTES_CTE).
+_PHASH_HASHES_CTE = (
+    """
         pix AS (
             SELECT g.doc_id, g.h, gs.i AS idx,
                    CASE WHEN gs.i < g.n
@@ -664,20 +692,22 @@ _PHASH_HASHES_CTE = """
         ),
         hashes AS (
             SELECT doc_id,
-                   CAST(COALESCE(SUM(CASE WHEN blk // 16 = 0
-                       THEN bit * (1 << (blk % 16)) END), 0) AS BIGINT) AS b0,
-                   CAST(COALESCE(SUM(CASE WHEN blk // 16 = 1
-                       THEN bit * (1 << (blk % 16)) END), 0) AS BIGINT) AS b1,
-                   CAST(COALESCE(SUM(CASE WHEN blk // 16 = 2
-                       THEN bit * (1 << (blk % 16)) END), 0) AS BIGINT) AS b2,
-                   CAST(COALESCE(SUM(CASE WHEN blk // 16 = 3
-                       THEN bit * (1 << (blk % 16)) END), 0) AS BIGINT) AS b3
+                   """
+    + ",\n                   ".join(_phash_band_sql(k) for k in range(PHASH_N_BANDS))
+    + """
             FROM bits GROUP BY doc_id
         )"""
+)
+
+_SQL_HAMMING = " + ".join(
+    f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(PHASH_N_BANDS)
+)
+_SQL_ANY_BAND = " OR ".join(f"a.b{k} = b.b{k}" for k in range(PHASH_N_BANDS))
+_SQL_BAND_VALUES = ", ".join(f"({k}, b{k})" for k in range(PHASH_N_BANDS))
 
 
 def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, b0..b3) aHash band table, hashed once per query.
+    """(doc_id, b0..b7) aHash band table, hashed once per query.
 
     Lazy localCheckpoint: the per-image Python hash pass can feed BOTH
     sides of a self-join, and Spark does not reuse the exchange across
@@ -686,17 +716,35 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _media_table(spark, sf_dir)
     hash_schema = T.StructType(
         [T.StructField("doc_id", T.LongType())]
-        + [T.StructField(f"b{k}", T.LongType()) for k in range(4)]
+        + [T.StructField(f"b{k}", T.LongType()) for k in range(PHASH_N_BANDS)]
     )
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["doc_id"]].copy()
-            out[["b0", "b1", "b2", "b3"]] = ahash_bands_batch(pdf["payload"])
+            out[[f"b{k}" for k in range(PHASH_N_BANDS)]] = ahash_bands_batch(
+                pdf["payload"]
+            )
             yield out
 
     return media.mapInPandas(hash_batch, hash_schema).localCheckpoint(
         eager=False
+    )
+
+
+def _phash_band_rows(hashes: DataFrame) -> DataFrame:
+    """(doc_id, b*, k, v) rows — one per LSH band."""
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
+                for k in range(PHASH_N_BANDS)
+            ]
+        )
+    ).alias("kv")
+    bcols = [f"b{k}" for k in range(PHASH_N_BANDS)]
+    return hashes.select("doc_id", *bcols, kv).select(
+        "doc_id", *bcols, F.col("kv.k").alias("k"), F.col("kv.v").alias("v")
     )
 
 
@@ -707,15 +755,11 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {_MM_BYTES_CTE},
         {_PHASH_HASHES_CTE}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-                    + bit_count(xor(a.b2, b.b2))
-                    + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+               CAST({_SQL_HAMMING} AS BIGINT) AS hamming
         FROM hashes a JOIN hashes b
           ON a.doc_id < b.doc_id
-         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
-        WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
-              + bit_count(xor(a.b2, b.b2))
-              + bit_count(xor(a.b3, b.b3)) <= {PHASH_MAX_HAMMING}
+         AND ({_SQL_ANY_BAND})
+        WHERE {_SQL_HAMMING} <= {PHASH_MAX_HAMMING}
         ORDER BY doc_a, doc_b
     """,
     doc=(
@@ -723,52 +767,40 @@ def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "multimodal twin of llm_dedup_minhash. Each PGM payload is "
         "decoded in an Arrow-batched mapInPandas pass to a 64-bit "
         "average-hash (8×8 block-mean grid thresholded against the "
-        "image mean, the classic aHash), carried as four 16-bit bands; "
+        "image mean, the classic aHash), carried as eight 8-bit bands; "
         "candidate pairs come from an EQUI-join on any equal band "
-        "(Hamming ≤ 8 over 64 bits guarantees ≥ one exact 16-bit band "
-        "by pigeonhole — no all-pairs scan anywhere in the Spark "
-        "plan), then the verified Hamming distance filters candidates. "
-        "Every hash bit is decided by the integer cross-product "
-        "s·N > S·n (no float means), so the DuckDB oracle re-derives "
-        "identical hashes from hex(blob) pixel arithmetic and the "
-        "OUTPUT PAIRS are hash-verified cross-engine — an oracle-tier "
-        "multimodal dedup. Scale: hashing is map-only; the band join "
-        "shuffles 4 small rows per image; collision buckets are "
-        "band-value-bounded (the minhash banding argument). Swap the "
-        "PGM parser for a JPEG decoder + DCT (true pHash) and only the "
-        "batch function body changes."
+        "(with B bands, Hamming ≤ B−1 = 7 guarantees ≥ one exact band "
+        "by pigeonhole — PERFECT recall at the threshold, and no "
+        "all-pairs scan anywhere in the Spark plan), then the verified "
+        "Hamming distance filters candidates. Every hash bit is "
+        "decided by the integer cross-product s·N > S·n (no float "
+        "means), so the DuckDB oracle re-derives identical hashes from "
+        "hex(blob) pixel arithmetic and the OUTPUT PAIRS are "
+        "hash-verified cross-engine — an oracle-tier multimodal dedup. "
+        "Scale: hashing is map-only; the band join shuffles 8 small "
+        "rows per image; collision buckets are band-value-bounded (the "
+        "minhash banding argument). Swap the PGM parser for a JPEG "
+        "decoder + DCT (true pHash) and only the batch function body "
+        "changes."
     ),
 )
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashes = _phash_hashes(spark, sf_dir)
-    kv = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
-                for k in range(4)
-            ]
-        )
-    ).alias("kv")
-    bandrows = hashes.select("doc_id", "b0", "b1", "b2", "b3", kv).select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.col("kv.k").alias("k"), F.col("kv.v").alias("v"),
-    )
-    left = bandrows
+    bandrows = _phash_band_rows(_phash_hashes(spark, sf_dir))
     right = bandrows.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
-        F.col("b2").alias("c2"), F.col("b3").alias("c3"),
-        F.col("k").alias("rk"), F.col("v").alias("rv"),
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(PHASH_N_BANDS)],
+        F.col("k").alias("rk"),
+        F.col("v").alias("rv"),
     )
     hamming = sum(
         F.bit_count(F.col(f"b{k}").bitwiseXOR(F.col(f"c{k}")))
-        for k in range(4)
+        for k in range(PHASH_N_BANDS)
     )
     # Hamming first, threshold second, THEN dedup the multi-band matches
     # — the distinct runs on three narrow columns of the tiny survivor
-    # set instead of ten columns of every candidate.
+    # set instead of the full band-column candidate width.
     return (
-        left.join(
+        bandrows.join(
             right,
             (F.col("k") == F.col("rk"))
             & (F.col("v") == F.col("rv"))
@@ -793,7 +825,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands AS (
             SELECT doc_id, bb.k, bb.v
             FROM hashes CROSS JOIN LATERAL (VALUES
-                (0, b0), (1, b1), (2, b2), (3, b3)
+                {_SQL_BAND_VALUES}
             ) AS bb(k, v)
         ),
         rep AS (
@@ -811,7 +843,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Image dedup in GROUP form: the 100 TB shape of "
-        "mm_phash_neardup. Each image's four aHash bands are LSH "
+        "mm_phash_neardup. Each image's eight aHash bands are LSH "
         "buckets; every bucket's representative is its min doc_id and "
         "each image joins the min representative over its buckets — "
         "the llm_dedup_minhash 1-hop union applied to perceptual "
@@ -828,16 +860,7 @@ def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket_group_assign,
     )
 
-    hashes = _phash_hashes(spark, sf_dir)
-    banded = hashes.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("k"), F.col(f"b{k}").alias("v"))
-                    for k in range(4)
-                ]
-            )
-        ).alias("kv"),
-    ).select("doc_id", F.col("kv.k").alias("k"), F.col("kv.v").alias("v"))
+    banded = _phash_band_rows(_phash_hashes(spark, sf_dir)).select(
+        "doc_id", "k", "v"
+    )
     return _bucket_group_assign(banded, "doc_id", bucket_cols=("k", "v"))

@@ -1299,6 +1299,49 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hourly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hb, y) — exact integer-cents hourly grain of the
+    events stream, the shared first stage of the ts_* analytics family
+    (ACF, seasonal decompose, seasonal-naive backtest, seasonal
+    anomaly). One hash aggregate, map-side combinable."""
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hb"), "value"
+    )
+    return e.groupBy("event_type", "hb").agg(F.sum(cents("value")).alias("y"))
+
+
+def _epoch_hours(df: DataFrame) -> DataFrame:
+    """Replace the hour bucket with an INTEGER epoch-hour index so lag
+    alignment is codegen arithmetic (`ht + k`), no interval math."""
+    return df.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', hb)"
+        ).cast("bigint").alias("ht"),
+        "y",
+    )
+
+
+def _seasonal_devs(hourly: DataFrame) -> DataFrame:
+    """(event_type, hb, hod, y, s_sum, s_cnt) — each hourly cell joined
+    to its (series, hour-of-day) seasonal aggregate, broadcast back so
+    the fact never shuffles twice. The integer-exact residual is
+    y·cnt − Σy, scaled down only at each consumer's final projection."""
+    h = hourly.withColumn("hod", F.hour("hb").cast("bigint"))
+    seasonal = h.groupBy(
+        F.col("event_type").alias("st"), F.col("hod").alias("shod")
+    ).agg(
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
+    )
+    return h.join(
+        F.broadcast(seasonal),
+        (F.col("st") == F.col("event_type")) & (F.col("shod") == F.col("hod")),
+    ).select("event_type", "hb", "hod", "y", "s_sum", "s_cnt")
+
+
 @register(
     "ts_acf",
     "E",
@@ -1357,22 +1400,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_management_and_analytics_spark.plans.determinism import cents
-
-    e = load(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("hb"), "value"
-    )
-    hourly = (
-        e.groupBy("event_type", "hb")
-        .agg(F.sum(cents("value")).alias("y"))
-        .select(
-            "event_type",
-            F.expr(
-                "timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', hb)"
-            ).cast("bigint").alias("ht"),
-            "y",
-        )
-    )
+    hourly = _epoch_hours(_hourly_cents(spark, sf_dir))
     a = hourly.withColumn("lag", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
     b = hourly.select(
         F.col("event_type").alias("bt"), F.col("ht").alias("bht"),
@@ -1452,26 +1480,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_management_and_analytics_spark.plans.determinism import cents
-
-    e = load(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("hb"), "value"
-    )
-    hourly = (
-        e.groupBy("event_type", "hb")
-        .agg(F.sum(cents("value")).alias("y"))
-        .withColumn("hod", F.hour("hb").cast("bigint"))
-    )
-    seasonal = hourly.groupBy(
-        F.col("event_type").alias("st"), F.col("hod").alias("shod")
-    ).agg(
-        F.sum(F.col("y").cast("decimal(38,0)")).alias("s_sum"),
-        F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
-    )
-    joined = hourly.join(
-        F.broadcast(seasonal),
-        (F.col("st") == F.col("event_type")) & (F.col("shod") == F.col("hod")),
-    )
+    joined = _seasonal_devs(_hourly_cents(spark, sf_dir))
     dev_scaled = F.col("y").cast("decimal(38,0)") * F.col("s_cnt") - F.col("s_sum")
     return joined.select(
         "event_type",
@@ -1611,22 +1620,7 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_management_and_analytics_spark.plans.determinism import cents
-
-    e = load(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("hb"), "value"
-    )
-    hourly = (
-        e.groupBy("event_type", "hb")
-        .agg(F.sum(cents("value")).alias("y"))
-        .select(
-            "event_type",
-            F.expr(
-                "timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00', hb)"
-            ).cast("bigint").alias("ht"),
-            "y",
-        )
-    )
+    hourly = _epoch_hours(_hourly_cents(spark, sf_dir))
     f = hourly.select(
         F.col("event_type").alias("ft"), F.col("ht").alias("fht"),
         F.col("y").alias("yhat"),
@@ -1782,26 +1776,7 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from big_data_management_and_analytics_spark.plans.determinism import cents
-
-    e = load(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", "ts").alias("hb"), "value"
-    )
-    hourly = (
-        e.groupBy("event_type", "hb")
-        .agg(F.sum(cents("value")).alias("y"))
-        .withColumn("hod", F.hour("hb").cast("bigint"))
-    )
-    seasonal = hourly.groupBy(
-        F.col("event_type").alias("st"), F.col("hod").alias("shod")
-    ).agg(
-        F.sum(F.col("y").cast("decimal(38,0)")).alias("s_sum"),
-        F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
-    )
-    devs = hourly.join(
-        F.broadcast(seasonal),
-        (F.col("st") == F.col("event_type")) & (F.col("shod") == F.col("hod")),
-    ).select(
+    devs = _seasonal_devs(_hourly_cents(spark, sf_dir)).select(
         "event_type",
         "hb",
         F.round(

@@ -1917,8 +1917,9 @@ def test_countmin_single_key_exact_and_overestimate_sign(spark, tmp_path):
 def test_phash_neardup_planted_images(spark, tmp_path):
     """Identical texts produce identical aHashes (hamming 0); a
     half-low/half-high raster is 32 bits away from a flat one (all
-    blocks equal the mean -> every bit 0) and must be band-matched as a
-    candidate yet rejected by the hamming filter."""
+    blocks equal the mean -> every bit 0), band-matched as a candidate
+    through its four all-zero low bands yet rejected by the hamming
+    filter."""
     from big_data_management_and_analytics_spark.functions import multimodal
 
     # 512 chars = a 16x32 raster with no padding and row-block = r//2,
@@ -1943,14 +1944,14 @@ def test_phash_neardup_planted_images(spark, tmp_path):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
     # direct numpy re-derivation of the half/half hash: low half 0-bits,
-    # high half 1-bits -> bands (0, 0, 0xffff, 0xffff)
+    # high half 1-bits -> eight 8-bit bands (0,0,0,0, 255,255,255,255)
     import pandas as pd
 
     payload = multimodal._media_table(spark, d).filter("doc_id = 3").collect()[0][
         "payload"
     ]
     bands = multimodal.ahash_bands_batch(pd.Series([bytes(payload)]))
-    assert list(bands.iloc[0]) == [0, 0, 0xFFFF, 0xFFFF]
+    assert list(bands.iloc[0]) == [0, 0, 0, 0, 255, 255, 255, 255]
 
 
 def test_phash_groups_one_hop_union(spark, tmp_path):
