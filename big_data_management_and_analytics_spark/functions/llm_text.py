@@ -1426,3 +1426,99 @@ def llm_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch_score"),
     )
+
+
+@register(
+    "llm_dataset_card",
+    "K",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, lang, source, text,
+                   len(list_filter({SQL_TOKENS.format(col='text')},
+                                   t -> t <> '')) AS n_tok
+            FROM documents
+        ),
+        dups AS (
+            SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY md5(text)
+        ),
+        dupstats AS (
+            SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_dup_docs
+            FROM dups WHERE c > 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT b.source) AS BIGINT) AS n_sources,
+               CAST(SUM(b.n_tok) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(b.n_tok) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_doc_tokens,
+               ANY_VALUE(d.n_dup_docs) AS n_exact_dup_docs,
+               ROUND(CAST(ANY_VALUE(d.n_dup_docs) AS DOUBLE) / COUNT(*), 6)
+                   AS exact_dup_rate,
+               ROUND(CAST(SUM(CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS pct_english
+        FROM base b CROSS JOIN dupstats d
+    """,
+    doc=(
+        "One-row dataset card for the document corpus — the summary "
+        "block a training-data release publishes: document/language/"
+        "source counts, whitespace-token volume, exact-duplicate count "
+        "and rate (docs beyond the first per identical content hash — "
+        "llm_dedup_exact's statistic collapsed to a scalar), and the "
+        "English share. One scan feeds a global multi-distinct "
+        "aggregate plus a content-md5 duplicate roll-up whose 1-row "
+        "result rides back on a broadcast scalar crossJoin (the "
+        "tpch_q11 pattern). Every metric is an integer or one terminal "
+        "division rounded once — deterministic by construction. At "
+        "100 TB: the md5 groupBy is llm_dedup_exact's linear shuffle; "
+        "the distincts expand to 3 copies of the (tiny) lang/source "
+        "columns, and approx_count_distinct is the documented swap if "
+        "those ever grow."
+    ),
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = spread(d, "doc_id").select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.filter(tokens(F.col("text")), lambda t: t != "")).alias(
+            "n_tok"
+        ),
+    )
+    dupstats = (
+        base.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_dup_docs")
+        )
+    )
+    card = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_doc_tokens"
+        ),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pct_english"),
+    )
+    return card.crossJoin(F.broadcast(dupstats)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        "avg_doc_tokens",
+        "n_exact_dup_docs",
+        F.round(
+            F.col("n_exact_dup_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        "pct_english",
+    )

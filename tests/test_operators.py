@@ -2160,3 +2160,29 @@ def test_readability_planted_prose(spark, tmp_path):
     assert r2["flesch_score"] == round(
         206.835 - 1.015 * (3 / 1) - 84.6 * (r2["n_syllable_groups"] / 3), 6
     )
+
+
+def test_dataset_card_planted_corpus(spark, tmp_path):
+    """3 docs where two share identical text: 1 surplus duplicate, 2
+    languages, dup rate 1/3, token arithmetic exact."""
+    from big_data_management_and_analytics_spark.functions import llm_text
+
+    rows = [
+        (1, "hello world", "en", "web", 11),
+        (2, "hello world", "en", "books", 11),
+        (3, "bonjour tout le monde", "fr", "web", 21),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "card")
+    docs.write.parquet(d + "/documents.parquet")
+    out = llm_text.llm_dataset_card(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3 and r["n_langs"] == 2 and r["n_sources"] == 2
+    assert r["total_tokens"] == 2 + 2 + 4
+    assert r["n_exact_dup_docs"] == 1
+    assert r["exact_dup_rate"] == round(1 / 3, 6)
+    assert r["pct_english"] == round(2 / 3, 6)
