@@ -428,3 +428,65 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("supplier"))
         .alias("kind"),
     )
+
+
+@register(
+    "graph_degree_stats",
+    "G",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        degs AS (
+            SELECT side, deg FROM (
+                SELECT 'customer' AS side, c AS node,
+                       CAST(COUNT(*) AS BIGINT) AS deg
+                FROM pairs GROUP BY c
+                UNION ALL
+                SELECT 'supplier' AS side, s AS node,
+                       CAST(COUNT(*) AS BIGINT) AS deg
+                FROM pairs GROUP BY s
+            )
+        )
+        SELECT side, deg AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM degs
+        GROUP BY side, deg
+        ORDER BY side, deg
+    """,
+    doc=(
+        "Degree distribution of the customer↔supplier purchase graph, "
+        "per side — the first profile any graph pipeline computes "
+        "(skew here predicts the hot keys every downstream "
+        "edge-shuffle must salt; graph_pagerank's broadcast-degree "
+        "fold assumes exactly this shape). Distinct pairs → per-node "
+        "degree count → (side, degree) histogram: two map-side-"
+        "combinable hash aggregates after one shuffle join, output "
+        "bounded by max-degree, integers only. The two sides reuse ONE "
+        "distinct pair set (localCheckpoint, the module's pattern) "
+        "rather than re-deriving the join per side."
+    ),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    degs = (
+        pairs.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .select(F.lit("customer").alias("side"), "deg")
+        .unionAll(
+            pairs.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .select(F.lit("supplier").alias("side"), "deg")
+        )
+    )
+    return degs.groupBy("side", F.col("deg").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

@@ -2186,3 +2186,30 @@ def test_dataset_card_planted_corpus(spark, tmp_path):
     assert r["n_exact_dup_docs"] == 1
     assert r["exact_dup_rate"] == round(1 / 3, 6)
     assert r["pct_english"] == round(2 / 3, 6)
+
+
+def test_degree_stats_planted_bipartite(spark, tmp_path):
+    """Customers {10:2 suppliers, 20:1}, suppliers {7:2 customers, 8:1}
+    with a duplicate lineitem that must not double-count the edge."""
+    from big_data_management_and_analytics_spark.operators import graph
+
+    ts0 = _ts("2024-01-01T00:00:00")
+    orders = spark.createDataFrame(
+        [(k, c, "O", 1.0, ts0, "1-URGENT") for k, c in
+         [(1, 10), (2, 10), (3, 20)]],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(k, 1, sk, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts0) for k, sk in
+         [(1, 7), (1, 7), (2, 8), (3, 7)]],  # (1,7) duplicated
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    d = str(tmp_path / "degs")
+    orders.write.parquet(d + "/orders.parquet")
+    li.write.parquet(d + "/lineitem.parquet")
+    out = {(r["side"], r["degree"]): r["n_nodes"]
+           for r in graph.graph_degree_stats(spark, d).collect()}
+    assert out[("customer", 2)] == 1   # cust 10 -> {7, 8}
+    assert out[("customer", 1)] == 1   # cust 20 -> {7}
+    assert out[("supplier", 2)] == 1   # supp 7 -> {10, 20}
+    assert out[("supplier", 1)] == 1   # supp 8 -> {10}
