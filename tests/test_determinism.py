@@ -127,3 +127,29 @@ def test_shuffle_partition_invariance(spark, registry, name):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     _reset_memos()
     assert h3 == h17, f"{name} result depends on partitioning"
+
+
+AQE_PROBE = [
+    "agg_pricing_summary",   # flagship hash agg
+    "tpch_q9_profit",        # multi-join money sums
+    "llm_text_perplexity",   # decimal-quantized NLL
+    "ts_anomaly_seasonal",   # residual percentiles
+    "mm_phash_neardup",      # banded LSH pairs
+]
+
+
+@pytest.mark.parametrize("name", AQE_PROBE)
+def test_aqe_off_invariance(spark, registry, name):
+    """AQE rewrites plans at runtime (coalesced partitions, skew splits,
+    join strategy swaps); §2.0 determinism must survive it being OFF
+    just as partition-count changes — same canonical hash either way."""
+    q = registry[name]
+    _reset_memos()
+    h_on = _canon_hash(q.fn(spark, SF_T2))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        _reset_memos()
+        h_off = _canon_hash(q.fn(spark, SF_T2))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert h_on == h_off, f"{name} result depends on AQE"
