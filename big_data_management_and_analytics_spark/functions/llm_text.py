@@ -1522,3 +1522,71 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_dup_rate"),
         "pct_english",
     )
+
+
+@register(
+    "llm_tokenizer_fertility",
+    "K",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({SQL_TOKENS.format(col='text')})) AS BIGINT)
+                   AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS BIGINT) AS bpe_ish_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               ROUND(CAST(SUM(len(regexp_extract_all(lower(text),
+                         '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS DOUBLE)
+                     / SUM(len({SQL_TOKENS.format(col='text')})), 6)
+                   AS fertility,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                     / SUM(len(regexp_extract_all(lower(text),
+                           '[a-z]+|[0-9]|[^a-z0-9 ]'))), 6)
+                   AS chars_per_token
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc=(
+        "Tokenizer fertility by language: BPE-ish tokens per whitespace "
+        "word and characters per token, micro-averaged per lang — the "
+        "metric that tells a multilingual-pretraining team which "
+        "languages their tokenizer fragments (fertility >> 1 means the "
+        "token budget over-charges that language). Uses the same two "
+        "counters as llm_text_tokencount but aggregated: both token "
+        "counts accumulate as EXACT integer sums per language (never a "
+        "per-doc float ratio averaged — micro-average = one division "
+        "over exact sums, so no float-summation order exists at all). "
+        "Map-side partial aggregation applies (5 langs); linear, one "
+        "tiny shuffle, CPU spread via sources/io.py::spread."
+    ),
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), 0)
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.sum(bpe).cast("bigint").alias("bpe_ish_tokens"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_ish_tokens",
+            "chars",
+            F.round(
+                F.col("bpe_ish_tokens").cast("double") / F.col("ws_tokens"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("chars").cast("double") / F.col("bpe_ish_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

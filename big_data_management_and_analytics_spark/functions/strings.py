@@ -291,3 +291,63 @@ def str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_cased",
         )
     )
+
+
+@register(
+    "str_url_parse",
+    "H",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/' || lang
+                   || '/doc-' || doc_id || '?ref=' || (doc_id % 7)
+                   || '&utm=x#s-' || (doc_id % 3) AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+               regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query,
+               regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+               regexp_extract(url, '#(.*)$', 1) AS fragment
+        FROM u
+    """,
+    doc=(
+        "URL decomposition with Spark's builtin parse_url (PROTOCOL / "
+        "HOST / PATH / QUERY / REF plus keyed QUERY lookup) over URLs "
+        "synthesized deterministically from the document metadata — the "
+        "crawl-provenance parser every web-corpus pipeline runs before "
+        "domain-level dedup and quality filtering. parse_url is a JVM "
+        "expression (no UDF), fully codegen, map-only — linear at any "
+        "scale. The oracle derives the identical components independently "
+        "with anchored regexp_extract, so the check verifies parse_url's "
+        "component semantics (path keeps its leading slash, query "
+        "excludes '?', fragment excludes '#') rather than replaying it."
+    ),
+)
+def str_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.lit("?ref="),
+        F.col("doc_id") % 7,
+        F.lit("&utm=x#s-"),
+        F.col("doc_id") % 3,
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )

@@ -16,6 +16,11 @@ from typing import Callable, Optional, Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+# Pre-checkpoint ranged relation of the most recent two_pass_scan call —
+# plan-introspection hook only (the checkpoint makes the final plan start
+# at an RDD scan, so tests assert the range exchange on this instead).
+_LAST_RANGED_PRE_CHECKPOINT: Optional[DataFrame] = None
+
 
 def two_pass_scan(
     df: DataFrame,
@@ -39,9 +44,28 @@ def two_pass_scan(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(num_partitions, *order).withColumn(
+    # The ranged relation feeds TWO subplans (the per-partition counter
+    # aggregate and the data-path join). Column pruning makes those two
+    # exchange subtrees non-identical, so Spark does NOT reuse the
+    # exchange — and under AQE the upstream shuffle can be coalesced
+    # DIFFERENTLY for each consumer, which changes the range sampler's
+    # input partitioning and hence the partition boundaries. The two
+    # evaluations then disagree on spark_partition_id per row and the
+    # offset join silently corrupts the scan (observed: prefix sums
+    # exceeding the relation size at shuffle=17). Materializing _pid
+    # ONCE via an eager localCheckpoint makes every consumer read the
+    # same frozen assignment. Cluster posture: blocks live on executors
+    # (lost executor = job retry from the checkpoint barrier), linear
+    # cost, same discipline as the iterative graph operators.
+    pre = df.repartitionByRange(num_partitions, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # The checkpoint hides the range exchange behind an RDD scan in the
+    # final plan; keep the pre-checkpoint plan observable for the plan
+    # assertions (tests/test_plans.py reads this after building).
+    global _LAST_RANGED_PRE_CHECKPOINT
+    _LAST_RANGED_PRE_CHECKPOINT = pre
+    ranged = pre.localCheckpoint(eager=True)
     parts = ranged.groupBy("_pid").agg(part_agg().alias("_pagg"))
     lower = parts.select(F.col("_pid").alias("_lpid"), F.col("_pagg").alias("_lagg"))
     # The triangle self-join is O(partitions²) pairs of counter rows —

@@ -124,6 +124,52 @@ def with_global_prefix_max(
     )
 
 
+def with_global_prefix_sums(
+    df: DataFrame,
+    order: Sequence[Column],
+    value_cols: Sequence[str],
+    outs: Sequence[str],
+) -> DataFrame:
+    """Inclusive prefix sums of SEVERAL long columns over one total order
+    in a single range shuffle (struct-aggregated two-pass scan).
+
+    The empirical-CDF statistics (two-sample KS, Mann-Whitney) need the
+    running counts of two or more groups along the same value order;
+    running ``with_global_prefix_sum`` per column would repeat the range
+    shuffle. Here the per-partition aggregate is a struct of sums and the
+    lower-triangle combine folds each field independently — one shuffle
+    regardless of column count. Exact arithmetic only (long columns).
+    """
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fields = [f"_s{i}" for i in range(len(value_cols))]
+
+    def finish(j: DataFrame) -> DataFrame:
+        for fld, col, out in zip(fields, value_cols, outs):
+            j = j.withColumn(
+                out, F.sum(col).over(w) + F.col("_prefix").getField(fld)
+            )
+        return j
+
+    return two_pass_scan(
+        df,
+        order,
+        part_agg=lambda: F.struct(
+            *[F.sum(c).alias(f) for c, f in zip(value_cols, fields)]
+        ),
+        lower_combine=lambda c: F.struct(
+            *[
+                F.coalesce(F.sum(c.getField(f)), F.lit(0)).alias(f)
+                for f in fields
+            ]
+        ),
+        finish=finish,
+    )
+
+
 def with_global_prefix_sum(
     df: DataFrame,
     order: Sequence[Column],

@@ -823,3 +823,372 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@register(
+    "agg_chisq_test",
+    "D",
+    oracle="""
+        WITH cells AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        rows_ AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY seg),
+        cols_ AS (SELECT prio, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY prio),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        grid AS (
+            SELECT r.rn, c.cn, t.nn, COALESCE(ce.n, 0) AS n
+            FROM rows_ r
+            CROSS JOIN cols_ c
+            CROSS JOIN tot t
+            LEFT JOIN cells ce ON ce.seg = r.seg AND ce.prio = c.prio
+        ),
+        terms AS (
+            SELECT nn,
+                   CAST(ROUND(
+                       (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+                        - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+                          - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE))
+                       / (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                          * CAST(nn AS DOUBLE)), 9) AS DECIMAL(38,9)) AS term
+            FROM grid
+        ),
+        dims AS (
+            SELECT (SELECT COUNT(*) FROM rows_) AS n_rows,
+                   (SELECT COUNT(*) FROM cols_) AS n_cols
+        )
+        SELECT CAST(ANY_VALUE(t.nn) AS BIGINT) AS n,
+               CAST((ANY_VALUE(d.n_rows) - 1) * (ANY_VALUE(d.n_cols) - 1)
+                    AS BIGINT) AS dof,
+               ROUND(CAST(SUM(t.term) AS DOUBLE), 6) AS chi2,
+               ROUND(sqrt(CAST(SUM(t.term) AS DOUBLE)
+                     / (CAST(ANY_VALUE(t.nn) AS DOUBLE)
+                        * (CASE WHEN ANY_VALUE(d.n_rows) < ANY_VALUE(d.n_cols)
+                                THEN ANY_VALUE(d.n_rows)
+                                ELSE ANY_VALUE(d.n_cols) END - 1))), 6)
+                   AS cramers_v
+        FROM terms t CROSS JOIN dims d
+    """,
+    doc=(
+        "Pearson chi-squared independence test of market segment x order "
+        "priority — the categorical-association screen of an experiment/"
+        "feature-audit pipeline. The contingency table is ONE distributed "
+        "hash aggregate; everything after operates on the <=|segs|x|prios| "
+        "cell relation, localCheckpointed once so row totals, column "
+        "totals, and the grand total do not re-run the base join "
+        "(the graph.py multi-consumer pattern). Missing cells matter "
+        "((0-e)^2/e = e != 0), so the full row x column grid is rebuilt "
+        "with a broadcast cross join before the left join back onto "
+        "observed cells. Each cell's term is one double expression over "
+        "exact BIGINT marginals — identical op order on both engines — "
+        "then ROUND(...,9) -> DECIMAL(38,9) so the cross-cell sum is "
+        "order-invariant (determinism rule 2). Cramer's V normalizes by "
+        "n*min(r-1,c-1). Plan: one shuffle to cells, broadcast joins "
+        "after; linear in facts, constant beyond."
+    ),
+)
+def agg_chisq_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # 4 consumers: rows/cols/tot/grid
+    )
+    rows_ = cells.groupBy("seg").agg(F.sum("n").cast("bigint").alias("rn"))
+    cols_ = cells.groupBy("prio").agg(F.sum("n").cast("bigint").alias("cn"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cells), ["seg", "prio"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    num = F.col("n").cast("double") * F.col("nn").cast("double") - F.col(
+        "rn"
+    ).cast("double") * F.col("cn").cast("double")
+    den = (
+        F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+        * F.col("nn").cast("double")
+    )
+    terms = grid.select(
+        "nn",
+        "seg",
+        "prio",
+        F.round(num * num / den, 9).cast("decimal(38,9)").alias("term"),
+    )
+    agg = terms.agg(
+        F.max("nn").alias("nn"),
+        F.countDistinct("seg").alias("n_rows"),
+        F.countDistinct("prio").alias("n_cols"),
+        F.sum("term").alias("chi2_dec"),
+    )
+    chi2 = F.col("chi2_dec").cast("double")
+    return agg.select(
+        F.col("nn").cast("bigint").alias("n"),
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.col("nn").cast("double")
+                    * (F.least("n_rows", "n_cols") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "agg_ks_test",
+    "D",
+    oracle="""
+        WITH pool AS (
+            SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        counts AS (
+            SELECT v,
+                   CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                   CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+            FROM pool GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   SUM(c0) OVER (ORDER BY v) AS cum0,
+                   SUM(c1) OVER (ORDER BY v) AS cum1
+            FROM counts
+        ),
+        tot AS (
+            SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+                   CAST(SUM(c1) AS BIGINT) AS n1
+            FROM counts
+        ),
+        d AS (
+            SELECT c.v, t.n0, t.n1,
+                   ABS(CAST(c.cum0 AS DECIMAL(38,0)) * t.n1
+                       - CAST(c.cum1 AS DECIMAL(38,0)) * t.n0) AS diff
+            FROM cum c CROSS JOIN tot t
+        ),
+        m AS (SELECT MAX(diff) AS dmax FROM d)
+        SELECT d.n0, d.n1,
+               ROUND(CAST(m.dmax AS DOUBLE)
+                     / (CAST(d.n0 AS DOUBLE) * CAST(d.n1 AS DOUBLE)), 6)
+                   AS ks_d,
+               CAST(MIN(d.v) AS DOUBLE) / 100.0 AS at_value
+        FROM d CROSS JOIN m
+        WHERE d.diff = m.dmax
+        GROUP BY d.n0, d.n1, m.dmax
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov distance between the URGENT and "
+        "LOW order-price distributions — the drift detector a data-"
+        "quality pipeline runs between snapshots. sup|F0-F1| needs both "
+        "empirical CDFs along ONE global value order, i.e. two running "
+        "counts over the same sort — served by the NEW struct-aggregated "
+        "multi-column prefix-sum scan (global_rank.with_global_prefix_"
+        "sums): one range shuffle of the distinct-value relation, both "
+        "cumulative counts in one pass, no single-partition window. The "
+        "statistic stays EXACT until the final division: the sup is "
+        "max|cum0*n1 - cum1*n0| on DECIMAL(38,0) (cross-multiplied to "
+        "avoid per-row float CDFs; decimal so n0*n1 survives any scale), "
+        "and at_value reports the smallest value attaining it (exact "
+        "integer tie-break, no max_by on floats). Plan: filtered scan -> "
+        "value-grain hash agg -> one range shuffle -> tiny max; linear."
+    ),
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_prefix_sums,
+    )
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    pool = o.select(cents("o_totalprice").alias("v"), g.alias("g"))
+    counts = (
+        pool.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c0"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+        )
+        .localCheckpoint(eager=True)  # feeds the scan AND the totals
+    )
+    cum = with_global_prefix_sums(
+        counts, [F.col("v").asc()], ["c0", "c1"], ["cum0", "cum1"]
+    )
+    tot = counts.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "n0",
+        "n1",
+        F.abs(
+            F.col("cum0").cast("decimal(38,0)") * F.col("n1")
+            - F.col("cum1").cast("decimal(38,0)") * F.col("n0")
+        ).alias("diff"),
+    )
+    m = d.agg(F.max("diff").alias("dmax"))
+    return (
+        d.crossJoin(F.broadcast(m))
+        .filter(F.col("diff") == F.col("dmax"))
+        .groupBy("n0", "n1", "dmax")
+        .agg(F.min("v").alias("_v"))
+        .select(
+            "n0",
+            "n1",
+            F.round(
+                F.col("dmax").cast("double")
+                / (F.col("n0").cast("double") * F.col("n1").cast("double")),
+                6,
+            ).alias("ks_d"),
+            (F.col("_v").cast("double") / 100.0).alias("at_value"),
+        )
+    )
+
+
+@register(
+    "agg_mannwhitney",
+    "D",
+    oracle="""
+        WITH pool AS (
+            SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        counts AS (
+            SELECT v,
+                   CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                   CAST(SUM(1) AS BIGINT) AS ct
+            FROM pool GROUP BY v
+        ),
+        cum AS (
+            SELECT v, c0, ct, SUM(ct) OVER (ORDER BY v) AS cumt
+            FROM counts
+        ),
+        tot AS (
+            SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+                   CAST(SUM(ct - c0) AS BIGINT) AS n1,
+                   CAST(SUM(ct) AS BIGINT) AS n
+            FROM counts
+        ),
+        r AS (
+            SELECT SUM(CAST(c0 AS DECIMAL(38,0))
+                       * (2 * (cumt - ct) + ct + 1)) AS two_r0,
+                   SUM(CASE WHEN ct > 1
+                            THEN CAST(ct AS DECIMAL(38,0)) * ct * ct - ct
+                            ELSE CAST(0 AS DECIMAL(38,0)) END) AS tie_sum
+            FROM cum
+        )
+        SELECT t.n0, t.n1,
+               ROUND(CAST(r.two_r0 - CAST(t.n0 AS DECIMAL(38,0)) * (t.n0 + 1)
+                          AS DOUBLE) / 2.0, 2) AS u0,
+               ROUND(CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE)
+                     - CAST(r.two_r0 - CAST(t.n0 AS DECIMAL(38,0)) * (t.n0 + 1)
+                            AS DOUBLE) / 2.0, 2) AS u1,
+               ROUND(
+                   (CAST(r.two_r0 - CAST(t.n0 AS DECIMAL(38,0)) * (t.n0 + 1)
+                         AS DOUBLE) / 2.0
+                    - CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE) / 2.0)
+                   / sqrt(CAST(t.n0 AS DOUBLE) * CAST(t.n1 AS DOUBLE) / 12.0
+                          * ((CAST(t.n AS DOUBLE) + 1.0)
+                             - CAST(r.tie_sum AS DOUBLE)
+                               / (CAST(t.n AS DOUBLE)
+                                  * (CAST(t.n AS DOUBLE) - 1.0)))), 6) AS z
+        FROM r CROSS JOIN tot t
+    """,
+    doc=(
+        "Mann-Whitney U rank-sum test (URGENT vs LOW order prices) — the "
+        "nonparametric sibling of agg_welch_ttest for non-normal metric "
+        "distributions. Pooled tie-averaged ranks never materialize per "
+        "row: for value v with ct ties the rank block contributes "
+        "c0*(2*cumbefore + ct + 1)/2 to R0, so ONE global prefix sum of "
+        "the per-value total counts (the two-pass range-shuffle scan, no "
+        "single-partition window) plus a hash aggregate yields 2*R0 "
+        "EXACTLY in DECIMAL(38,0). U, the tie-correction Sum(t^3-t), and "
+        "the normal-approximation z are then one double expression over "
+        "those exact accumulators (identical op order both engines). "
+        "Plan: filtered scan -> value-grain agg -> one range shuffle -> "
+        "1-row aggregate; linear in rows, no per-row ranks shuffled."
+    ),
+)
+def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_prefix_sum,
+    )
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    pool = o.select(cents("o_totalprice").alias("v"), g.alias("g"))
+    counts = (
+        pool.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c0"),
+            F.count(F.lit(1)).cast("bigint").alias("ct"),
+        )
+        .localCheckpoint(eager=True)  # feeds the scan AND the totals
+    )
+    cum = with_global_prefix_sum(counts, [F.col("v").asc()], "ct", out="cumt")
+    tot = counts.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum(F.col("ct") - F.col("c0")).cast("bigint").alias("n1"),
+        F.sum("ct").cast("bigint").alias("n"),
+    )
+    ct_dec = F.col("ct").cast("decimal(38,0)")
+    r = cum.agg(
+        F.sum(
+            F.col("c0").cast("decimal(38,0)")
+            * (2 * (F.col("cumt") - F.col("ct")) + F.col("ct") + 1)
+        ).alias("two_r0"),
+        F.sum(
+            F.when(
+                F.col("ct") > 1, ct_dec * F.col("ct") * F.col("ct") - F.col("ct")
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("tie_sum"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    two_u0 = (
+        F.col("two_r0") - F.col("n0").cast("decimal(38,0)") * (F.col("n0") + 1)
+    ).cast("double")
+    n0d, n1d, nd = (F.col(c).cast("double") for c in ("n0", "n1", "n"))
+    var = (
+        n0d
+        * n1d
+        / 12.0
+        * ((nd + 1.0) - F.col("tie_sum").cast("double") / (nd * (nd - 1.0)))
+    )
+    return j.select(
+        "n0",
+        "n1",
+        F.round(two_u0 / 2.0, 2).alias("u0"),
+        F.round(n0d * n1d - two_u0 / 2.0, 2).alias("u1"),
+        F.round((two_u0 / 2.0 - n0d * n1d / 2.0) / F.sqrt(var), 6).alias("z"),
+    )

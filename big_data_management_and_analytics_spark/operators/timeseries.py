@@ -1949,3 +1949,189 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("longest_start_day"),
         F.sum("len").cast("bigint").alias("n_active_days"),
     )
+
+
+@register(
+    "ts_theil_sen",
+    "E",
+    oracle="""
+        WITH pts AS (
+            SELECT c.c_mktsegment AS seg,
+                   CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                        AS BIGINT) AS m,
+                   SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS yc
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.seg,
+                   CAST(b.yc - a.yc AS DOUBLE) / (b.m - a.m) AS slope_c
+            FROM pts a JOIN pts b ON a.seg = b.seg AND b.m > a.m
+        ),
+        sl AS (
+            SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   median(slope_c) AS med_c
+            FROM pairs GROUP BY seg
+        ),
+        res AS (
+            SELECT p.seg, p.yc, p.m, s.n_pairs, s.med_c
+            FROM pts p JOIN sl s ON p.seg = s.seg
+        )
+        SELECT seg,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               ANY_VALUE(n_pairs) AS n_pairs,
+               ROUND(ANY_VALUE(med_c) / 100.0, 6) AS slope_monthly,
+               ROUND(median(CAST(yc AS DOUBLE) / 100.0
+                            - med_c / 100.0 * m), 6) AS intercept
+        FROM res
+        GROUP BY seg
+        ORDER BY seg
+    """,
+    doc=(
+        "Theil-Sen robust trend per market segment: median of all "
+        "pairwise slopes of the monthly-revenue series, plus the median-"
+        "residual intercept — the outlier-immune alternative to the OLS "
+        "slope in ts_rolling_regression (one rogue month cannot move "
+        "it). The O(T^2) pair space is PER SERIES over the month-grain "
+        "aggregate (T <= a few hundred months even at 100 TB), so the "
+        "pair join is keyed on the segment and bounded — never a global "
+        "cross join; the heavy relation only flows through the initial "
+        "month-grain hash aggregate. Slopes are exact-cents differences "
+        "divided once (identical double op both engines); medians "
+        "interpolate the two middle elements identically in Spark and "
+        "DuckDB. The month-grain aggregate localCheckpoints once — it "
+        "feeds both sides of the pair self-join and the residual pass."
+    ),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    pts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), m.alias("m"))
+        .agg(F.sum(cents("o_totalprice")).alias("yc"))
+        .localCheckpoint(eager=True)  # both pair sides + residual pass
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(
+        b, (F.col("a.seg") == F.col("b.seg")) & (F.col("b.m") > F.col("a.m"))
+    ).select(
+        F.col("a.seg").alias("seg"),
+        (
+            (F.col("b.yc") - F.col("a.yc")).cast("double")
+            / (F.col("b.m") - F.col("a.m"))
+        ).alias("slope_c"),
+    )
+    sl = pairs.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.median("slope_c").alias("med_c"),
+    )
+    resid = F.col("yc").cast("double") / 100.0 - F.col("med_c") / 100.0 * F.col(
+        "m"
+    )
+    return (
+        pts.join(F.broadcast(sl), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.any_value("n_pairs").alias("n_pairs"),
+            F.round(F.any_value("med_c") / 100.0, 6).alias("slope_monthly"),
+            F.round(F.median(resid), 6).alias("intercept"),
+        )
+        .orderBy("seg")
+    )
+
+
+@register(
+    "ts_holt_linear",
+    "E",
+    oracle="""
+        WITH RECURSIVE h AS (
+            SELECT user_id, event_type,
+                   list(value ORDER BY ts, event_id) AS vals,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY user_id, event_type
+            HAVING COUNT(*) >= 2
+        ),
+        r AS (
+            SELECT user_id, event_type, vals, n_events,
+                   1 AS i,
+                   CAST(vals[1] AS DOUBLE) AS l,
+                   CAST(vals[2] AS DOUBLE) - CAST(vals[1] AS DOUBLE) AS b
+            FROM h
+            UNION ALL
+            SELECT user_id, event_type, vals, n_events, i + 1,
+                   0.5 * CAST(vals[i + 1] AS DOUBLE) + 0.5 * (l + b),
+                   0.2 * ((0.5 * CAST(vals[i + 1] AS DOUBLE)
+                           + 0.5 * (l + b)) - l) + 0.8 * b
+            FROM r
+            WHERE i < n_events
+        )
+        SELECT user_id, event_type, n_events,
+               ROUND(l, 6) AS level,
+               ROUND(b, 6) AS trend,
+               ROUND(l + b, 6) AS forecast_1
+        FROM r
+        WHERE i = n_events
+    """,
+    doc=(
+        "Holt double-exponential smoothing (alpha=0.5, beta=0.2) per "
+        "(user, event_type) value series, with the one-step-ahead "
+        "forecast l+b — the trend-aware sibling of ts_ewma. The coupled "
+        "recurrence (l_t, b_t) = f(l_{t-1}, b_{t-1}, x_t) is not window-"
+        "expressible, so it runs as a per-entity LEFT FOLD with a STRUCT "
+        "accumulator over the (ts, event_id)-sorted value array "
+        "(collect_list + F.aggregate with struct state — one shuffle, "
+        "then map-only codegen; parallelism = entity count). Init is the "
+        "textbook l_1 = x_1, b_1 = x_2 - x_1, folding x_2..x_n. DuckDB "
+        "1.0's list_reduce has no initial-value/struct form, so the "
+        "oracle replays the identical recurrence as a recursive CTE "
+        "(depth = series length, bounded); both engines execute the same "
+        "double ops in the same order — a sequential fold has no "
+        "summation-order freedom — so results match bit-for-bit before "
+        "the ROUND. Same 100 TB posture as ts_ewma: per-entity history "
+        "fits one task; epoch-chunked folds carry (l, b) across chunks."
+    ),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    hist = (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("h"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+    vals = F.transform(F.col("h"), lambda s: s["value"])
+    x1 = F.element_at(vals, 1)
+    x2 = F.element_at(vals, 2)
+
+    def step(acc, x):
+        l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.2) * (l_new - acc["l"]) + F.lit(0.8) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.struct(x1.alias("l"), (x2 - x1).alias("b")),
+        step,
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round(folded["l"], 6).alias("level"),
+        F.round(folded["b"], 6).alias("trend"),
+        F.round(folded["l"] + folded["b"], 6).alias("forecast_1"),
+    )

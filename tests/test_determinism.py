@@ -97,6 +97,13 @@ SENSITIVE = [
     "ts_forecast_snaive",  # integer cents errors + quantized MAPE terms
     "ts_anomaly_seasonal", # rounded residuals -> two exact percentiles
     "events_inter_event_time",  # exact-second lag gaps + percentile_cont
+    # round-3 fifth-sitting additions
+    "agg_chisq_test",      # decimal-quantized per-cell terms
+    "agg_ks_test",         # two-pass multi-column prefix sums
+    "agg_mannwhitney",     # prefix-sum rank blocks, decimal accumulators
+    "ts_theil_sen",        # medians over exact-cents slope ratios
+    "ts_holt_linear",      # sequential per-entity struct fold
+    "llm_tokenizer_fertility",  # micro-average over exact integer sums
 ]
 
 

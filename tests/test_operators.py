@@ -2213,3 +2213,179 @@ def test_degree_stats_planted_bipartite(spark, tmp_path):
     assert out[("customer", 1)] == 1   # cust 20 -> {7}
     assert out[("supplier", 2)] == 1   # supp 7 -> {10, 20}
     assert out[("supplier", 1)] == 1   # supp 8 -> {10}
+
+
+def test_chisq_independent_is_zero_and_perfect_is_one(spark, tmp_path):
+    """Proportional seg x priority counts give chi2 exactly 0; a perfectly
+    diagonal 2x2 table gives Cramer's V exactly 1."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    ts0 = _ts("2024-01-01T00:00:00")
+    cust = spark.createDataFrame(
+        [(1, "c1", 1, 0.0, "SEGX"), (2, "c2", 1, 0.0, "SEGY")],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    # SEGX: 2 urgent + 2 low; SEGY: 1 urgent + 1 low -> independent.
+    ind = [(k, 1, "O", 1.0, ts0, p) for k, p in
+           [(1, "1-URGENT"), (2, "1-URGENT"), (3, "5-LOW"), (4, "5-LOW")]]
+    ind += [(k, 2, "O", 1.0, ts0, p) for k, p in
+            [(5, "1-URGENT"), (6, "5-LOW")]]
+    orders = spark.createDataFrame(
+        ind,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "chisq_ind")
+    cust.write.parquet(d + "/customer.parquet")
+    orders.write.parquet(d + "/orders.parquet")
+    r = mining.agg_chisq_test(spark, d).collect()[0]
+    assert r["n"] == 6 and r["dof"] == 1
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+    # SEGX all urgent, SEGY all low -> chi2 = n, V = 1.
+    diag = [(1, 1, "O", 1.0, ts0, "1-URGENT"), (2, 1, "O", 1.0, ts0, "1-URGENT"),
+            (3, 2, "O", 1.0, ts0, "5-LOW"), (4, 2, "O", 1.0, ts0, "5-LOW")]
+    orders2 = spark.createDataFrame(
+        diag,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d2 = str(tmp_path / "chisq_diag")
+    cust.write.parquet(d2 + "/customer.parquet")
+    orders2.write.parquet(d2 + "/orders.parquet")
+    r2 = mining.agg_chisq_test(spark, d2).collect()[0]
+    assert r2["chi2"] == 4.0 and r2["cramers_v"] == 1.0
+
+
+def test_ks_disjoint_supports_and_identical(spark, tmp_path):
+    """Disjoint value supports give D = 1 at the low group's max value;
+    identical distributions give D = 0."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    ts0 = _ts("2024-01-01T00:00:00")
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            [(i + 1, 1, "O", v, ts0, p) for i, (v, p) in enumerate(rows)],
+            schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        d = str(tmp_path / name)
+        df.write.parquet(d + "/orders.parquet")
+        return d
+
+    d = write([(1.0, "5-LOW"), (2.0, "5-LOW"),
+               (3.0, "1-URGENT"), (4.0, "1-URGENT")], "ks_disjoint")
+    r = mining.agg_ks_test(spark, d).collect()[0]
+    assert r["n0"] == 2 and r["n1"] == 2
+    assert r["ks_d"] == 1.0 and r["at_value"] == 2.0
+
+    d2 = write([(1.0, "5-LOW"), (2.0, "5-LOW"),
+                (1.0, "1-URGENT"), (2.0, "1-URGENT")], "ks_same")
+    r2 = mining.agg_ks_test(spark, d2).collect()[0]
+    assert r2["ks_d"] == 0.0 and r2["at_value"] == 1.0
+
+
+def test_mannwhitney_fully_separated(spark, tmp_path):
+    """Group LOW = {1,2}, URGENT = {3,4}: U0 = 0, U1 = 4,
+    z = -2/sqrt(5/3) = -1.549193 (no ties)."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    ts0 = _ts("2024-01-01T00:00:00")
+    df = spark.createDataFrame(
+        [(1, 1, "O", 1.0, ts0, "5-LOW"), (2, 1, "O", 2.0, ts0, "5-LOW"),
+         (3, 1, "O", 3.0, ts0, "1-URGENT"), (4, 1, "O", 4.0, ts0, "1-URGENT")],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "mwu")
+    df.write.parquet(d + "/orders.parquet")
+    r = mining.agg_mannwhitney(spark, d).collect()[0]
+    assert r["n0"] == 2 and r["n1"] == 2
+    assert r["u0"] == 0.0 and r["u1"] == 4.0
+    assert r["z"] == -1.549193
+
+
+def test_theil_sen_recovers_line_despite_outlier(spark, tmp_path):
+    """Monthly revenue exactly 2*m + 5 dollars (m = absolute month index)
+    with ONE rogue month +1000: the pairwise-slope median still returns
+    slope 2.0 and intercept 5.0 — the robustness OLS lacks."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    cust = spark.createDataFrame(
+        [(1, "c1", 1, 0.0, "AUTO")],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    rows = []
+    for k, month in enumerate(range(1, 7), start=1):
+        m = 2024 * 12 + month
+        price = 2.0 * m + 5.0 + (1000.0 if month == 3 else 0.0)
+        rows.append((k, 1, "O", price, _ts(f"2024-{month:02d}-15T00:00:00"), "1-URGENT"))
+    orders = spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "theil")
+    cust.write.parquet(d + "/customer.parquet")
+    orders.write.parquet(d + "/orders.parquet")
+    r = timeseries.ts_theil_sen(spark, d).collect()[0]
+    assert r["n_points"] == 6 and r["n_pairs"] == 15
+    assert r["slope_monthly"] == 2.0
+    assert r["intercept"] == 5.0
+
+
+def test_holt_linear_tracks_exact_trend(spark, tmp_path):
+    """A perfectly linear series is a fixed point of Holt smoothing:
+    level = last value, trend = the step, forecast = next value.
+    Single-event series are excluded (need x2 for the trend init)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [(h + 1, _ts(f"2024-01-01T{h:02d}:00:00"), 1, "click",
+             10.0 + 2.0 * h, "{}") for h in range(4)]
+    rows.append((99, _ts("2024-01-01T00:00:00"), 2, "view", 7.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "holt")
+    ev.write.parquet(d + "/events.parquet")
+    out = timeseries.ts_holt_linear(spark, d).collect()
+    assert len(out) == 1  # the 1-event series is filtered out
+    r = out[0]
+    assert r["n_events"] == 4
+    assert r["level"] == 16.0 and r["trend"] == 2.0 and r["forecast_1"] == 18.0
+
+
+def test_url_parse_components(spark, tmp_path):
+    from big_data_management_and_analytics_spark.functions import strings
+
+    docs = spark.createDataFrame(
+        [(42, "hello", "en", "news", 5)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "urls")
+    docs.write.parquet(d + "/documents.parquet")
+    r = strings.str_url_parse(spark, d).collect()[0]
+    assert r["url"] == "https://news.example.com/en/doc-42?ref=0&utm=x#s-0"
+    assert r["proto"] == "https"
+    assert r["host"] == "news.example.com"
+    assert r["path"] == "/en/doc-42"
+    assert r["query"] == "ref=0&utm=x"
+    assert r["ref_param"] == "0"
+    assert r["fragment"] == "s-0"
+
+
+def test_tokenizer_fertility_micro_average(spark, tmp_path):
+    """Micro-averaged fertility: en = 5 bpe-ish / 5 ws = 1.0; the
+    punctuation-heavy lang fragments to 3 tokens per word."""
+    from big_data_management_and_analytics_spark.functions import llm_text
+
+    docs = spark.createDataFrame(
+        [(1, "ab cd", "en", "s", 5), (2, "x y z", "en", "s", 5),
+         (3, "a,b", "de", "s", 3)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "fert")
+    docs.write.parquet(d + "/documents.parquet")
+    out = {r["lang"]: r for r in llm_text.llm_tokenizer_fertility(spark, d).collect()}
+    en, de = out["en"], out["de"]
+    assert en["n_docs"] == 2 and en["ws_tokens"] == 5 and en["bpe_ish_tokens"] == 5
+    assert en["fertility"] == 1.0 and en["chars_per_token"] == 2.0
+    assert de["ws_tokens"] == 1 and de["bpe_ish_tokens"] == 3
+    assert de["fertility"] == 3.0 and de["chars_per_token"] == 1.0

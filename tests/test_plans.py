@@ -336,12 +336,17 @@ def test_global_rank_is_range_partitioned(spark, registry):
     """The two-pass rank must shuffle by range on the sort key (the same
     shuffle a distributed sort needs), not hash — range partitions are what
     make per-partition row numbers globally contiguous."""
+    from big_data_management_and_analytics_spark.operators import _two_pass_scaffold
+
     for name, key in (
         ("sort_multikey", "o_orderpriority"),
         ("win_ntile", "c_acctbal"),
         ("win_pct_cume", "s_acctbal"),
     ):
-        plan = _plan(registry[name].fn(spark, SF_T2))
+        registry[name].fn(spark, SF_T2)
+        # The scan's _pid checkpoint hides the exchange in the final plan;
+        # assert on the recorded pre-checkpoint relation instead.
+        plan = _plan(_two_pass_scaffold._LAST_RANGED_PRE_CHECKPOINT)
         assert f"rangepartitioning({key}" in plan, f"{name}: no range exchange"
 
 
@@ -480,8 +485,11 @@ def test_equidepth_uses_two_pass_rank(spark, registry):
     exchange on the sort key, and no unpartitioned window anywhere."""
     import re
 
+    from big_data_management_and_analytics_spark.operators import _two_pass_scaffold
+
     plan = _plan(registry["agg_equidepth"].fn(spark, SF_T2))
-    assert "rangepartitioning(o_totalprice" in plan
+    ranged = _plan(_two_pass_scaffold._LAST_RANGED_PRE_CHECKPOINT)
+    assert "rangepartitioning(o_totalprice" in ranged
     gspec = re.compile(GLOBAL_WINDOW_SPEC)
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert specs and not [s for s in specs if gspec.search(s)]
@@ -574,3 +582,42 @@ def test_phash_groups_no_pair_materialization(spark, registry):
     plan = _plan(registry["mm_phash_groups"].fn(spark, SF_T2))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ks_test_range_shuffle_no_global_window(spark, registry):
+    """agg_ks_test claims ONE range shuffle of the value-grain relation
+    carrying BOTH cumulative counts (the struct-aggregated multi-column
+    prefix sum) and no single-partition window anywhere."""
+    import re
+
+    from big_data_management_and_analytics_spark.operators import _two_pass_scaffold
+
+    plan = _plan(registry["agg_ks_test"].fn(spark, SF_T2))
+    ranged = _plan(_two_pass_scaffold._LAST_RANGED_PRE_CHECKPOINT)
+    assert "rangepartitioning" in ranged.lower(), ranged[:800]
+    for spec in re.finditer(GLOBAL_WINDOW_SPEC, plan):
+        raise AssertionError(f"global window in agg_ks_test: {spec.group(0)}")
+
+
+def test_chisq_single_base_shuffle_then_broadcasts(spark, registry):
+    """agg_chisq_test's base join must broadcast the customer dim; the
+    grid rebuild operates on the checkpointed cell relation only (no
+    second scan of orders)."""
+    plan = _plan(registry["agg_chisq_test"].fn(spark, SF_T2))
+    assert "Scan parquet" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_theil_sen_pair_join_not_cartesian(spark, registry):
+    """The pairwise-slope self-join is keyed on the segment — never a
+    cartesian product over the month-grain relation."""
+    plan = _plan(registry["ts_theil_sen"].fn(spark, SF_T2))
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_linear_fold_no_window(spark, registry):
+    """The Holt recurrence folds inside F.aggregate after one hash
+    aggregate — no window operator (and hence no per-entity sort state)
+    in the plan."""
+    plan = _plan(registry["ts_holt_linear"].fn(spark, SF_T2))
+    tree = plan.split("\n\n(")[0]
+    assert "Window" not in tree, tree
