@@ -334,3 +334,67 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part_slice_v v, LATERAL slice_name(p_name, 3) AS s
         """
     )
+
+
+@register(
+    "udf_pandas_window",
+    "J",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, ts, event_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+            FROM events
+        ),
+        w AS (
+            SELECT user_id, event_id,
+                   COUNT(*) OVER win AS n,
+                   SUM(vc) OVER win AS s,
+                   MAX(vc) OVER win AS mx,
+                   MIN(vc) OVER win AS mn
+            FROM c
+            WINDOW win AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, event_id,
+               ROUND(CASE WHEN n >= 3
+                          THEN CAST(s - mx - mn AS DOUBLE) / (100.0 * (n - 2))
+                          ELSE CAST(s AS DOUBLE) / (100.0 * n) END, 6)
+                   AS trimmed_mean
+        FROM w
+    """,
+    doc=(
+        "Pandas UDF as a BOUNDED-WINDOW aggregate (the fourth pandas-UDF "
+        "execution mode besides scalar/grouped-agg/grouped-map): a "
+        "trailing-5-row trimmed mean per user — drop the frame's min and "
+        "max, average the rest (the robust rolling smoother dashboards "
+        "use for spiky metrics). Spark ships each bounded frame to the "
+        "UDF as an Arrow-batched Series slice; parallelism = users, one "
+        "shuffle. Determinism: the UDF re-derives exact integer cents "
+        "from the doubles (np.floor(v*100+0.5), all < 2^53 so the "
+        "float ops are exact) and performs ONE division — the oracle "
+        "computes the identical arithmetic from integer window "
+        "accumulators, so the hash matches despite the Python boundary. "
+        "Frames shorter than 3 fall back to the plain mean."
+    ),
+)
+def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    @pandas_udf(T.DoubleType())
+    def trimmed(v: pd.Series) -> float:
+        c = np.floor(v.to_numpy() * 100.0 + 0.5)
+        n = len(c)
+        if n >= 3:
+            return round(float((c.sum() - c.max() - c.min()) / (100.0 * (n - 2))), 6)
+        return round(float(c.sum() / (100.0 * n)), 6)
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", trimmed("value").over(w).alias("trimmed_mean")
+    )

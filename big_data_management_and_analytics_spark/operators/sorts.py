@@ -156,3 +156,93 @@ def part_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = li.withColumn("zval", F.expr(_ZVAL_SQL))
     return z.repartitionByRange(8, "zval").sortWithinPartitions("zval")
+
+
+@register(
+    "limit_offset_pagination",
+    "F",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 50 OFFSET 100
+    """,
+    doc=(
+        "Keyless pagination: page 3 (rows 101-150) of the price-ranked "
+        "order book via ORDER BY + OFFSET + LIMIT — the result-paging "
+        "surface a BI layer issues. Spark 4 supports offset() natively: "
+        "the plan is a global TakeOrderedAndProject of the first "
+        "offset+limit rows (each partition ships at most 150 rows to one "
+        "final merge — O(p * (offset+limit)) transfer, no full sort). "
+        "The hash compare verifies the page CONTENT against the oracle's "
+        "identical total order (price DESC, key ASC tiebreak). Posture "
+        "note: OFFSET cost grows linearly with page depth — deep "
+        "pagination at 100 TB should switch to keyset pagination "
+        "(WHERE (price, key) < last_seen ORDER BY ... LIMIT n), which is "
+        "the same plan this operator's top-k sibling (sort_topk) uses."
+    ),
+)
+def limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(50)
+    )
+
+
+@register(
+    "sort_natural",
+    "F",
+    oracle="""
+        WITH labeled AS (
+            SELECT p_partkey,
+                   'item-' || p_size || '-' || p_brand AS label
+            FROM part
+        ),
+        keyed AS (
+            SELECT p_partkey, label,
+                   array_to_string(list_transform(
+                       regexp_extract_all(label, '[0-9]+|[^0-9]+'),
+                       t -> CASE WHEN regexp_matches(t, '^[0-9]')
+                                 THEN lpad(t, 12, '0') ELSE t END), '')
+                       AS nat_key
+            FROM labeled
+        )
+        SELECT p_partkey, label,
+               ROW_NUMBER() OVER (ORDER BY nat_key ASC, p_partkey ASC)
+                   AS sort_pos
+        FROM keyed
+    """,
+    doc=(
+        "Natural (alphanumeric) ordering: item-2 sorts before item-10 by "
+        "zero-padding every digit run to width 12 inside the sort key "
+        "(regexp tokenize -> transform -> rejoin, all codegen "
+        "expressions — no UDF). Lexicographic ORDER BY on the padded key "
+        "IS the natural order, so the heavy machinery is unchanged: the "
+        "global order rides the two-pass range-partitioned row number "
+        "(operators/global_rank.py), no single-partition window. The "
+        "oracle builds the identical key with list_transform + lpad."
+    ),
+)
+def sort_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    label = F.concat(F.lit("item-"), F.col("p_size"), F.lit("-"), F.col("p_brand"))
+    nat_key = F.array_join(
+        F.transform(
+            F.regexp_extract_all(label, F.lit("[0-9]+|[^0-9]+"), 0),
+            lambda t: F.when(t.rlike("^[0-9]"), F.lpad(t, 12, "0")).otherwise(t),
+        ),
+        "",
+    )
+    keyed = p.select(
+        "p_partkey", label.alias("label"), nat_key.alias("nat_key")
+    )
+    ranked = with_global_row_number(
+        keyed,
+        [F.col("nat_key").asc(), F.col("p_partkey").asc()],
+        rn="sort_pos",
+    )
+    return ranked.select("p_partkey", "label", "sort_pos")

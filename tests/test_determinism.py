@@ -104,6 +104,8 @@ SENSITIVE = [
     "ts_theil_sen",        # medians over exact-cents slope ratios
     "ts_holt_linear",      # sequential per-entity struct fold
     "llm_tokenizer_fertility",  # micro-average over exact integer sums
+    "sort_natural",        # padded-key two-pass global rank
+    "udf_pandas_window",   # bounded-frame pandas UDF, cents re-derivation
 ]
 
 

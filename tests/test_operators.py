@@ -2389,3 +2389,82 @@ def test_tokenizer_fertility_micro_average(spark, tmp_path):
     assert en["fertility"] == 1.0 and en["chars_per_token"] == 2.0
     assert de["ws_tokens"] == 1 and de["bpe_ish_tokens"] == 3
     assert de["fertility"] == 3.0 and de["chars_per_token"] == 1.0
+
+
+def test_rolling_uniques_range_frame_and_gap(spark, tmp_path):
+    """Hour gaps must shrink the 3-hour frame (range, not rows): the
+    h5 bucket sees only its own users, while contiguous hours union."""
+    from big_data_management_and_analytics_spark.operators import windows
+
+    rows, eid = [], 0
+    for h, users in [(0, [1, 2]), (1, [2, 3]), (5, [9])]:
+        for u in users:
+            eid += 1
+            rows.append((eid, _ts(f"2024-01-01T{h:02d}:10:00"), u, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "rollu")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["hb"].hour: r["uniques_3h"]
+           for r in windows.win_count_distinct_rolling(spark, d).collect()}
+    assert out[0] == 2          # {1,2}
+    assert out[1] == 3          # {1,2,3}
+    assert out[5] == 1          # gap: frame h3..h5 holds only h5
+
+
+def test_pagination_page_content(spark, tmp_path):
+    """120 orders priced by key: rows 101-150 of the DESC ranking are
+    exactly keys 1..20 (the 20 cheapest)."""
+    from big_data_management_and_analytics_spark.operators import sorts
+
+    ts0 = _ts("2024-01-01T00:00:00")
+    orders = spark.createDataFrame(
+        [(k, 1, "O", float(k), ts0, "1-URGENT") for k in range(1, 121)],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "page")
+    orders.write.parquet(d + "/orders.parquet")
+    out = sorts.limit_offset_pagination(spark, d).collect()
+    assert len(out) == 20
+    assert sorted(r["o_orderkey"] for r in out) == list(range(1, 21))
+
+
+def test_natural_sort_orders_2_before_10(spark, tmp_path):
+    from big_data_management_and_analytics_spark.operators import sorts
+
+    parts = spark.createDataFrame(
+        [(1, "n", "BrandA", "t", 10, 1.0), (2, "n", "BrandA", "t", 2, 1.0),
+         (3, "n", "BrandA", "t", 1, 1.0)],
+        schema="p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    )
+    d = str(tmp_path / "nat")
+    parts.write.parquet(d + "/part.parquet")
+    out = {r["label"]: r["sort_pos"] for r in sorts.sort_natural(spark, d).collect()}
+    assert out["item-1-BrandA"] == 1
+    assert out["item-2-BrandA"] == 2    # lexicographic would put 10 here
+    assert out["item-10-BrandA"] == 3
+
+
+def test_pandas_window_trimmed_mean(spark, tmp_path):
+    """Trailing-5 trimmed mean over 10,20,30,40,50: the full frame drops
+    10 and 50 -> 30.0; the 3-row frame drops its ends -> 20.0; the 2-row
+    frame falls back to the plain mean 15.0."""
+    from big_data_management_and_analytics_spark.functions import udfs
+
+    rows = [(h + 1, _ts(f"2024-01-01T{h:02d}:00:00"), 1, "click",
+             10.0 * (h + 1), "{}") for h in range(5)]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "pwin")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["event_id"]: r["trimmed_mean"]
+           for r in udfs.udf_pandas_window(spark, d).collect()}
+    assert out[1] == 10.0
+    assert out[2] == 15.0
+    assert out[3] == 20.0
+    assert out[4] == 25.0
+    assert out[5] == 30.0

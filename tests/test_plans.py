@@ -621,3 +621,23 @@ def test_holt_linear_fold_no_window(spark, registry):
     plan = _plan(registry["ts_holt_linear"].fn(spark, SF_T2))
     tree = plan.split("\n\n(")[0]
     assert "Window" not in tree, tree
+
+
+def test_pagination_is_global_limit_not_full_sort(spark, registry):
+    """offset+limit must plan as a limit operator (per-partition partial
+    top-(offset+limit) then one merge), never a full global sort of the
+    relation."""
+    plan = _plan(registry["limit_offset_pagination"].fn(spark, SF_T2))
+    assert "GlobalLimit" in plan or "TakeOrderedAndProject" in plan, plan[:600]
+
+
+def test_rolling_uniques_partitioned_window(spark, registry):
+    """The rolling-uniques window partitions by event_type — never a
+    single-partition window — and the plan has exactly one window over
+    the hour-grain aggregate."""
+    import re
+
+    plan = _plan(registry["win_count_distinct_rolling"].fn(spark, SF_T2))
+    for spec in re.finditer(GLOBAL_WINDOW_SPEC, plan):
+        raise AssertionError(f"global window: {spec.group(0)}")
+    assert plan.count("Window") >= 1
