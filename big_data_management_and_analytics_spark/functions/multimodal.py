@@ -864,3 +864,112 @@ def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "k", "v"
     )
     return _bucket_group_assign(banded, "doc_id", bucket_cols=("k", "v"))
+
+
+@register(
+    "mm_scene_cut",
+    "K",
+    oracle=f"""
+        WITH {_MM_BYTES_CTE},
+        m AS (
+            SELECT g.doc_id,
+                   hex(encode('P5\n32 ' || CAST(g.h AS VARCHAR) || '\n255\n'))
+                   || hex(d.b) || repeat('20', g.h * 32 - g.n) AS hx,
+                   11 + length(CAST(g.h AS VARCHAR)) + g.h * 32 AS len
+            FROM geom g JOIN d USING (doc_id)
+        ),
+        frames AS (
+            SELECT m.doc_id, CAST(gs.fi AS INT) AS frame_idx,
+                   substr(m.hx, 256 * gs.fi + 1, 256) AS fh,
+                   CAST(length(substr(m.hx, 256 * gs.fi + 1, 256)) // 2 AS INT)
+                       AS flen
+            FROM m, LATERAL (
+                SELECT UNNEST(generate_series(0,
+                    CAST(ceil(m.len / 128.0) AS INT) - 1)) AS fi
+            ) gs
+        ),
+        fb AS (
+            SELECT doc_id, frame_idx, flen,
+                   CAST(SUM(('0x' || substr(fh, 2 * gs.i - 1, 2))::BIGINT)
+                        AS BIGINT) AS fsum
+            FROM frames, LATERAL (
+                SELECT UNNEST(generate_series(1, flen)) AS i
+            ) gs
+            GROUP BY doc_id, frame_idx, flen
+        )
+        SELECT doc_id, frame_idx, fsum, flen,
+               COALESCE(
+                   ABS(fsum * lag(flen) OVER w - lag(fsum) OVER w * flen) * 20
+                   > 255 * flen * lag(flen) OVER w, FALSE) AS is_cut
+        FROM fb
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    """,
+    doc=(
+        "Scene-boundary detection on video-like payloads: the 128-byte "
+        "pseudo-frames of mm_frame_sample get a mean-brightness each "
+        "(numpy byte sum inside Arrow-batched mapInPandas — the honest "
+        "decode boundary), then a per-video lag window flags frames "
+        "whose mean shifts by more than 12.75/255 from the previous "
+        "frame — the luma-delta cut heuristic real shot-segmentation "
+        "pipelines start from. Determinism: the comparison is EXACT "
+        "integer cross-multiplication (|s_t*l_prev - s_prev*l_t|*20 > "
+        "255*l_t*l_prev) — no float thresholds; the oracle re-derives "
+        "every frame sum from hex(blob) byte arithmetic. Plan: map-only "
+        "decode fan-out, one per-video window shuffle; parallelism = "
+        "videos x frames, linear at any scale."
+    ),
+)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    media = _media_table(spark, sf_dir)
+    n_frames = F.ceil(F.col("byte_len") / 128).cast("int")
+    frames = media.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx", "_f"),
+        F.col("payload"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.substring(F.col("payload"), F.col("frame_idx") * 128 + 1, 128).alias(
+            "fb"
+        ),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("fsum", T.LongType()),
+            T.StructField("flen", T.IntegerType()),
+        ]
+    )
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fsum = [
+                int(np.frombuffer(b, dtype=np.uint8).sum()) for b in pdf["fb"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "fsum": pd.array(fsum, dtype="int64"),
+                    "flen": pd.array([len(b) for b in pdf["fb"]], dtype="int32"),
+                }
+            )
+
+    dec = frames.mapInPandas(sums, out_schema)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    ps, pl = F.lag("fsum").over(w), F.lag("flen").over(w)
+    cut = (
+        F.abs(F.col("fsum") * pl - ps * F.col("flen")) * 20
+        > F.lit(255) * F.col("flen") * pl
+    )
+    return dec.select(
+        "doc_id",
+        "frame_idx",
+        "fsum",
+        "flen",
+        F.coalesce(cut, F.lit(False)).alias("is_cut"),
+    )

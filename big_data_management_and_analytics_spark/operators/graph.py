@@ -490,3 +490,105 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degs.groupBy("side", F.col("deg").alias("degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+K_CORE_K = 5
+K_CORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int = K_CORE_K, rounds: int = K_CORE_ROUNDS) -> str:
+    """Unroll the peel rounds as chained CTEs (the pagerank-oracle trick:
+    a fixed iteration count makes an iterative algorithm SQL-expressible;
+    convergence within the bound is asserted separately in tests)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+            SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        s0 AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+    ]
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+            SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) < {k}
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM {prev} e
+            WHERE e.src NOT IN (SELECT src FROM b{i})
+              AND e.dst NOT IN (SELECT src FROM b{i})
+        )"""
+        )
+        prev = f"s{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(src // 2 AS BIGINT) AS node_id,
+               CASE WHEN src % 2 = 1 THEN 'supplier' ELSE 'customer' END
+                   AS side,
+               CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM {prev} GROUP BY 1, 2"""
+    )
+
+
+@register(
+    "graph_kcore",
+    "G",
+    oracle=_kcore_oracle(),
+    doc=(
+        f"{K_CORE_K}-core decomposition of the customer-supplier purchase "
+        "graph by iterative peeling: repeatedly drop nodes whose degree "
+        "is below k until a fixed point — the standard cohesion filter "
+        "for 'who trades with a well-connected circle'. Each round is "
+        "one degree aggregate plus two anti-joins (edges touching peeled "
+        "nodes), with eager localCheckpoints bounding lineage exactly "
+        "like graph_pagerank's loop; peeling is monotone so rounds ~ "
+        "graph diameter layers, each linear in surviving edges. Oracle-"
+        f"tier via {K_CORE_ROUNDS} unrolled CTE rounds — peeling is "
+        "idempotent at the fixed point, so Spark's early exit and the "
+        "oracle's fixed unroll agree whenever convergence lands inside "
+        "the bound (asserted in tests: the last two rounds are "
+        "identical). Ref pattern: Matula-Beck degeneracy peeling."
+    ),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(K_CORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        bad = (
+            deg.filter(F.col("c") < K_CORE_K)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        if bad.isEmpty():
+            break  # fixed point — further rounds are no-ops
+        edges = (
+            edges.join(bad, "src", "left_anti")
+            .join(bad.select(F.col("src").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    ).select(
+        (F.col("src") / 2).cast("bigint").alias("node_id"),
+        F.when(F.col("src") % 2 == 1, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("side"),
+        "core_degree",
+    )

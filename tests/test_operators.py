@@ -2468,3 +2468,84 @@ def test_pandas_window_trimmed_mean(spark, tmp_path):
     assert out[3] == 20.0
     assert out[4] == 25.0
     assert out[5] == 30.0
+
+
+def test_scene_cut_brute_force(spark, tmp_path):
+    """Re-derive every frame sum and cut flag from the raw payload bytes
+    in plain Python and require exact equality (header + padding
+    included)."""
+    from big_data_management_and_analytics_spark.functions import multimodal
+
+    texts = {1: "a" * 300, 2: "word " * 40, 3: "z"}
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "scut")
+    docs.write.parquet(d + "/documents.parquet")
+    out = {(r["doc_id"], r["frame_idx"]): r
+           for r in multimodal.mm_scene_cut(spark, d).collect()}
+
+    import math
+    for i, t in texts.items():
+        pix = t.encode()
+        h = math.ceil(len(pix) / 32)
+        payload = f"P5\n32 {h}\n255\n".encode() + pix + b" " * (h * 32 - len(pix))
+        frames = [payload[f * 128:(f + 1) * 128]
+                  for f in range(math.ceil(len(payload) / 128))]
+        prev = None
+        for fi, fb in enumerate(frames):
+            r = out[(i, fi)]
+            assert r["fsum"] == sum(fb) and r["flen"] == len(fb)
+            if prev is None:
+                assert r["is_cut"] is False
+            else:
+                ps, pl = prev
+                assert r["is_cut"] == (
+                    abs(r["fsum"] * pl - ps * r["flen"]) * 20
+                    > 255 * r["flen"] * pl
+                )
+            prev = (r["fsum"], r["flen"])
+    assert len(out) == sum(
+        math.ceil((math.ceil(len(t.encode()) / 32) * 32
+                   + len(f"P5\n32 {math.ceil(len(t.encode())/32)}\n255\n")) / 128)
+        for t in texts.values()
+    )
+
+
+def test_kcore_cascade_peel(spark, tmp_path):
+    """K5,5 plus a degree-4 customer X and a supplier T whose 5th
+    neighbor is X: round 1 peels X, round 2 peels T (the cascade), and
+    the surviving 5-core is exactly K5,5 with every degree 5."""
+    from big_data_management_and_analytics_spark.operators import graph
+
+    edges = [(c, s) for c in range(1, 6) for s in range(1, 6)]
+    edges += [(6, s) for s in (1, 2, 3, 6)]      # X: degree 4
+    edges += [(c, 6) for c in range(1, 5)]       # T: c1-c4 + X = degree 5
+    ts0 = _ts("2024-01-01T00:00:00")
+    orders = spark.createDataFrame(
+        [(k, c, "O", 1.0, ts0, "1-URGENT") for k, (c, _) in enumerate(edges, 1)],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(k, 1, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts0)
+         for k, (_, s) in enumerate(edges, 1)],
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    d = str(tmp_path / "kcore")
+    orders.write.parquet(d + "/orders.parquet")
+    li.write.parquet(d + "/lineitem.parquet")
+    out = graph.graph_kcore(spark, d).collect()
+    survivors = {(r["side"], r["node_id"]): r["core_degree"] for r in out}
+    assert len(survivors) == 10
+    assert all(v == 5 for v in survivors.values())
+    assert ("customer", 6) not in survivors and ("supplier", 6) not in survivors
+
+
+def test_kcore_output_is_fixed_point(spark):
+    """Every surviving node's in-core degree must be >= k — proof the
+    peel reached its fixed point within the unroll bound."""
+    from big_data_management_and_analytics_spark.operators import graph
+
+    out = graph.graph_kcore(spark, "/root/testdata/sf0.001").collect()
+    assert out and all(r["core_degree"] >= graph.K_CORE_K for r in out)

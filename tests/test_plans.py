@@ -641,3 +641,12 @@ def test_rolling_uniques_partitioned_window(spark, registry):
     for spec in re.finditer(GLOBAL_WINDOW_SPEC, plan):
         raise AssertionError(f"global window: {spec.group(0)}")
     assert plan.count("Window") >= 1
+
+
+def test_scene_cut_single_shuffle(spark, registry):
+    """Scene-cut is map-only decode fan-out plus ONE per-video window
+    shuffle — no join, no second exchange."""
+    plan = _plan(registry["mm_scene_cut"].fn(spark, SF_T2))
+    tree = plan.split("\n\n(")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree
