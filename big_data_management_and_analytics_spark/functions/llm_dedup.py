@@ -1161,3 +1161,61 @@ def llm_dedup_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "llm_dedup_canonical",
+    "K",
+    oracle="""
+        WITH n AS (
+            SELECT doc_id, n_chars,
+                   md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                       '\\s+', ' ', 'g'))) AS nh
+            FROM documents
+        )
+        SELECT nh AS norm_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_variants,
+               CAST(arg_max(doc_id, n_chars * 2097152 - doc_id) AS BIGINT)
+                   AS canonical_doc_id,
+               CAST(arg_max(n_chars, n_chars * 2097152 - doc_id) AS BIGINT)
+                   AS canonical_chars,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+        FROM n
+        GROUP BY nh
+    """,
+    doc=(
+        "Dedup SURVIVORSHIP: group documents by normalized-content hash "
+        "(the llm_text_normalize canonicalization, so case/punctuation/"
+        "whitespace variants collide) and elect one canonical survivor "
+        "per group by quality — here richest raw form (max n_chars, "
+        "min doc_id tiebreak). This is the step real pipelines run "
+        "between candidate grouping and deletion: dedup keeps the BEST "
+        "copy, not an arbitrary one. The composite preference is ONE "
+        "max_by over the injective score n_chars*2^21 - doc_id (DuckDB "
+        "arg_max has no composite keys — the round-3 injective-scalar "
+        "trick; precondition doc_id < 2^21, asserted in tests). Plan: "
+        "map-only normalize + one hash aggregate — linear, no window, "
+        "no join; same shape at 100 TB."
+    ),
+)
+def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    score = F.col("n_chars") * 2097152 - F.col("doc_id")
+    return (
+        d.select("doc_id", "n_chars", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.max_by("doc_id", score).cast("bigint").alias("canonical_doc_id"),
+            F.max_by("n_chars", score).cast("bigint").alias("canonical_chars"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+    )

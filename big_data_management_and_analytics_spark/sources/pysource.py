@@ -238,3 +238,133 @@ def src_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+if _HAS_DATASOURCE_API:
+    try:
+        from dataclasses import dataclass
+
+        from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+        @dataclass
+        class _JsonlCommit(WriterCommitMessage):
+            count: int
+            file: str
+
+        class JsonlSinkWriter(DataSourceWriter):
+            """Partition-parallel JSONL writer: each task streams its rows
+            to one uniquely-named file and reports a commit message —
+            the task/commit split every two-phase distributed sink has
+            (speculative/retried tasks write distinct files; only the
+            committed set counts)."""
+
+            def __init__(self, options):
+                self.path = options["path"]
+
+            def write(self, iterator):
+                import json
+                import os
+                import uuid
+
+                os.makedirs(self.path, exist_ok=True)
+                fname = os.path.join(
+                    self.path, f"part-{uuid.uuid4().hex}.jsonl"
+                )
+                n = 0
+                with open(fname, "w") as f:
+                    for row in iterator:
+                        f.write(
+                            json.dumps(
+                                {
+                                    "event_id": row.event_id,
+                                    "event_type": row.event_type,
+                                    "vc": row.vc,
+                                }
+                            )
+                            + "\n"
+                        )
+                        n += 1
+                return _JsonlCommit(n, fname)
+
+        class JsonlSinkDataSource(DataSource):
+            """df.write.format("graft_jsonl_sink").option("path", dir)"""
+
+            @classmethod
+            def name(cls) -> str:
+                return "graft_jsonl_sink"
+
+            def writer(self, schema, overwrite):
+                return JsonlSinkWriter(self.options)
+
+        _HAS_DATASOURCE_WRITER = True
+    except ImportError:  # pragma: no cover
+        _HAS_DATASOURCE_WRITER = False
+else:  # pragma: no cover
+    _HAS_DATASOURCE_WRITER = False
+
+
+_SINK_DIRS: list[str] = []
+
+
+@__import__("atexit").register
+def _cleanup_sink_dirs() -> None:
+    import shutil
+
+    for d in _SINK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SINK_DIRS.clear()
+
+
+@register(
+    "sink_custom_datasource",
+    "A",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "Custom Python DataSource WRITER (Spark 4 DataSource API write "
+        "path — the other half of src_custom_datasource): events flow "
+        "through df.write.format(...) into per-task JSONL files, are "
+        "read back, and re-aggregated. The oracle aggregates the "
+        "ORIGINAL parquet directly, so a hash match proves the custom "
+        "sink lost/duplicated nothing end-to-end (exact integer cents "
+        "survive the JSON hop losslessly). Scale posture: write() runs "
+        "per partition with unique file names + commit messages — the "
+        "two-phase shape real sinks use so task retries never "
+        "double-count; local shared-FS caveat as src_binaryfile."
+    ),
+)
+def sink_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not _HAS_DATASOURCE_WRITER:  # pragma: no cover
+        raise NotImplementedError("requires Spark >= 4.0 DataSource writer API")
+    import shutil
+    import tempfile
+
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    try:
+        spark.dataSource.register(JsonlSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = tempfile.mkdtemp(prefix="spark-graft-jsonl-sink-")
+    shutil.rmtree(path, ignore_errors=True)
+    _SINK_DIRS.append(path)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("vc")
+    )
+    ev.write.format("graft_jsonl_sink").option("path", path).mode(
+        "append"
+    ).save()
+    back = spark.read.schema("event_id long, event_type string, vc long").json(
+        path
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("vc").cast("bigint").alias("sum_cents"),
+    )

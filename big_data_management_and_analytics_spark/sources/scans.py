@@ -899,3 +899,61 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum_fast("value", "sum_value"),
         )
     )
+
+
+# Fixed (import-time) directory so the static oracle string can read the
+# same files Spark writes; rewritten per call, reclaimed at exit.
+_BINARYFILE_DIR = os.path.join(tempfile.gettempdir(), "spark-graft-binaryfile")
+_ROUNDTRIP_DIRS.append(_BINARYFILE_DIR)
+
+
+@register(
+    "src_binaryfile",
+    "A",
+    oracle=f"""
+        SELECT regexp_extract(filename, 'lang=([a-z]+)', 1) AS lang,
+               CAST(size AS BIGINT) AS n_bytes,
+               md5(decode(content)) AS content_md5
+        FROM read_blob('{_BINARYFILE_DIR}/lang=*/*.txt')
+    """,
+    doc=(
+        "Spark's binaryFile source — the whole-file ingest path a "
+        "multimodal pipeline uses for images/audio blobs: one per-lang "
+        "corpus file is written (content deterministic: texts joined in "
+        "doc_id order), then read back as (path, length, content) and "
+        "fingerprinted JVM-side (md5 over raw bytes, partition dir "
+        "parsed from the path). The oracle reads the SAME files with "
+        "DuckDB's read_blob and must reproduce size and digest "
+        "byte-for-byte — verifying the writer+reader round-trip, not "
+        "replaying it. Scale posture: binaryFile parallelizes at file "
+        "granularity and caps per-file size (spark.sql.sources."
+        "binaryFile.maxLength); a 100 TB media corpus shards into "
+        "many files, so parallelism = file count. Local-path caveat: "
+        "executors and driver share a filesystem here; a cluster run "
+        "points the same two-liner at object storage."
+    ),
+)
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    content = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    per_lang = d.groupBy("lang").agg(content.alias("value"))
+    shutil.rmtree(_BINARYFILE_DIR, ignore_errors=True)
+    per_lang.select("value", "lang").write.partitionBy("lang").mode(
+        "overwrite"
+    ).text(_BINARYFILE_DIR)
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(_BINARYFILE_DIR)
+    )
+    return bf.select(
+        F.regexp_extract("path", "lang=([a-z]+)", 1).alias("lang"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

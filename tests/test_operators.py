@@ -2549,3 +2549,67 @@ def test_kcore_output_is_fixed_point(spark):
 
     out = graph.graph_kcore(spark, "/root/testdata/sf0.001").collect()
     assert out and all(r["core_degree"] >= graph.K_CORE_K for r in out)
+
+
+def test_binaryfile_roundtrip_digest(spark, tmp_path):
+    """The per-lang corpus file must contain the texts joined in doc_id
+    order plus the text-writer newline — verified against hashlib."""
+    import hashlib
+
+    from big_data_management_and_analytics_spark.sources import scans
+
+    docs = spark.createDataFrame(
+        [(2, "beta", "en", "s", 4), (1, "alpha", "en", "s", 5),
+         (3, "gamma", "de", "s", 5)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "binf")
+    docs.write.parquet(d + "/documents.parquet")
+    out = {r["lang"]: r for r in scans.src_binaryfile(spark, d).collect()}
+    en = b"alpha\nbeta\n"          # doc_id order, trailing writer newline
+    de = b"gamma\n"
+    assert out["en"]["n_bytes"] == len(en)
+    assert out["en"]["content_md5"] == hashlib.md5(en).hexdigest()
+    assert out["de"]["content_md5"] == hashlib.md5(de).hexdigest()
+
+
+def test_sink_datasource_lossless(spark, tmp_path):
+    """The custom JSONL sink must preserve every row and every cent."""
+    from big_data_management_and_analytics_spark.sources import pysource
+
+    rows = [(i, _ts("2024-01-01T00:00:00"), 1, "click" if i % 2 else "view",
+             i * 1.11, "{}") for i in range(1, 21)]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "sinkds")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["event_type"]: r for r in
+           pysource.sink_custom_datasource(spark, d).collect()}
+    assert out["click"]["n_events"] == 10 and out["view"]["n_events"] == 10
+    exp_click = sum(round(i * 1.11 * 100) for i in range(1, 21) if i % 2)
+    assert out["click"]["sum_cents"] == exp_click
+
+
+def test_dedup_canonical_prefers_richest_variant(spark, tmp_path):
+    """Case/punctuation/whitespace variants collapse to one group; the
+    canonical survivor is the longest raw form (min doc_id on ties)."""
+    from big_data_management_and_analytics_spark.functions import llm_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11),
+         (2, "Hello, World!", "en", "s", 13),
+         (3, "HELLO   world", "en", "s", 13),
+         (4, "something else", "en", "s", 14)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "canon")
+    docs.write.parquet(d + "/documents.parquet")
+    out = llm_dedup.llm_dedup_canonical(spark, d).collect()
+    groups = {r["canonical_doc_id"]: r for r in out}
+    assert len(out) == 2
+    dup = [r for r in out if r["n_variants"] == 3][0]
+    assert dup["canonical_doc_id"] == 2      # 13 chars, min doc_id on tie
+    assert dup["canonical_chars"] == 13 and dup["n_dropped"] == 2
+    assert groups[4]["n_variants"] == 1 and groups[4]["n_dropped"] == 0
