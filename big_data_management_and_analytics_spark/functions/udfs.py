@@ -398,3 +398,93 @@ def udf_pandas_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", trimmed("value").over(w).alias("trimmed_mean")
     )
+
+
+@register(
+    "udtf_table_arg",
+    "J",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, event_type AS first_type FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) = 1
+        ),
+        l AS (
+            SELECT user_id, event_type AS last_type FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ),
+        a AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(FLOOR(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT)
+                       AS span_s
+            FROM events GROUP BY user_id
+        )
+        SELECT a.user_id, a.n_events, f.first_type, l.last_type, a.span_s
+        FROM a JOIN f USING (user_id) JOIN l USING (user_id)
+    """,
+    doc=(
+        "Python UDTF with a TABLE argument (Spark 4: polymorphic "
+        "table-valued function over `TABLE(v) PARTITION BY ... ORDER "
+        "BY ...`): one partition of rows streams through eval() in the "
+        "declared order and terminate() emits a per-user journey summary "
+        "(count, first/last event type, time span). This is the "
+        "MATCH_RECOGNIZE-shaped API surface — arbitrary per-entity "
+        "sequence logic with engine-managed partitioning — and the "
+        "engine guarantees the ORDER BY, so first/last are total-order "
+        "deterministic (event_id tiebreak). Parallelism = users; the "
+        "oracle re-derives the same summary relationally. The state per "
+        "partition is O(1) — the streaming shape that scales to any "
+        "partition length."
+    ),
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(
+        returnType=(
+            "user_id bigint, n_events bigint, first_type string, "
+            "last_type string, span_s bigint"
+        )
+    )
+    class JourneySummary:
+        def __init__(self):
+            self.n = 0
+            self.uid = None
+            self.first = None
+            self.last = None
+            self.t0 = None
+            self.t1 = None
+
+        def eval(self, row):
+            self.n += 1
+            self.uid = row["user_id"]
+            if self.first is None:
+                self.first = row["event_type"]
+                self.t0 = row["ts"]
+            self.last = row["event_type"]
+            self.t1 = row["ts"]
+
+        def terminate(self):
+            if self.uid is not None:
+                # Integer floor of the span WITHOUT float seconds: a
+                # normalized positive timedelta keeps days/seconds/micros
+                # non-negative, so days*86400+seconds IS the floor.
+                delta = self.t1 - self.t0
+                yield (
+                    self.uid,
+                    self.n,
+                    self.first,
+                    self.last,
+                    delta.days * 86400 + delta.seconds,
+                )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ev.createOrReplaceTempView("_udtf_events_v")
+    spark.udtf.register("journey_summary", JourneySummary)
+    return spark.sql(
+        "SELECT * FROM journey_summary("
+        "TABLE(_udtf_events_v) PARTITION BY user_id ORDER BY (ts, event_id))"
+    )

@@ -1192,3 +1192,137 @@ def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n0d * n1d - two_u0 / 2.0, 2).alias("u1"),
         F.round((two_u0 / 2.0 - n0d * n1d / 2.0) / F.sqrt(var), 6).alias("z"),
     )
+
+
+@register(
+    "agg_regr_multi",
+    "D",
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS x1,
+                   CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                        AS BIGINT) AS x2
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        pts AS (
+            SELECT p.x1, p.x2,
+                   CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
+            FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey
+        ),
+        mo AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM(x2) AS DECIMAL(38,0)) AS s2,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS s11,
+                   CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS s12,
+                   CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS s22,
+                   CAST(SUM(x1 * y) AS DECIMAL(38,0)) AS s1y,
+                   CAST(SUM(x2 * y) AS DECIMAL(38,0)) AS s2y
+            FROM pts
+        ),
+        d AS (
+            SELECT n,
+                   CAST(n AS DOUBLE) AS dn,
+                   CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+                   CAST(sy AS DOUBLE) AS dy,
+                   CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
+                   CAST(s22 AS DOUBLE) AS d22,
+                   CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y
+            FROM mo
+        ),
+        solved AS (
+            SELECT n, dy, dn,
+                   dn * (d11 * d22 - d12 * d12)
+                   - d1 * (d1 * d22 - d12 * d2)
+                   + d2 * (d1 * d12 - d11 * d2) AS det,
+                   dy * (d11 * d22 - d12 * d12)
+                   - d1 * (d1y * d22 - d12 * d2y)
+                   + d2 * (d1y * d12 - d11 * d2y) AS det0,
+                   dn * (d1y * d22 - d12 * d2y)
+                   - dy * (d1 * d22 - d12 * d2)
+                   + d2 * (d1 * d2y - d1y * d2) AS det1,
+                   dn * (d11 * d2y - d1y * d12)
+                   - d1 * (d1 * d2y - d1y * d2)
+                   + dy * (d1 * d12 - d11 * d2) AS det2
+            FROM d
+        )
+        SELECT n,
+               ROUND(det0 / det / 100.0, 6) AS b0,
+               ROUND(det1 / det / 100.0, 6) AS b1,
+               ROUND(det2 / det / 100.0, 6) AS b2
+        FROM solved
+    """,
+    doc=(
+        "TWO-predictor linear regression (order total ~ line count + "
+        "total quantity) solved in closed form: one distributed pass "
+        "accumulates the 9 normal-equation moments as EXACT integers "
+        "(quantity and cents are integral; DECIMAL(38,0) sums out-scale "
+        "any sf), then Cramer's rule on the 3x3 system is ONE double "
+        "expression per coefficient — the multi-feature extension of "
+        "agg_regr with zero per-row floats and no iterative solver. "
+        "Identical op order on both engines makes the doubles "
+        "bit-equal. Plan: line-grain aggregate -> key join -> 1-row "
+        "moment aggregate; linear, nothing wider than 9 numbers ever "
+        "crosses the wire."
+    ),
+)
+def agg_regr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x1"),
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    pts = per_order.join(
+        o.select("o_orderkey", cents("o_totalprice").alias("y")),
+        per_order.l_orderkey == F.col("o_orderkey"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    mo = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dec(F.sum("x1")).alias("s1"),
+        dec(F.sum("x2")).alias("s2"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        dec(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        dec(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        dec(F.sum(F.col("x1") * F.col("y"))).alias("s1y"),
+        dec(F.sum(F.col("x2") * F.col("y"))).alias("s2y"),
+    )
+    dbl = lambda name: F.col(name).cast("double")
+    dn, d1, d2, dy = dbl("n"), dbl("s1"), dbl("s2"), dbl("sy")
+    d11, d12, d22, d1y, d2y = (
+        dbl("s11"), dbl("s12"), dbl("s22"), dbl("s1y"), dbl("s2y"),
+    )
+    det = (
+        dn * (d11 * d22 - d12 * d12)
+        - d1 * (d1 * d22 - d12 * d2)
+        + d2 * (d1 * d12 - d11 * d2)
+    )
+    det0 = (
+        dy * (d11 * d22 - d12 * d12)
+        - d1 * (d1y * d22 - d12 * d2y)
+        + d2 * (d1y * d12 - d11 * d2y)
+    )
+    det1 = (
+        dn * (d1y * d22 - d12 * d2y)
+        - dy * (d1 * d22 - d12 * d2)
+        + d2 * (d1 * d2y - d1y * d2)
+    )
+    det2 = (
+        dn * (d11 * d2y - d1y * d12)
+        - d1 * (d1 * d2y - d1y * d2)
+        + dy * (d1 * d12 - d11 * d2)
+    )
+    return mo.select(
+        "n",
+        F.round(det0 / det / 100.0, 6).alias("b0"),
+        F.round(det1 / det / 100.0, 6).alias("b1"),
+        F.round(det2 / det / 100.0, 6).alias("b2"),
+    )

@@ -2135,3 +2135,234 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded["b"], 6).alias("trend"),
         F.round(folded["l"] + folded["b"], 6).alias("forecast_1"),
     )
+
+
+@register(
+    "dq_reconciliation",
+    "L",
+    oracle="""
+        WITH lc AS (
+            SELECT l_orderkey,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 + l_tax)
+                                  * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                       AS line_cents
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT o.o_orderkey,
+                   CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS oc,
+                   lc.line_cents
+            FROM orders o LEFT JOIN lc ON o.o_orderkey = lc.l_orderkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphan,
+               CAST(SUM(CASE WHEN line_cents = oc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                             AND line_cents <> oc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mismatched,
+               CAST(COALESCE(MAX(ABS(oc - line_cents)), 0) AS BIGINT)
+                   AS max_abs_diff_cents,
+               CAST(COALESCE(SUM(ABS(oc - line_cents)), 0) AS BIGINT)
+                   AS sum_abs_diff_cents
+        FROM j
+    """,
+    doc=(
+        "Cross-table reconciliation: does each order header's total "
+        "equal the sum of its line charges (extendedprice*(1+tax)*"
+        "(1-discount))? The classic finance/DQ control between a "
+        "rollup table and its detail. Per-line charges quantize to "
+        "EXACT cents before summing (identical double expression both "
+        "engines, then integer arithmetic only), headerless orders "
+        "count as orphans via the LEFT join, and the one-row report "
+        "carries match/mismatch counts plus max and total absolute "
+        "drift. Plan: one line-grain hash aggregate + one key join + "
+        "one global aggregate — linear, shuffle on the order key only."
+    ),
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    charge = cents(
+        F.col("l_extendedprice") * (1 + F.col("l_tax")) * (1 - F.col("l_discount"))
+    )
+    lc = li.groupBy("l_orderkey").agg(F.sum(charge).alias("line_cents"))
+    j = o.select("o_orderkey", cents("o_totalprice").alias("oc")).join(
+        lc, o.o_orderkey == lc.l_orderkey, "left"
+    )
+    diff = F.abs(F.col("oc") - F.col("line_cents"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("line_cents").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphan"),
+        F.sum(F.when(F.col("line_cents") == F.col("oc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(
+            F.when(
+                F.col("line_cents").isNotNull()
+                & (F.col("line_cents") != F.col("oc")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.coalesce(F.max(diff), F.lit(0)).cast("bigint").alias(
+            "max_abs_diff_cents"
+        ),
+        F.coalesce(F.sum(diff), F.lit(0)).cast("bigint").alias(
+            "sum_abs_diff_cents"
+        ),
+    )
+
+
+@register(
+    "win_decay_score",
+    "E",
+    oracle="""
+        WITH c AS (
+            SELECT user_id,
+                   CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS xh,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, xh, vc,
+                   MAX(xh) OVER (PARTITION BY user_id) AS mx
+            FROM c
+        ),
+        t AS (
+            SELECT user_id,
+                   CASE WHEN mx - xh <= 40 THEN 1 ELSE 0 END AS recent,
+                   CASE WHEN mx - xh <= 40
+                        THEN CAST(ROUND(vc * power(2.0, -(mx - xh)), 12)
+                                  AS DECIMAL(38,12))
+                        ELSE CAST(0 AS DECIMAL(38,12)) END AS term
+            FROM m
+        )
+        SELECT user_id,
+               CAST(SUM(recent) AS BIGINT) AS n_recent,
+               ROUND(CAST(SUM(term) AS DOUBLE) / 100.0, 6) AS decay_score
+        FROM t
+        GROUP BY user_id
+    """,
+    doc=(
+        "Half-life-decayed engagement score per user: each event "
+        "contributes value * 2^(-age_hours) anchored at the user's most "
+        "recent hour — the recency-weighted activity feature scoring "
+        "models use instead of a raw sum. Determinism without trusting "
+        "libm: the decay base is a POWER OF TWO with an integer "
+        "exponent, so 2^-k and cents*2^-k are exact dyadic doubles on "
+        "both engines (no exp() ulp drift); terms older than 40 hours "
+        "are dropped by rule (2^-40 is beyond cents resolution anyway) "
+        "and the cross-row sum is DECIMAL-quantized, so partition order "
+        "cannot move it. Plan: one per-user window max (entity-keyed "
+        "shuffle) + one hash aggregate — linear."
+    ),
+)
+def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("bigint")
+        .alias("xh"),
+        cents("value").alias("vc"),
+    )
+    w = Window.partitionBy("user_id")
+    m = e.withColumn("mx", F.max("xh").over(w))
+    age = F.col("mx") - F.col("xh")
+    recent = F.when(age <= 40, 1).otherwise(0)
+    term = F.when(
+        age <= 40,
+        F.round(F.col("vc") * F.pow(F.lit(2.0), -age), 12).cast(
+            "decimal(38,12)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(38,12)"))
+    return (
+        m.select("user_id", recent.alias("recent"), term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("recent").cast("bigint").alias("n_recent"),
+            F.round(F.sum("term").cast("double") / 100.0, 6).alias(
+                "decay_score"
+            ),
+        )
+    )
+
+
+@register(
+    "events_feature_vector",
+    "L",
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clicks,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_views,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purch,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS spend_c,
+                   CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                       AS days_active
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               list_value(CAST(n_clicks AS DOUBLE), CAST(n_views AS DOUBLE),
+                          CAST(n_purch AS DOUBLE),
+                          CAST(spend_c AS DOUBLE) / 100.0,
+                          CAST(days_active AS DOUBLE)) AS features,
+               (n_purch > 0) AS label
+        FROM f
+    """,
+    doc=(
+        "Feature-store export: per-user model features assembled into a "
+        "FIXED-ORDER array<double> plus a binary label — the terminal "
+        "shape a training pipeline hands to the trainer (one row per "
+        "entity, one dense vector column). All five features derive "
+        "from exact integer accumulators (conditional counts, cents "
+        "sum, distinct active days); the only doubles are final casts, "
+        "so the vector is hash-exact. The array is built column-wise "
+        "AFTER aggregation — never collect_list of raw events — so "
+        "per-user state is O(1) and the plan is one hash aggregate. "
+        "Swap in more features by widening the aggregate, not the "
+        "shuffle."
+    ),
+)
+def events_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    e = load(spark, sf_dir, "events")
+    is_t = lambda t: F.when(F.col("event_type") == t, 1).otherwise(0)
+    f = e.groupBy("user_id").agg(
+        F.sum(is_t("click")).cast("bigint").alias("n_clicks"),
+        F.sum(is_t("view")).cast("bigint").alias("n_views"),
+        F.sum(is_t("purchase")).cast("bigint").alias("n_purch"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents("value")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("spend_c"),
+        F.countDistinct(F.date_trunc("day", "ts")).cast("bigint").alias(
+            "days_active"
+        ),
+    )
+    return f.select(
+        "user_id",
+        F.array(
+            F.col("n_clicks").cast("double"),
+            F.col("n_views").cast("double"),
+            F.col("n_purch").cast("double"),
+            F.col("spend_c").cast("double") / 100.0,
+            F.col("days_active").cast("double"),
+        ).alias("features"),
+        (F.col("n_purch") > 0).alias("label"),
+    )

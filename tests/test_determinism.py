@@ -106,6 +106,9 @@ SENSITIVE = [
     "llm_tokenizer_fertility",  # micro-average over exact integer sums
     "sort_natural",        # padded-key two-pass global rank
     "udf_pandas_window",   # bounded-frame pandas UDF, cents re-derivation
+    "win_decay_score",     # dyadic 2^-k terms, decimal-quantized sum
+    "agg_regr_multi",      # exact decimal moments -> Cramer doubles
+    "mm_scene_cut",        # integer frame sums, cross-multiplied threshold
 ]
 
 

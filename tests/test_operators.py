@@ -2613,3 +2613,124 @@ def test_dedup_canonical_prefers_richest_variant(spark, tmp_path):
     assert dup["canonical_doc_id"] == 2      # 13 chars, min doc_id on tie
     assert dup["canonical_chars"] == 13 and dup["n_dropped"] == 2
     assert groups[4]["n_variants"] == 1 and groups[4]["n_dropped"] == 0
+
+
+def test_udtf_table_arg_journey(spark, tmp_path):
+    from big_data_management_and_analytics_spark.functions import udfs
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 7, "signup", 1.0, "{}"),
+        (2, _ts("2024-01-01T00:30:00"), 7, "click", 1.0, "{}"),
+        (3, _ts("2024-01-01T02:00:10"), 7, "purchase", 1.0, "{}"),
+        (4, _ts("2024-01-01T05:00:00"), 9, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "udtftab")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["user_id"]: r for r in udfs.udtf_table_arg(spark, d).collect()}
+    assert out[7]["n_events"] == 3
+    assert out[7]["first_type"] == "signup" and out[7]["last_type"] == "purchase"
+    assert out[7]["span_s"] == 2 * 3600 + 10
+    assert out[9]["n_events"] == 1 and out[9]["span_s"] == 0
+
+
+def test_reconciliation_counts(spark, tmp_path):
+    """Order 1 reconciles exactly, order 2 is off by 50 cents, order 3
+    has no lines (orphan)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    ts0 = _ts("2024-01-01T00:00:00")
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 100.0, 0.0, 0.10, "N", "O", ts0),   # 110.00
+         (1, 1, 1, 2, 1.0, 50.0, 0.10, 0.0, "N", "O", ts0),    # 45.00
+         (2, 1, 1, 1, 1.0, 200.0, 0.0, 0.0, "N", "O", ts0)],   # 200.00
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 155.00, ts0, "1-URGENT"),
+         (2, 1, "O", 200.50, ts0, "1-URGENT"),
+         (3, 1, "O", 10.00, ts0, "1-URGENT")],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "recon")
+    li.write.parquet(d + "/lineitem.parquet")
+    orders.write.parquet(d + "/orders.parquet")
+    r = timeseries.dq_reconciliation(spark, d).collect()[0]
+    assert r["n_orders"] == 3 and r["n_orphan"] == 1
+    assert r["n_matched"] == 1 and r["n_mismatched"] == 1
+    assert r["max_abs_diff_cents"] == 50 and r["sum_abs_diff_cents"] == 50
+
+
+def test_decay_score_halves_per_hour(spark, tmp_path):
+    """Events of 1.00 at the anchor, 1h and 2h back score 1 + 0.5 +
+    0.25 = 1.75; a 50-hour-old event is excluded entirely."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [(1, _ts("2024-01-03T02:15:00"), 1, "click", 1.0, "{}"),
+            (2, _ts("2024-01-03T01:05:00"), 1, "click", 1.0, "{}"),
+            (3, _ts("2024-01-03T00:45:00"), 1, "click", 1.0, "{}"),
+            (4, _ts("2024-01-01T00:00:00"), 1, "click", 100.0, "{}")]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "decay")
+    ev.write.parquet(d + "/events.parquet")
+    r = timeseries.win_decay_score(spark, d).collect()[0]
+    assert r["n_recent"] == 3
+    assert r["decay_score"] == 1.75
+
+
+def test_regr_multi_recovers_plane(spark, tmp_path):
+    """Totals on the exact plane y = 5 + 2*x1 + 3*x2 recover the three
+    coefficients exactly (x1 = line count, x2 = total quantity)."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    ts0 = _ts("2024-01-01T00:00:00")
+    specs = {1: (1, 10), 2: (2, 10), 3: (1, 20), 4: (3, 15)}
+    li_rows = []
+    for ok, (x1, x2) in specs.items():
+        qs = [x2 // x1] * x1
+        qs[0] += x2 - sum(qs)
+        for ln, q in enumerate(qs, 1):
+            li_rows.append((ok, 1, 1, ln, float(q), 1.0, 0.0, 0.0, "N", "O", ts0))
+    li = spark.createDataFrame(
+        li_rows,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(ok, 1, "O", 5.0 + 2.0 * x1 + 3.0 * x2, ts0, "1-URGENT")
+         for ok, (x1, x2) in specs.items()],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "regrm")
+    li.write.parquet(d + "/lineitem.parquet")
+    orders.write.parquet(d + "/orders.parquet")
+    r = mining.agg_regr_multi(spark, d).collect()[0]
+    assert r["n"] == 4
+    assert r["b0"] == 5.0 and r["b1"] == 2.0 and r["b2"] == 3.0
+
+
+def test_feature_vector_fixed_order(spark, tmp_path):
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [(1, _ts("2024-01-01T10:00:00"), 1, "click", 1.0, "{}"),
+            (2, _ts("2024-01-02T10:00:00"), 1, "click", 1.0, "{}"),
+            (3, _ts("2024-01-02T11:00:00"), 1, "view", 1.0, "{}"),
+            (4, _ts("2024-01-02T12:00:00"), 1, "purchase", 9.99, "{}"),
+            (5, _ts("2024-01-01T00:00:00"), 2, "view", 1.0, "{}")]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "feat")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["user_id"]: r for r in
+           timeseries.events_feature_vector(spark, d).collect()}
+    assert out[1]["features"] == [2.0, 1.0, 1.0, 9.99, 2.0]
+    assert out[1]["label"] is True
+    assert out[2]["features"] == [0.0, 1.0, 0.0, 0.0, 1.0]
+    assert out[2]["label"] is False
