@@ -1326,3 +1326,156 @@ def agg_regr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det1 / det / 100.0, 6).alias("b1"),
         F.round(det2 / det / 100.0, 6).alias("b2"),
     )
+
+@register(
+    "agg_survival_km",
+    "L",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(epoch(date_trunc('hour', MIN(ts))) // 3600 AS BIGINT)
+                       AS h0,
+                   CAST(epoch(date_trunc('hour', MIN(CASE WHEN event_type =
+                       'purchase' THEN ts END))) // 3600 AS BIGINT) AS hp,
+                   CAST(epoch(date_trunc('hour', MAX(ts))) // 3600 AS BIGINT)
+                       AS hl
+            FROM events GROUP BY user_id
+        ),
+        obs AS (
+            SELECT CASE WHEN hp IS NOT NULL THEN hp - h0 ELSE hl - h0 END AS t,
+                   CASE WHEN hp IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user
+        ),
+        grid AS (
+            SELECT t,
+                   CAST(SUM(ev) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS leaving
+            FROM obs GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d,
+                   SUM(leaving) OVER (
+                       ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS r
+            FROM grid
+        ),
+        arr AS (
+            SELECT list(CASE WHEN d > 0
+                             THEN 1.0 - CAST(d AS DOUBLE) / r
+                             ELSE 1.0 END ORDER BY t) AS fs,
+                   list(t ORDER BY t) AS ts_,
+                   list(d ORDER BY t) AS ds,
+                   list(r ORDER BY t) AS rs
+            FROM risk
+        )
+        SELECT CAST(ts_[i] AS BIGINT) AS t_hours,
+               CAST(ds[i] AS BIGINT) AS d_events,
+               CAST(rs[i] AS BIGINT) AS n_at_risk,
+               ROUND(list_reduce(fs[1:i], (a, b) -> a * b), 6) AS survival
+        FROM arr, LATERAL (
+            SELECT UNNEST(generate_series(1, len(fs))) AS i
+        ) gs
+        WHERE ds[i] > 0
+    """,
+    doc=(
+        "Kaplan-Meier survival curve for time-to-first-purchase (hour "
+        "grain): users who never purchase are right-censored at their "
+        "last observed event — the estimator that uses censored "
+        "observations correctly where a naive mean-conversion-time "
+        "drops them. Distributed work is two hash aggregates (per-user "
+        "summary -> event-time grid); everything after runs on ONE row "
+        "holding the bounded grid as arrays: suffix sums give the "
+        "at-risk counts (exact longs), and S(t) = prod(1 - d_i/r_i) is "
+        "a SEQUENTIAL prefix product via F.aggregate per output point "
+        "(censored-only times contribute an exact 1.0 factor — a*1.0 "
+        "is an identity, so both engines' fold orders agree "
+        "bit-for-bit). O(grid^2) lambda ops on a few-hundred-point "
+        "grid; the user relation never enters a window."
+    ),
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    xh = lambda c: (F.unix_timestamp(F.date_trunc("hour", c)) / 3600).cast(
+        "bigint"
+    )
+    per_user = e.groupBy("user_id").agg(
+        xh(F.min("ts")).alias("h0"),
+        xh(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("hp"),
+        xh(F.max("ts")).alias("hl"),
+    )
+    obs = per_user.select(
+        F.when(F.col("hp").isNotNull(), F.col("hp") - F.col("h0"))
+        .otherwise(F.col("hl") - F.col("h0"))
+        .alias("t"),
+        F.when(F.col("hp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grid = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    one = grid.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "leaving"))).alias("g")
+    )
+    n = F.size(F.col("g"))
+    one = one.withColumn(
+        "rs",
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(
+                F.slice(F.col("g"), i, F.size(F.col("g")) - i + 1),
+                F.lit(0).cast("bigint"),
+                lambda a, s: a + s["leaving"],
+            ),
+        ),
+    )
+    one = one.withColumn(
+        "fs",
+        F.zip_with(
+            F.col("g"),
+            F.col("rs"),
+            lambda s, r: F.when(
+                s["d"] > 0, F.lit(1.0) - s["d"].cast("double") / r
+            ).otherwise(F.lit(1.0)),
+        ),
+    )
+    one = one.withColumn(
+        "ss",
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.round(
+                F.aggregate(
+                    F.slice(F.col("fs"), 1, i),
+                    F.lit(1.0),
+                    lambda a, x: a * x,
+                ),
+                6,
+            ),
+        ),
+    )
+    exploded = one.select(
+        F.posexplode(
+            F.zip_with(
+                F.col("g"),
+                F.zip_with(
+                    F.col("rs"),
+                    F.col("ss"),
+                    lambda r, s: F.struct(r.alias("r"), s.alias("s")),
+                ),
+                lambda g_, rs_: F.struct(
+                    g_["t"].alias("t"),
+                    g_["d"].alias("d"),
+                    rs_["r"].alias("r"),
+                    rs_["s"].alias("s"),
+                ),
+            )
+        ).alias("_i", "row")
+    )
+    return exploded.filter(F.col("row.d") > 0).select(
+        F.col("row.t").alias("t_hours"),
+        F.col("row.d").alias("d_events"),
+        F.col("row.r").alias("n_at_risk"),
+        F.col("row.s").alias("survival"),
+    )

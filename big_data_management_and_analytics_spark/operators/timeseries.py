@@ -2366,3 +2366,71 @@ def events_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features"),
         (F.col("n_purch") > 0).alias("label"),
     )
+
+
+@register(
+    "events_concurrency",
+    "L",
+    oracle="""
+        WITH iv AS (
+            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS e
+            FROM events
+        ),
+        deltas AS (
+            SELECT s AS t, 1 AS dl FROM iv
+            UNION ALL
+            SELECT e AS t, -1 AS dl FROM iv
+        ),
+        net AS (
+            SELECT t, CAST(SUM(dl) AS BIGINT) AS net FROM deltas GROUP BY t
+        ),
+        run AS (
+            SELECT t,
+                   SUM(net) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS conc
+            FROM net
+        )
+        SELECT CAST(t // 3600 AS BIGINT) AS hour_x,
+               CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+               CAST(MAX(conc) AS BIGINT) AS max_concurrency
+        FROM run
+        GROUP BY t // 3600
+    """,
+    doc=(
+        "Interval-overlap concurrency (occupancy counting): each event "
+        "opens a 5-minute half-open activity interval; +1/-1 boundary "
+        "deltas collapse to net changes per distinct second and ONE "
+        "global running sum yields the live-session count at every "
+        "boundary — the sweep-line form of 'how many sessions were "
+        "open', which the naive interval self-join makes quadratic. "
+        "Half-open semantics need no tie rule: +1 and -1 at the same "
+        "instant merge into the net BEFORE the scan. The global scan "
+        "is the two-pass range-partitioned prefix sum (exact integers, "
+        "no single-partition window); output is the per-hour boundary "
+        "count and max observed concurrency. Linear: two scans + one "
+        "range shuffle of the distinct-second relation."
+    ),
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_prefix_sum,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").cast("bigint").alias("s")
+    )
+    deltas = e.select(F.col("s").alias("t"), F.lit(1).alias("dl")).unionAll(
+        e.select((F.col("s") + 300).alias("t"), F.lit(-1).alias("dl"))
+    )
+    net = deltas.groupBy("t").agg(F.sum("dl").cast("bigint").alias("net"))
+    run = with_global_prefix_sum(net, [F.col("t").asc()], "net", out="conc")
+    return (
+        run.groupBy((F.col("t") / 3600).cast("bigint").alias("hour_x"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+            F.max("conc").cast("bigint").alias("max_concurrency"),
+        )
+    )

@@ -957,3 +957,62 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+_CSV_CORRUPT_DIR = os.path.join(tempfile.gettempdir(), "spark-graft-csv-corrupt")
+_ROUNDTRIP_DIRS.append(_CSV_CORRUPT_DIR)
+
+
+@register(
+    "src_csv_corrupt",
+    "A",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_good,
+               CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bad,
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE 0 END)
+                    AS BIGINT) AS sum_id_good,
+               CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS sum_n_good
+        FROM documents
+    """,
+    doc=(
+        "Malformed-row ingestion (PERMISSIVE mode): a CSV corpus is "
+        "written with every odd doc_id's line deliberately broken "
+        "(wrong delimiter, unparseable numeric), then read back with a "
+        "typed schema + columnNameOfCorruptRecord — the quarantine "
+        "pattern every production ingest needs (bad rows land in the "
+        "corrupt column instead of killing the job or silently "
+        "vanishing). The construction is deterministic, so the oracle "
+        "derives the expected good/bad split and good-row sums straight "
+        "from the source table: a hash match proves EVERY malformed "
+        "line was quarantined and EVERY valid line parsed to the exact "
+        "values. Map-only both directions; file-granular parallelism."
+    ),
+)
+def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    line = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat_ws(",", F.col("doc_id"), F.col("n_chars")),
+    ).otherwise(F.concat(F.col("doc_id"), F.lit(";broken")))
+    shutil.rmtree(_CSV_CORRUPT_DIR, ignore_errors=True)
+    d.select(line.alias("value")).write.mode("overwrite").text(_CSV_CORRUPT_DIR)
+    parsed = (
+        spark.read.schema("id BIGINT, n BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(_CSV_CORRUPT_DIR)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(good, 0).otherwise(1)).cast("bigint").alias("n_bad"),
+        F.sum(F.when(good, F.col("id")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_id_good"),
+        F.sum(F.when(good, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_n_good"),
+    )

@@ -109,6 +109,8 @@ SENSITIVE = [
     "win_decay_score",     # dyadic 2^-k terms, decimal-quantized sum
     "agg_regr_multi",      # exact decimal moments -> Cramer doubles
     "mm_scene_cut",        # integer frame sums, cross-multiplied threshold
+    "agg_survival_km",     # sequential prefix products over bounded grid
+    "events_concurrency",  # two-pass global prefix sum over boundary deltas
 ]
 
 

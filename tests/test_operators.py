@@ -2734,3 +2734,72 @@ def test_feature_vector_fixed_order(spark, tmp_path):
     assert out[1]["label"] is True
     assert out[2]["features"] == [0.0, 1.0, 0.0, 0.0, 1.0]
     assert out[2]["label"] is False
+
+
+def test_survival_km_hand_computed(spark, tmp_path):
+    """Two conversions (1h, 2h) and two censored users (1h, 3h):
+    r = [4, 2] at the event times, S = [0.75, 0.375] exactly."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), 1, "click", 1.0, "{}"),
+        (2, _ts("2024-01-01T11:00:00"), 1, "purchase", 1.0, "{}"),
+        (3, _ts("2024-01-01T10:00:00"), 2, "click", 1.0, "{}"),
+        (4, _ts("2024-01-01T12:00:00"), 2, "purchase", 1.0, "{}"),
+        (5, _ts("2024-01-01T10:00:00"), 3, "click", 1.0, "{}"),
+        (6, _ts("2024-01-01T11:00:00"), 3, "click", 1.0, "{}"),
+        (7, _ts("2024-01-01T10:00:00"), 4, "click", 1.0, "{}"),
+        (8, _ts("2024-01-01T13:00:00"), 4, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "km")
+    ev.write.parquet(d + "/events.parquet")
+    out = sorted(mining.agg_survival_km(spark, d).collect(),
+                 key=lambda r: r["t_hours"])
+    assert [(r["t_hours"], r["d_events"], r["n_at_risk"], r["survival"])
+            for r in out] == [(1, 1, 4, 0.75), (2, 1, 2, 0.375)]
+
+
+def test_csv_corrupt_quarantine(spark, tmp_path):
+    from big_data_management_and_analytics_spark.sources import scans
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 10 * i) for i in range(1, 6)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "csvc")
+    docs.write.parquet(d + "/documents.parquet")
+    r = scans.src_csv_corrupt(spark, d).collect()[0]
+    assert r["n_good"] == 2 and r["n_bad"] == 3
+    assert r["sum_id_good"] == 6 and r["sum_n_good"] == 60
+
+
+def test_concurrency_half_open_touching_intervals(spark, tmp_path):
+    """Two overlapping 5-min intervals peak at 2; a third interval
+    starting exactly when the first ends must NOT raise the peak of its
+    boundary (half-open: -1 and +1 at the same second cancel)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    base = _ts("2024-01-01T10:00:00")
+    import datetime as dt
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(seconds=60), 2, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(seconds=300), 3, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "conc")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["hour_x"]: r for r in
+           timeseries.events_concurrency(spark, d).collect()}
+    hour = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+    r = out[hour]
+    # Boundaries: +1@0, +1@60, (-1+1)@300 -> net 0, -1@360, -1@600
+    assert r["n_boundaries"] == 5
+    assert r["max_concurrency"] == 2
