@@ -876,3 +876,65 @@ def join_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "s_suppkey", F.round(F.sqrt(F.col("d2")), 6).alias("dist")
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    "C",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               CASE WHEN p.ts - s.ts <= INTERVAL 24 HOUR THEN s.ts END
+                   AS signup_ts,
+               (s.ts IS NOT NULL
+                AND p.ts - s.ts <= INTERVAL 24 HOUR) AS within_tolerance
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc=(
+        "As-of join WITH TOLERANCE: each purchase matches its latest "
+        "earlier-or-equal signup only if it happened within 24 hours — "
+        "stale matches become NULL instead of silently attributing a "
+        "conversion to a months-old signup (the correctness knob "
+        "pandas.merge_asof calls `tolerance`). Same single-shuffle "
+        "union-tag + last(ignorenulls) carry-forward as join_asof_event; "
+        "the tolerance is one codegen condition on the carried "
+        "timestamp, so the plan (and its linear scale posture) is "
+        "unchanged. The oracle applies the identical window to DuckDB's "
+        "native ASOF LEFT JOIN result."
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("s_ts"),
+        F.lit(1).alias("tag"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("s_ts"),
+        F.lit(0).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        purchases.unionByName(signups)
+        .withColumn("last_signup", F.last("s_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+    )
+    in_tol = F.col("last_signup").isNotNull() & (
+        F.col("ts").cast("long") - F.col("last_signup").cast("long") <= 86400
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_tol, F.col("last_signup")).alias("signup_ts"),
+        in_tol.alias("within_tolerance"),
+    )

@@ -1479,3 +1479,75 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row.r").alias("n_at_risk"),
         F.col("row.s").alias("survival"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    "D",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+            FROM orders
+        ),
+        b AS (
+            SELECT quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+            FROM c
+        ),
+        w AS (
+            SELECT CAST(ROUND(LEAST(GREATEST(CAST(c.v AS DOUBLE), b.lo),
+                                    b.hi)) AS BIGINT) AS wv,
+                   CASE WHEN CAST(c.v AS DOUBLE) < b.lo
+                          OR CAST(c.v AS DOUBLE) > b.hi
+                        THEN 1 ELSE 0 END AS clipped
+            FROM c CROSS JOIN b
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+               ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*) / 100.0, 6)
+                   AS winsorized_mean,
+               ROUND((SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) / 100.0
+                      FROM c), 6) AS raw_mean
+        FROM w
+    """,
+    doc=(
+        "5/95-winsorized mean of order totals: values beyond the exact "
+        "5th/95th percentiles are clamped to the boundary before "
+        "averaging — the outlier-robust mean a metrics pipeline reports "
+        "when a few whale orders would otherwise move the average. "
+        "Two-phase: exact interpolated percentiles over cents (one "
+        "aggregate, broadcast as a 1-row bound), then clamp + ROUND "
+        "back to EXACT integer cents per row so the final sum has no "
+        "float-order freedom (the only doubles are the shared bound "
+        "comparison and two terminal divisions, identical op order both "
+        "engines). Scale note: EXACT percentiles buffer the column in one "
+        "aggregation buffer (fine to ~10^8 rows); the 100 TB form swaps "
+        "in approx_percentile with identical downstream clamping "
+        "(agg_approx_percentile shows that path). Two passes, no window."
+    ),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders").select(cents("o_totalprice").alias("v"))
+    b = o.agg(
+        F.percentile(F.col("v"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("v"), F.lit(0.95)).alias("hi"),
+        F.sum("v").alias("tot"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = o.crossJoin(F.broadcast(b))
+    vd = F.col("v").cast("double")
+    wv = F.round(F.least(F.greatest(vd, F.col("lo")), F.col("hi"))).cast(
+        "bigint"
+    )
+    clipped = F.when((vd < F.col("lo")) | (vd > F.col("hi")), 1).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(clipped).cast("bigint").alias("n_clipped"),
+        F.round(
+            F.sum(wv).cast("double") / F.count(F.lit(1)) / 100.0, 6
+        ).alias("winsorized_mean"),
+        F.round(
+            F.first("tot").cast("double") / F.first("cnt") / 100.0, 6
+        ).alias("raw_mean"),
+    )

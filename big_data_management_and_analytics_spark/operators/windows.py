@@ -953,3 +953,69 @@ def win_count_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("uniques_3h"),
     )
+
+
+@register(
+    "win_drawdown",
+    "E",
+    oracle="""
+        WITH series AS (
+            SELECT user_id, ts, event_id,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                            ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       END) OVER w AS bal
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        peaks AS (
+            SELECT user_id, bal,
+                   MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS peak
+            FROM series
+        )
+        SELECT user_id,
+               CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents,
+               CAST(MAX(peak) AS BIGINT) AS peak_cents,
+               ROUND(CAST(MAX(peak - bal) AS DOUBLE) / 100.0, 2)
+                   AS max_drawdown
+        FROM peaks
+        GROUP BY user_id
+    """,
+    doc=(
+        "Maximum drawdown of each user's running balance (purchases "
+        "credit, everything else debits — a signed cash-flow proxy): "
+        "running sum -> running peak -> max(peak - balance), the "
+        "peak-to-trough risk metric every portfolio/limits system "
+        "computes. Three stacked per-entity windows over ONE user-keyed "
+        "shuffle (Spark chains same-partitioning windows without "
+        "re-exchanging); all arithmetic is exact cents so no float "
+        "enters until the final /100 report. Parallelism = users; "
+        "linear."
+    ),
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    signed = F.when(
+        F.col("event_type") == "purchase", cents("value")
+    ).otherwise(-cents("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = e.select(
+        "user_id", "ts", "event_id", F.sum(signed).over(w).alias("bal")
+    )
+    peaks = series.withColumn("peak", F.max("bal").over(w))
+    return peaks.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("bal"))
+        .cast("bigint")
+        .alias("max_drawdown_cents"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.round(
+            F.max(F.col("peak") - F.col("bal")).cast("double") / 100.0, 2
+        ).alias("max_drawdown"),
+    )

@@ -1016,3 +1016,46 @@ def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_n_good"),
     )
+
+
+_CORRUPT_SKIP_DIR = os.path.join(
+    tempfile.gettempdir(), "spark-graft-corrupt-skip"
+)
+_ROUNDTRIP_DIRS.append(_CORRUPT_SKIP_DIR)
+
+
+@register(
+    "scan_corrupt_files_skip",
+    "A",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+        FROM documents
+    """,
+    doc=(
+        "Corrupt-file resilience: the documents table is re-written as "
+        "parquet next to a PLANTED garbage file (truncated magic bytes), "
+        "then scanned with spark.sql.files.ignoreCorruptFiles=true via "
+        "the per-read option — the operational knob that keeps a 100 TB "
+        "scan alive when one object in a million is damaged, instead of "
+        "failing the whole job hours in. The oracle aggregates the "
+        "source table directly, so a hash match proves the reader "
+        "skipped EXACTLY the corrupt file: nothing lost from good "
+        "files, nothing hallucinated from the bad one. (Read-option "
+        "scoped — no session conf mutation, concurrency-safe.)"
+    ),
+)
+def scan_corrupt_files_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    shutil.rmtree(_CORRUPT_SKIP_DIR, ignore_errors=True)
+    d.write.mode("overwrite").parquet(_CORRUPT_SKIP_DIR)
+    with open(os.path.join(_CORRUPT_SKIP_DIR, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x13\x37not a real parquet footer")
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(_CORRUPT_SKIP_DIR)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )

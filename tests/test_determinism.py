@@ -111,6 +111,8 @@ SENSITIVE = [
     "mm_scene_cut",        # integer frame sums, cross-multiplied threshold
     "agg_survival_km",     # sequential prefix products over bounded grid
     "events_concurrency",  # two-pass global prefix sum over boundary deltas
+    "win_drawdown",        # stacked cents windows, exact peak-trough
+    "agg_winsorized_mean", # exact percentile bounds + clamped cents sums
 ]
 
 

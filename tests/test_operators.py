@@ -2803,3 +2803,81 @@ def test_concurrency_half_open_touching_intervals(spark, tmp_path):
     # Boundaries: +1@0, +1@60, (-1+1)@300 -> net 0, -1@360, -1@600
     assert r["n_boundaries"] == 5
     assert r["max_concurrency"] == 2
+
+
+def test_asof_tolerance_nullifies_stale_match(spark, tmp_path):
+    """A purchase 2h after signup matches; one 30h after the same signup
+    is outside the 24h tolerance and must get NULL, not the stale ts."""
+    from big_data_management_and_analytics_spark.operators import joins
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "signup", 1.0, "{}"),
+        (2, _ts("2024-01-01T02:00:00"), 1, "purchase", 1.0, "{}"),
+        (3, _ts("2024-01-02T06:00:00"), 1, "purchase", 1.0, "{}"),
+        (4, _ts("2024-01-01T05:00:00"), 2, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "asoftol")
+    ev.write.parquet(d + "/events.parquet")
+    out = {r["event_id"]: r for r in joins.join_asof_tolerance(spark, d).collect()}
+    assert out[2]["within_tolerance"] is True
+    assert out[2]["signup_ts"] == _ts("2024-01-01T00:00:00")
+    assert out[3]["within_tolerance"] is False and out[3]["signup_ts"] is None
+    assert out[4]["within_tolerance"] is False  # no signup at all
+
+
+def test_drawdown_peak_to_trough(spark, tmp_path):
+    """Balance path +10, +20, -25, +5 (cents 1000,2000,-2500,500):
+    running bal 10,30,5,10 -> peak 30, max drawdown 25.00."""
+    from big_data_management_and_analytics_spark.operators import windows
+
+    vals = [("purchase", 10.0), ("purchase", 20.0), ("click", 25.0),
+            ("purchase", 5.0)]
+    rows = [(i + 1, _ts(f"2024-01-01T{i:02d}:00:00"), 1, t, v, "{}")
+            for i, (t, v) in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "dd")
+    ev.write.parquet(d + "/events.parquet")
+    r = windows.win_drawdown(spark, d).collect()[0]
+    assert r["peak_cents"] == 3000
+    assert r["max_drawdown_cents"] == 2500
+    assert r["max_drawdown"] == 25.0
+
+
+def test_winsorized_mean_clamps_outliers(spark, tmp_path):
+    """19 orders of 10.00 plus one 1000.00 whale: the 95th percentile
+    clamps the whale, pulling the winsorized mean well under the raw."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    ts0 = _ts("2024-01-01T00:00:00")
+    rows = [(k, 1, "O", 10.0, ts0, "1-URGENT") for k in range(1, 20)]
+    rows.append((20, 1, "O", 1000.0, ts0, "1-URGENT"))
+    orders = spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "wins")
+    orders.write.parquet(d + "/orders.parquet")
+    r = mining.agg_winsorized_mean(spark, d).collect()[0]
+    assert r["n"] == 20 and r["n_clipped"] == 1
+    assert r["raw_mean"] == 59.5
+    assert r["winsorized_mean"] < 15.0
+
+
+def test_corrupt_file_skipped_exactly(spark, tmp_path):
+    from big_data_management_and_analytics_spark.sources import scans
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(1, 8)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "cskip")
+    docs.write.parquet(d + "/documents.parquet")
+    r = scans.scan_corrupt_files_skip(spark, d).collect()[0]
+    assert r["n_rows"] == 7 and r["sum_doc_id"] == 28
