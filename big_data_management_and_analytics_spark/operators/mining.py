@@ -1551,3 +1551,264 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("tot").cast("double") / F.first("cnt") / 100.0, 6
         ).alias("raw_mean"),
     )
+
+
+# Shared scoring for the ML-evaluation pair (agg_auc_roc / agg_lift_chart):
+# score each embedding by an ALL-INTEGER dot product with the class-0
+# centroid. Components quantize to round(x*1e6) longs, the centroid keeps
+# its EXACT integer numerator sums (count is a constant factor, irrelevant
+# to ranking), so score = sum_i q_i * s_i is an exact BIGINT — no float
+# enters the ranking at all (64 dims x |q*s| <= ~2e14 stays far under
+# 2^63).
+_SCORE_CTE = """
+        q AS (
+            SELECT e.vec_id,
+                   CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos,
+                   gs.i,
+                   CAST(ROUND(CAST(e.embedding[gs.i] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS qv
+            FROM embeddings e, LATERAL (
+                SELECT UNNEST(generate_series(1, len(e.embedding))) AS i
+            ) gs
+        ),
+        cent AS (
+            SELECT i, CAST(SUM(qv) AS BIGINT) AS s
+            FROM q WHERE pos = 1 GROUP BY i
+        ),
+        scores AS (
+            SELECT q.vec_id, ANY_VALUE(q.pos) AS pos,
+                   CAST(SUM(q.qv * c.s) AS BIGINT) AS score
+            FROM q JOIN cent c ON q.i = c.i
+            GROUP BY q.vec_id
+        )"""
+
+
+def _class0_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000000.0).cast("bigint"),
+    )
+    base = e.select(
+        "vec_id",
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+        qv.alias("qv"),
+    )
+    exploded = base.select(
+        "vec_id", "pos", F.posexplode("qv").alias("i", "q")
+    )
+    cent = (
+        exploded.filter(F.col("pos") == 1)
+        .groupBy("i")
+        .agg(F.sum("q").cast("bigint").alias("s"))
+    )
+    return (
+        exploded.join(F.broadcast(cent), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("pos").alias("pos"),
+            F.sum(F.col("q") * F.col("s")).cast("bigint").alias("score"),
+        )
+    )
+
+
+@register(
+    "agg_auc_roc",
+    "D",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        counts AS (
+            SELECT score,
+                   CAST(SUM(pos) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS ct
+            FROM scores GROUP BY score
+        ),
+        cum AS (
+            SELECT score, c1, ct, SUM(ct) OVER (ORDER BY score) AS cumt
+            FROM counts
+        ),
+        tot AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(ct - c1) AS BIGINT) AS n0
+            FROM counts
+        ),
+        r AS (
+            SELECT SUM(CAST(c1 AS DECIMAL(38,0))
+                       * (2 * (cumt - ct) + ct + 1)) AS two_r1
+            FROM cum
+        )
+        SELECT t.n1 AS n_pos, t.n0 AS n_neg,
+               ROUND(CAST(r.two_r1 - CAST(t.n1 AS DECIMAL(38,0)) * (t.n1 + 1)
+                          AS DOUBLE)
+                     / (2.0 * CAST(t.n1 AS DOUBLE) * CAST(t.n0 AS DOUBLE)),
+                     6) AS auc
+        FROM r CROSS JOIN tot t
+    """,
+    doc=(
+        "ROC AUC of 'centroid similarity identifies class 0': the "
+        "standard ranking metric, computed EXACTLY by its rank-sum "
+        "identity AUC = (R1 - n1(n1+1)/2)/(n1*n0) (ties get half "
+        "credit via tie-averaged ranks) — the same global prefix-sum "
+        "machinery as agg_mannwhitney, because AUC IS a scaled U "
+        "statistic. No per-row sort rank materializes: per-score "
+        "counts, one two-pass range-shuffle cumulative, a 1-row "
+        "aggregate. The score itself is an exact integer dot product "
+        "(see _SCORE_CTE) so not a single float participates before "
+        "the terminal division. Linear at any scale."
+    ),
+)
+def agg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_prefix_sum,
+    )
+
+    scores = _class0_scores(spark, sf_dir)
+    counts = (
+        scores.groupBy("score")
+        .agg(
+            F.sum("pos").cast("bigint").alias("c1"),
+            F.count(F.lit(1)).cast("bigint").alias("ct"),
+        )
+        .localCheckpoint(eager=True)  # scan + totals consumers
+    )
+    cum = with_global_prefix_sum(
+        counts, [F.col("score").asc()], "ct", out="cumt"
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).cast("bigint").alias("n0"),
+    )
+    r = cum.agg(
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * (F.col("cumt") - F.col("ct")) + F.col("ct") + 1)
+        ).alias("two_r1")
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    two_u1 = (
+        F.col("two_r1") - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+    ).cast("double")
+    return j.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            two_u1
+            / (2.0 * F.col("n1").cast("double") * F.col("n0").cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "agg_lift_chart",
+    "L",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        ranked AS (
+            SELECT pos,
+                   NTILE(10) OVER (ORDER BY score DESC, vec_id ASC) AS decile
+            FROM scores
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos
+            FROM ranked GROUP BY decile
+        ),
+        tot AS (SELECT SUM(n_pos) AS tp, SUM(n) AS tn FROM per),
+        cumu AS (
+            SELECT p.decile, p.n, p.n_pos, t.tp, t.tn,
+                   SUM(p.n_pos) OVER (ORDER BY p.decile) AS cum_pos
+            FROM per p CROSS JOIN tot t
+        )
+        SELECT CAST(decile AS INT) AS decile, n, n_pos,
+               ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS conversion_rate,
+               ROUND(CAST(cum_pos AS DOUBLE) / tp, 6) AS cum_capture,
+               ROUND((CAST(n_pos AS DOUBLE) / n)
+                     / (CAST(tp AS DOUBLE) / tn), 6) AS lift
+        FROM cumu
+        ORDER BY decile
+    """,
+    doc=(
+        "Decile lift chart (gain curve) for the class-0 centroid score: "
+        "rank all vectors by the exact integer score, cut into 10 "
+        "global deciles, and report per-decile conversion rate, "
+        "cumulative capture, and lift vs the base rate — the campaign-"
+        "targeting evaluation every scoring model ships with. The "
+        "global decile cut rides the two-pass range-partitioned rank "
+        "(ntile_expr closed form, no single-partition window over the "
+        "data); the 10-row decile relation then folds its own "
+        "cumulative on ONE collected array (the agg_survival_km "
+        "pattern) so not even the summary needs an unpartitioned "
+        "window. Integer counts throughout; three rounded divisions at "
+        "the end."
+    ),
+)
+def agg_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _class0_scores(spark, sf_dir)
+    ranked = with_global_row_number(
+        scores.select(
+            "pos", "score", "vec_id"
+        ),
+        [F.col("score").desc(), F.col("vec_id").asc()],
+        rn="_rn",
+        total="_total",
+    )
+    decile = ntile_expr(F.col("_rn"), F.col("_total"), 10)
+    per = (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+    )
+    one = per.agg(
+        F.sort_array(F.collect_list(F.struct("decile", "n", "n_pos"))).alias(
+            "g"
+        )
+    )
+    n = F.size(F.col("g"))
+    cum = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(
+            F.slice(F.col("g"), 1, i),
+            F.lit(0).cast("bigint"),
+            lambda a, s: a + s["n_pos"],
+        ),
+    )
+    tp = F.aggregate(
+        F.col("g"), F.lit(0).cast("bigint"), lambda a, s: a + s["n_pos"]
+    )
+    tn = F.aggregate(
+        F.col("g"), F.lit(0).cast("bigint"), lambda a, s: a + s["n"]
+    )
+    rows = one.select(
+        F.posexplode(
+            F.zip_with(
+                F.col("g"),
+                cum,
+                lambda s, c: F.struct(
+                    s["decile"].alias("decile"),
+                    s["n"].alias("n"),
+                    s["n_pos"].alias("n_pos"),
+                    c.alias("cum_pos"),
+                ),
+            )
+        ).alias("_i", "row"),
+        tp.alias("tp"),
+        tn.alias("tn"),
+    )
+    rate = F.col("row.n_pos").cast("double") / F.col("row.n")
+    return rows.select(
+        F.col("row.decile").cast("int").alias("decile"),
+        F.col("row.n").alias("n"),
+        F.col("row.n_pos").alias("n_pos"),
+        F.round(rate, 6).alias("conversion_rate"),
+        F.round(F.col("row.cum_pos").cast("double") / F.col("tp"), 6).alias(
+            "cum_capture"
+        ),
+        F.round(
+            rate / (F.col("tp").cast("double") / F.col("tn")), 6
+        ).alias("lift"),
+    ).orderBy("decile")

@@ -113,6 +113,8 @@ SENSITIVE = [
     "events_concurrency",  # two-pass global prefix sum over boundary deltas
     "win_drawdown",        # stacked cents windows, exact peak-trough
     "agg_winsorized_mean", # exact percentile bounds + clamped cents sums
+    "agg_auc_roc",         # integer scores + prefix-sum rank identity
+    "agg_lift_chart",      # two-pass decile cut + array-folded capture
 ]
 
 

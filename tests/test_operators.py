@@ -2881,3 +2881,55 @@ def test_corrupt_file_skipped_exactly(spark, tmp_path):
     docs.write.parquet(d + "/documents.parquet")
     r = scans.scan_corrupt_files_skip(spark, d).collect()[0]
     assert r["n_rows"] == 7 and r["sum_doc_id"] == 28
+
+
+def _write_embeddings(spark, tmp_path, name, rows):
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / name)
+    df.write.parquet(d + "/embeddings.parquet")
+    return d
+
+
+def test_auc_perfect_separation(spark, tmp_path):
+    """Class-0 vectors on axis 1, all others on axis 2: centroid
+    similarity ranks every positive above every negative -> AUC 1.0;
+    a class-0 vector hiding on axis 2 costs exactly its pair share."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(4)]
+    rows += [(10 + i, [0.0, 1.0], 1) for i in range(6)]
+    d = _write_embeddings(spark, tmp_path, "aucp", rows)
+    r = mining.agg_auc_roc(spark, d).collect()[0]
+    assert r["n_pos"] == 4 and r["n_neg"] == 6
+    assert r["auc"] == 1.0
+
+
+def test_auc_with_ties_half_credit(spark, tmp_path):
+    """A positive tied with the negative gets half credit: centroid
+    [2,1]/3 scores pos {2,2,1} vs neg {1}: wins 2, tie 1 of 3 pairs ->
+    AUC = 2.5/3 = 0.833333."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 1.0], 0),
+            (4, [0.0, 1.0], 5)]
+    d = _write_embeddings(spark, tmp_path, "auct", rows)
+    r = mining.agg_auc_roc(spark, d).collect()[0]
+    assert r["n_pos"] == 3 and r["n_neg"] == 1
+    assert r["auc"] == 0.833333
+
+
+def test_lift_chart_concentrates_positives(spark, tmp_path):
+    """20 vectors, 4 positives all scoring top: deciles of 2 -> first
+    two deciles convert at 100%, capture 0.5 then 1.0, lift 5.0."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(4)]
+    rows += [(10 + i, [0.0, 1.0], 2) for i in range(16)]
+    d = _write_embeddings(spark, tmp_path, "lift", rows)
+    out = {r["decile"]: r for r in mining.agg_lift_chart(spark, d).collect()}
+    assert len(out) == 10 and all(out[k]["n"] == 2 for k in out)
+    assert out[1]["conversion_rate"] == 1.0 and out[1]["lift"] == 5.0
+    assert out[1]["cum_capture"] == 0.5 and out[2]["cum_capture"] == 1.0
+    assert out[3]["conversion_rate"] == 0.0 and out[10]["cum_capture"] == 1.0
