@@ -1590,3 +1590,76 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "llm_span_corruption",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t FROM documents
+        ),
+        marks AS (
+            SELECT doc_id, len(t) AS n,
+                   list_transform(generate_series(1, len(t)), i ->
+                       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                  || ':' || CAST(i AS VARCHAR)), 1, 2))::BIGINT
+                                  % 100 < 15
+                            THEN 1 ELSE 0 END) AS m
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(list_aggregate(m, 'sum') AS BIGINT) AS n_masked,
+               CAST(len(list_filter(generate_series(1, n), i ->
+                        m[i] = 1 AND (i = 1 OR m[i - 1] = 0))) AS BIGINT)
+                   AS n_spans,
+               ROUND(CAST(list_aggregate(m, 'sum') AS DOUBLE) / n, 6)
+                   AS mask_rate
+        FROM marks
+    """,
+    doc=(
+        "T5-style span-corruption PLANNING: ~15% of each document's "
+        "token positions are marked for masking by a DETERMINISTIC "
+        "content hash (md5 of doc_id:position — reproducible across "
+        "retries and engines, where a real pipeline would use a seeded "
+        "RNG), and contiguous masked runs collapse into sentinel spans. "
+        "Reports tokens / masked / span count / mask rate per document "
+        "— the statistics that size the denoising objective's "
+        "inputs-vs-targets split. Pure codegen array expressions "
+        "(transform + filter over a position sequence), map-only, no "
+        "shuffle; linear at any scale. Hash-position masking is the "
+        "standard trick for making data-noising reproducible."
+    ),
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    t = tokens(F.col("text"))
+    n = F.size(t)
+
+    def masked(i):
+        h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")))
+        return F.when(
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % 100 < 15, 1
+        ).otherwise(0)
+
+    base = d.select("doc_id", n.alias("n"))
+    m = F.transform(F.sequence(F.lit(1), F.col("n")), masked)
+    withm = base.withColumn("m", m)
+    n_masked = F.aggregate(
+        F.col("m"), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    starts = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: (F.element_at(F.col("m"), i) == 1)
+            & ((i == 1) | (F.element_at(F.col("m"), i - 1) == 0)),
+        )
+    )
+    return withm.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        starts.cast("bigint").alias("n_spans"),
+        F.round(n_masked.cast("double") / F.col("n"), 6).alias("mask_rate"),
+    )

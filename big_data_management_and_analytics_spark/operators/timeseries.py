@@ -2434,3 +2434,91 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("conc").cast("bigint").alias("max_concurrency"),
         )
     )
+
+
+@register(
+    "dq_psi_drift",
+    "L",
+    oracle="""
+        WITH binned AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS hb,
+                   CASE WHEN day(ts) % 2 = 0 THEN 'p' ELSE 'q' END AS grp
+            FROM events
+        ),
+        grid AS (
+            SELECT gs.hb FROM (SELECT UNNEST(generate_series(0, 23)) AS hb) gs
+        ),
+        c AS (
+            SELECT g.hb,
+                   CAST(COALESCE(SUM(CASE WHEN b.grp = 'p' THEN 1 END), 0)
+                        AS BIGINT) AS cp,
+                   CAST(COALESCE(SUM(CASE WHEN b.grp = 'q' THEN 1 END), 0)
+                        AS BIGINT) AS cq
+            FROM grid g LEFT JOIN binned b ON g.hb = b.hb
+            GROUP BY g.hb
+        ),
+        tot AS (SELECT SUM(cp) AS tp, SUM(cq) AS tq FROM c),
+        terms AS (
+            SELECT c.hb,
+                   CAST(ROUND(
+                       (CAST(c.cp + 1 AS DOUBLE) / (t.tp + 24)
+                        - CAST(c.cq + 1 AS DOUBLE) / (t.tq + 24))
+                       * ln((CAST(c.cp + 1 AS DOUBLE) / (t.tp + 24))
+                            / (CAST(c.cq + 1 AS DOUBLE) / (t.tq + 24))), 9)
+                       AS DECIMAL(38,9)) AS term
+            FROM c CROSS JOIN tot t
+        )
+        SELECT CAST(24 AS BIGINT) AS n_bins,
+               ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        FROM terms
+    """,
+    doc=(
+        "Population Stability Index between the even-day and odd-day "
+        "hour-of-day event distributions — the drift score model-"
+        "monitoring dashboards alarm on (PSI > 0.2 = shifted), "
+        "complementing agg_ks_test's continuous-distribution distance "
+        "with the binned-categorical form. Laplace add-1 smoothing "
+        "keeps empty bins finite; every count is exact, each bin's "
+        "(p-q)*ln(p/q) term is ONE double expression over exact "
+        "integers ROUND(...,9)-quantized to DECIMAL before the "
+        "cross-bin sum (the llm_text_perplexity discipline — ln() "
+        "agrees across engines far beyond 9 decimals on these "
+        "magnitudes). Plan: one hash aggregate to 24 bins + broadcast "
+        "grid join; linear."
+    ),
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.hour("ts").cast("bigint").alias("hb"),
+        F.when(F.dayofmonth("ts") % 2 == 0, "p").otherwise("q").alias("grp"),
+    )
+    # Aggregate the heavy relation FIRST (24 output rows), then left-join
+    # the static bin grid onto the tiny result — never shuffle raw events
+    # by a 24-key column.
+    ec = e.groupBy("hb").agg(
+        F.sum(F.when(F.col("grp") == "p", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cp_"),
+        F.sum(F.when(F.col("grp") == "q", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cq_"),
+    )
+    grid = e.sparkSession.range(0, 24).select(F.col("id").alias("hb"))
+    c = (
+        grid.join(F.broadcast(ec), "hb", "left")
+        .select(
+            "hb",
+            F.coalesce(F.col("cp_"), F.lit(0)).cast("bigint").alias("cp"),
+            F.coalesce(F.col("cq_"), F.lit(0)).cast("bigint").alias("cq"),
+        )
+        .localCheckpoint(eager=True)  # bins + totals consumers
+    )
+    tot = c.agg(F.sum("cp").alias("tp"), F.sum("cq").alias("tq"))
+    j = c.crossJoin(F.broadcast(tot))
+    p = (F.col("cp") + 1).cast("double") / (F.col("tp") + 24)
+    q = (F.col("cq") + 1).cast("double") / (F.col("tq") + 24)
+    term = F.round((p - q) * F.log(p / q), 9).cast("decimal(38,9)")
+    return j.agg(
+        F.lit(24).cast("bigint").alias("n_bins"),
+        F.round(F.sum(term).cast("double"), 6).alias("psi"),
+    )

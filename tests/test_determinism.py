@@ -115,6 +115,8 @@ SENSITIVE = [
     "agg_winsorized_mean", # exact percentile bounds + clamped cents sums
     "agg_auc_roc",         # integer scores + prefix-sum rank identity
     "agg_lift_chart",      # two-pass decile cut + array-folded capture
+    "dq_psi_drift",        # decimal-quantized ln terms over exact bins
+    "llm_span_corruption", # hash-position masks, map-only
 ]
 
 

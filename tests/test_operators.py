@@ -2933,3 +2933,67 @@ def test_lift_chart_concentrates_positives(spark, tmp_path):
     assert out[1]["conversion_rate"] == 1.0 and out[1]["lift"] == 5.0
     assert out[1]["cum_capture"] == 0.5 and out[2]["cum_capture"] == 1.0
     assert out[3]["conversion_rate"] == 0.0 and out[10]["cum_capture"] == 1.0
+
+
+def test_span_corruption_brute_force(spark, tmp_path):
+    """Re-derive mask positions and span count from the same md5 rule in
+    plain Python; exact match per document."""
+    import hashlib as _h
+
+    from big_data_management_and_analytics_spark.functions import llm_text
+
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(40)), "en", "s", 200),
+         (8, "single", "en", "s", 6)],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "spanc")
+    docs.write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in llm_text.llm_span_corruption(spark, d).collect()}
+    for doc_id, n in ((7, 40), (8, 1)):
+        m = [1 if int(_h.md5(f"{doc_id}:{i}".encode()).hexdigest()[:2], 16)
+             % 100 < 15 else 0 for i in range(1, n + 1)]
+        spans = sum(1 for i in range(n) if m[i] and (i == 0 or not m[i - 1]))
+        r = out[doc_id]
+        assert r["n_tokens"] == n and r["n_masked"] == sum(m)
+        assert r["n_spans"] == spans
+
+
+def test_psi_identical_distributions_is_zero(spark, tmp_path):
+    """The same hourly histogram on even and odd days gives PSI 0."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    eid = 0
+    for day in (1, 2):            # odd and even day, identical histograms
+        for h, cnt in ((9, 3), (15, 2)):
+            for _ in range(cnt):
+                eid += 1
+                rows.append((eid, _ts(f"2024-01-0{day}T{h:02d}:00:00"),
+                             1, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "psi0")
+    ev.write.parquet(d + "/events.parquet")
+    r = timeseries.dq_psi_drift(spark, d).collect()[0]
+    assert r["n_bins"] == 24 and r["psi"] == 0.0
+
+
+def test_psi_shifted_distribution_positive(spark, tmp_path):
+    """Even days all at 09:00, odd days all at 15:00 -> large PSI."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    for i in range(10):
+        rows.append((i + 1, _ts("2024-01-02T09:00:00"), 1, "click", 1.0, "{}"))
+        rows.append((100 + i, _ts("2024-01-01T15:00:00"), 1, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    d = str(tmp_path / "psi1")
+    ev.write.parquet(d + "/events.parquet")
+    r = timeseries.dq_psi_drift(spark, d).collect()[0]
+    assert r["psi"] > 1.0
