@@ -155,6 +155,14 @@ AQE_PROBE = [
     "llm_text_perplexity",   # decimal-quantized NLL
     "ts_anomaly_seasonal",   # residual percentiles
     "mm_phash_neardup",      # banded LSH pairs
+    # The two-pass scan family branches on a partition-id-tagged relation
+    # — exactly the shape the round-3 AQE coalescing hazard corrupted
+    # (SCALE.md "AQE vs re-evaluated exchanges"); probe it with AQE off
+    # so the checkpoint fix is guarded from both directions.
+    "sort_multikey",         # two-pass global row number
+    "agg_abc_analysis",      # two-pass prefix sum
+    "agg_ks_test",           # multi-column prefix sums
+    "agg_auc_roc",           # prefix-sum rank identity
 ]
 
 
