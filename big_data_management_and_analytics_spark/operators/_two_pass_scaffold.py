@@ -30,6 +30,7 @@ def two_pass_scan(
     finish: Callable[[DataFrame], DataFrame],
     num_partitions: Optional[int] = None,
     total: Optional[str] = None,
+    total_combine: Callable[[Column], Column] = lambda c: F.sum(c),
 ) -> DataFrame:
     """Run the shared two-pass plan.
 
@@ -39,7 +40,10 @@ def two_pass_scan(
     lower rows); ``finish(df)`` receives the ranged rows joined with
     ``_prefix`` (columns ``_pid`` and ``_prefix`` still present — the
     scaffold drops them afterwards) and must add the output column(s).
-    ``total`` attaches the grand fold of ``_pagg`` via a 1-row broadcast.
+    ``total`` attaches the grand fold of ``_pagg`` via a 1-row broadcast;
+    ``total_combine`` is the aggregate used for that grand fold and must
+    match ``part_agg``'s monoid (default ``F.sum`` — a prefix-max caller
+    passing ``total`` must also pass ``F.max`` here).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -80,6 +84,6 @@ def two_pass_scan(
         "_pid", "_prefix"
     )
     if total is not None:
-        grand = parts.agg(F.sum("_pagg").alias(total))
+        grand = parts.agg(total_combine(F.col("_pagg")).alias(total))
         out_df = out_df.crossJoin(F.broadcast(grand))
     return out_df

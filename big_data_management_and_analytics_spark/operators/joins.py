@@ -929,7 +929,8 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tag") == 1)
     )
     in_tol = F.col("last_signup").isNotNull() & (
-        F.col("ts").cast("long") - F.col("last_signup").cast("long") <= 86400
+        F.unix_micros("ts") - F.unix_micros("last_signup")
+        <= 86400 * 1000000
     )
     return carried.select(
         "event_id",

@@ -256,10 +256,26 @@ if _HAS_DATASOURCE_API:
             to one uniquely-named file and reports a commit message —
             the task/commit split every two-phase distributed sink has
             (speculative/retried tasks write distinct files; only the
-            committed set counts)."""
+            committed set counts). commit() records the committed file
+            set in a ``_committed.json`` manifest so the read-back side
+            can ignore orphan files from retried/speculative tasks."""
 
             def __init__(self, options):
                 self.path = options["path"]
+
+            def commit(self, messages):
+                import json
+                import os
+
+                files = sorted(
+                    os.path.basename(m.file)
+                    for m in messages
+                    if m is not None
+                )
+                with open(
+                    os.path.join(self.path, "_committed.json"), "w"
+                ) as f:
+                    json.dump(files, f)
 
             def write(self, iterator):
                 import json
@@ -361,8 +377,15 @@ def sink_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.format("graft_jsonl_sink").option("path", path).mode(
         "append"
     ).save()
+    # Read back ONLY the committed set from the commit() manifest — an
+    # orphan file left by a speculative/retried task is never counted.
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_committed.json")) as f:
+        committed = [_os.path.join(path, b) for b in _json.load(f)]
     back = spark.read.schema("event_id long, event_type string, vc long").json(
-        path
+        committed
     )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
