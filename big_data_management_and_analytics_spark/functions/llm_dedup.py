@@ -209,7 +209,15 @@ def llm_dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-minhash signature (s0..s15) over distinct tokens, via
     the engine-portable universal hash family (one md5 per token + 16
-    integer mixes — all whole-stage-codegen; see portable_hash.py)."""
+    integer mixes — all whole-stage-codegen; see portable_hash.py).
+
+    The result is localCheckpoint'ed (lazy): every consumer feeds the
+    banded relation into at least two subplans (bucket aggregate + the
+    assignment join), and without materialization each consumer re-runs
+    the tokenize+md5 signature pass — the dominant cost — once per
+    subplan (and under AQE the two evaluations are the round-3
+    re-evaluated-exchange hazard class). The checkpoint stores
+    n_docs × 17 longs — linear, same discipline as two_pass_scan."""
     d = load(spark, sf_dir, "documents")
     words = (
         spread(d, "doc_id")
@@ -230,7 +238,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(mix_col(F.col("g0"), F.col("g1"), i)).alias(f"s{i}")
             for i in range(N_HASHES)
         ]
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _minhash_oracle_cte() -> str:
