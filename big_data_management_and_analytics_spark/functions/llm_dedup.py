@@ -1117,24 +1117,41 @@ def llm_dedup_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         ranked.join(sized, "doc_id")
         .filter(F.col("rn") <= plen)
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "rn")
     )
     a = prefix.join(sized, "doc_id").select(
-        F.col("doc_id").alias("da"), "tok", F.col("n").alias("na")
+        F.col("doc_id").alias("da"), "tok",
+        F.col("n").alias("na"), F.col("rn").alias("pa"),
     )
     b = prefix.join(sized, "doc_id").select(
-        F.col("doc_id").alias("db"), "tok", F.col("n").alias("nb")
+        F.col("doc_id").alias("db"), "tok",
+        F.col("n").alias("nb"), F.col("rn").alias("pb"),
     )
     # Length filter: J ≥ 0.7 forces 7·nb ≤ 10·na and 7·na ≤ 10·nb —
     # prune impossible pairs BEFORE the dedup/verify stages (removes only
     # pairs the final threshold would reject, so semantics are unchanged
     # and the oracle needs no mirror).
+    #
+    # Positional filter (ppjoin, Xiao et al. WWW 2008): at a pair's FIRST
+    # prefix-prefix match no earlier token can be shared (both orders are
+    # the same global df total order, so an earlier shared token would
+    # itself be an earlier prefix-prefix match), hence overlap
+    # i ≤ 1 + min(na − pa, nb − pb). Acceptance needs 17·i ≥ 7·(na+nb),
+    # so any match row violating 17·(1 + min(…)) ≥ 7·(na+nb) cannot be a
+    # qualifying pair's first match; a true pair always survives through
+    # its first-match row, and distinct() keeps a pair if ANY row does —
+    # so the filter only sheds pairs the verify stage would reject,
+    # shrinking the candidate/verify set on dup-dense data. All integer.
+    ppjoin_bound = 17 * (
+        1 + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+    ) >= 7 * (F.col("na") + F.col("nb"))
     cand = (
         a.join(b, "tok")
         .filter(
             (F.col("da") < F.col("db"))
             & (10 * F.col("na") >= 7 * F.col("nb"))
             & (10 * F.col("nb") >= 7 * F.col("na"))
+            & ppjoin_bound
         )
         .select("da", "db")
         .distinct()
