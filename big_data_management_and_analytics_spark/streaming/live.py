@@ -64,17 +64,40 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    """Execute a bounded streaming query into an in-memory table."""
+    """Execute a bounded streaming query into an in-memory table.
+
+    The state partition count is fixed at query start from
+    ``spark.sql.shuffle.partitions`` and every stateful operator pays a
+    per-partition-per-microbatch state-store commit (delta file + fsync
+    per store; a stream-stream join keeps FOUR stores per partition), so
+    on a bounded local replay of a small fixture that fixed cost
+    dominates wall time (measured: 32 partitions 7.8 s vs 4 partitions
+    4.8 s for the stream-stream twin — the work per row is trivial).
+    State width is a deployment knob, not a semantic one (all stateful
+    results here are partition-invariant, which the shuffle-invariance
+    harness checks), so bounded replays default to a narrow store and
+    production sets SPARK_GRAFT_STREAM_STATE_PARTS to O(cluster cores)."""
+    spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdma_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "4"),
     )
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # The started query captured the narrow width; the session-wide
+        # batch setting must not leak to whatever runs next.
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     try:
         finished = q.awaitTermination(300)
         if not finished:
