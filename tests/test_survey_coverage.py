@@ -76,6 +76,51 @@ def test_readme_counts_match_registry(registry):
     )
 
 
+ENGINE_PKG = "big_data_management_and_analytics_spark"
+
+# Backticked tokens in the extras prose that are Spark/SQL function
+# mentions, not query ids. Anything else backticked there must be a
+# live registry id.
+_NON_ID_MENTIONS = {"concat_ws"}
+
+
+def _extras_prose_ids() -> set[str]:
+    """Backticked ids in SURVEY's 'Implemented additions' section."""
+    text = open(SURVEY, encoding="utf-8").read()
+    seg = text[text.index("Implemented additions"):]
+    m = re.search(r"\n#{1,3} ", seg)
+    if m:
+        seg = seg[: m.start()]
+    return set(re.findall(r"`([a-z0-9_]+)`", seg)) - _NON_ID_MENTIONS
+
+
+def test_extras_prose_in_lockstep_with_registry(registry):
+    """Round-3 verdict item 8: the §2-extras prose must track the live
+    registry in BOTH directions — every registered id beyond the §2
+    tables is listed, and every listed id is registered (no prose
+    leftovers after a rename/delete)."""
+    declared = set(_declared())
+    extras_registered = set(registry) - declared
+    prose = _extras_prose_ids()
+    unlisted = sorted(extras_registered - prose)
+    assert not unlisted, f"registered but absent from extras prose: {unlisted}"
+    stale = sorted(prose - set(registry))
+    assert not stale, f"listed in extras prose but not registered: {stale}"
+
+
+def test_each_id_implemented_in_exactly_one_category_module(registry):
+    """Every registry id's callable must live in exactly one module of
+    the engine package (the registry already rejects duplicate ids at
+    import; this pins the single-definition-site property the prose
+    references rely on)."""
+    foreign = sorted(
+        (name, q.fn.__module__)
+        for name, q in registry.items()
+        if not q.fn.__module__.startswith(ENGINE_PKG + ".")
+    )
+    assert not foreign, f"query callables outside the engine package: {foreign}"
+
+
 def test_declared_tiers_match(registry):
     declared = _declared()
     wrong = []
