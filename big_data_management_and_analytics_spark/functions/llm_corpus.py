@@ -952,3 +952,210 @@ def llm_rag_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_5"),
         )
     )
+
+
+# Shared 5-gram CTE text for the corpus-novelty oracle (same construction
+# as llm_text's contamination oracles: canonical tokenizer, per-position
+# concat, list_distinct per doc; generate_series(1, len-4) is empty for
+# docs under 5 tokens, mirroring _five_grams' size guard).
+_GRAMS_CTE = """
+    toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 4),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        || ' ' || t[i+3] || ' ' || t[i+4]
+               )) AS gs
+        FROM toks
+    )"""
+
+
+@register(
+    "llm_ngram_novelty",
+    "K",
+    oracle=f"""
+        WITH {_GRAMS_CTE},
+        eg AS (SELECT doc_id, UNNEST(gs) AS gram FROM grams),
+        fst AS (SELECT gram, MIN(doc_id) AS first_doc FROM eg GROUP BY gram),
+        per AS (
+            SELECT e.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(*) FILTER (WHERE f.first_doc = e.doc_id)
+                        AS BIGINT) AS n_novel
+            FROM eg e JOIN fst f USING (gram)
+            GROUP BY e.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+               COALESCE(p.n_novel, 0)::BIGINT AS n_novel,
+               CASE WHEN p.n_grams > 0
+                    THEN ROUND(p.n_novel::DOUBLE / p.n_grams, 6)
+               END AS novelty_ratio
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+    doc=(
+        "Per-document n-gram NOVELTY audit: the fraction of a doc's "
+        "distinct 5-grams whose FIRST corpus occurrence (min doc_id over "
+        "the ingest order) is this document — the memorization-risk / "
+        "boilerplate metric training-data pipelines compute alongside "
+        "dedup (a doc full of already-seen grams is template or near-dup "
+        "mass even when no single pair passes a dedup threshold; cf. the "
+        "duplicate-text analyses in Lee et al. 2022). Plan: the shared "
+        "contamination 5-gram pass, one first-occurrence aggregate on "
+        "gram, one hash join back, one per-doc aggregate — all linear in "
+        "total grams, the same shuffle shape as TF-IDF's document-"
+        "frequency join, so the 100 TB posture is identical. Docs with "
+        "fewer than 5 tokens report 0 grams and a NULL ratio."
+    ),
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.llm_text import (
+        _five_grams,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    eg = _five_grams(d).select("doc_id", F.explode("gs").alias("gram"))
+    fst = eg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        eg.join(fst, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    ng = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
+    nn = F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            ng.alias("n_grams"),
+            nn.alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("n_novel").cast("double") / F.col("n_grams"), 6
+                ),
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+@register(
+    "llm_vocab_growth",
+    "K",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(list_distinct(string_split_regex(lower(text), '\\s+')))
+                       AS tok
+            FROM documents
+        ),
+        fst AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+        mx AS (SELECT MAX(doc_id) + 1 AS n_ids FROM documents),
+        dec AS (
+            SELECT CAST(LEAST(9, (10 * first_doc) // n_ids) AS INT) AS decile
+            FROM fst, mx
+        ),
+        per AS (
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+            FROM dec GROUP BY decile
+        )
+        SELECT a.decile, a.n_new_tokens,
+               CAST(SUM(b.n_new_tokens) AS BIGINT) AS cum_vocab
+        FROM per a JOIN per b ON b.decile <= a.decile
+        GROUP BY a.decile, a.n_new_tokens
+    """,
+    doc=(
+        "Vocabulary GROWTH curve (Heaps' law audit): distinct tokens "
+        "attributed to the ingest decile (doc_id range) of their first "
+        "occurrence, with the cumulative vocabulary size per decile — "
+        "the curve data engineers plot to check a corpus keeps "
+        "contributing new vocabulary (a flat tail means the remaining "
+        "shards are redundant). Plan: one token first-occurrence "
+        "aggregate (linear, the llm_ngram_novelty shape at token "
+        "granularity), a 1-row max broadcast for the decile bounds "
+        "(integer math: (10·first_doc) div n_ids — no float binning "
+        "wobble), and a ≤10-row triangle self-join for the cumulative "
+        "fold — the same counters-not-data pattern as the two-pass scan "
+        "scaffold, so no unpartitioned window appears at any scale."
+    ),
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = (
+        spread(d, "doc_id")
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    fst = words.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    mx = d.agg((F.max("doc_id") + 1).alias("n_ids"))
+    dec = fst.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.lit(9), F.expr("(10 * first_doc) DIV n_ids")
+        )
+        .cast("int")
+        .alias("decile")
+    )
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_tokens")
+    )
+    lower = per.select(
+        F.col("decile").alias("d2"), F.col("n_new_tokens").alias("m")
+    )
+    return (
+        per.join(F.broadcast(lower), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_new_tokens")
+        .agg(F.sum("m").cast("bigint").alias("cum_vocab"))
+    )
+
+
+@register(
+    "llm_sample_topk_hash",
+    "K",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS sample_key
+        FROM documents
+        ORDER BY sample_key, doc_id
+        LIMIT 100
+    """,
+    doc=(
+        "Exact-size deterministic uniform sample: the 100 documents with "
+        "the smallest md5(doc_id) — the distributed, rerun-stable "
+        "replacement for reservoir sampling (hash order is a uniform "
+        "random permutation of ids, fixed across engines/sessions/"
+        "cluster layouts, so the sample is reproducible AND exactly k "
+        "rows, where rate-based Bernoulli sampling like "
+        "agg_sample_deterministic only hits k in expectation). Plan: "
+        "TakeOrderedAndProject — per-partition size-k heaps merged on "
+        "the driver, no global sort, no window; k rows of driver traffic "
+        "regardless of corpus size (the sort_topk posture, asserted in "
+        "tests/test_plans.py)."
+    ),
+)
+def llm_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(100)
+    )

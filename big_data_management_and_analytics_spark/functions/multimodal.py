@@ -973,3 +973,181 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flen",
         F.coalesce(cut, F.lit(False)).alias("is_cut"),
     )
+
+
+# Energy-based VAD geometry: 32-sample frames (the fixture payloads are
+# ~100-250 samples — real VAD uses 10-30 ms frames, i.e. 160-480 samples
+# at 16 kHz; only the constants change). A frame is "active" iff its
+# INTEGER energy sum(v²) exceeds frame_len × the mean-square threshold —
+# the comparison is exact int64 arithmetic on both engines (max
+# sum(v²) = 32·32768² ≈ 3.4e10, threshold product ≤ 32·6.5e8 ≈ 2.1e10),
+# so the activity bitmap, and hence every segment boundary, is
+# bit-identical to the SQL oracle with no float RMS anywhere.
+VAD_FRAME = 32
+VAD_MEANSQ = 650000000  # ≈ median frame mean-square of the fixture
+
+
+def vad_frames_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Per-frame integer energy rows (doc_id, frame_id, f_len, ssq)."""
+    for pdf in batches:
+        doc, fid, flen, ssq = [], [], [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, s = parse_pcm(bytes(b))
+            x = s.astype(np.int64)
+            for i in range(0, len(x), VAD_FRAME):
+                fr = x[i : i + VAD_FRAME]
+                doc.append(doc_id)
+                fid.append(i // VAD_FRAME)
+                flen.append(len(fr))
+                ssq.append(int((fr * fr).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(doc, dtype="int64"),
+                "frame_id": pd.array(fid, dtype="int32"),
+                "f_len": pd.array(flen, dtype="int32"),
+                "ssq": pd.array(ssq, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "mm_audio_vad",
+    "K",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, encode(text) AS b,
+                   octet_length(encode(text))
+                   - octet_length(encode(text)) % 2 AS n
+            FROM documents
+            WHERE octet_length(encode(text)) - octet_length(encode(text)) % 2 > 0
+        ),
+        samp AS (
+            SELECT d.doc_id, gs.i,
+                   ('0x' || substr(hex(d.b), 4 * gs.i - 3, 2))::BIGINT AS lo,
+                   ('0x' || substr(hex(d.b), 4 * gs.i - 1, 2))::BIGINT AS hi
+            FROM d, LATERAL (
+                SELECT UNNEST(generate_series(1, d.n // 2)) AS i
+            ) gs
+        ),
+        vals AS (
+            SELECT doc_id, i,
+                   (lo + 256 * hi
+                    - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END) AS v
+            FROM samp
+        ),
+        fr AS (
+            SELECT doc_id, CAST((i - 1) // {VAD_FRAME} AS INT) AS frame_id,
+                   CAST(COUNT(*) AS BIGINT) AS f_len,
+                   CAST(SUM(v * v) AS BIGINT) AS ssq
+            FROM vals GROUP BY doc_id, (i - 1) // {VAD_FRAME}
+        ),
+        fl AS (
+            SELECT doc_id, frame_id,
+                   (ssq > f_len * {VAD_MEANSQ}) AS active,
+                   LAG(ssq > f_len * {VAD_MEANSQ}) OVER (
+                       PARTITION BY doc_id ORDER BY frame_id) AS prev_a
+            FROM fr
+        ),
+        sg AS (
+            SELECT doc_id, frame_id, active,
+                   CASE WHEN active AND NOT COALESCE(prev_a, false)
+                        THEN 1 ELSE 0 END AS is_start,
+                   SUM(CASE WHEN active AND NOT COALESCE(prev_a, false)
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY frame_id
+                       ROWS UNBOUNDED PRECEDING) AS seg_id
+            FROM fl
+        ),
+        per AS (
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS total_frames,
+                   CAST(COUNT(*) FILTER (WHERE active) AS INT)
+                       AS active_frames,
+                   CAST(SUM(is_start) AS INT) AS n_segments
+            FROM sg GROUP BY doc_id
+        ),
+        sl AS (
+            SELECT doc_id, seg_id, CAST(COUNT(*) AS INT) AS seg_len
+            FROM sg WHERE active GROUP BY doc_id, seg_id
+        ),
+        mx AS (
+            SELECT doc_id, MAX(seg_len) AS max_segment_frames
+            FROM sl GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.total_frames, p.active_frames, p.n_segments,
+               COALESCE(m.max_segment_frames, 0)::INT AS max_segment_frames
+        FROM per p LEFT JOIN mx m USING (doc_id)
+    """,
+    doc=(
+        "Energy-based voice-activity detection (VAD) over the PCM16 "
+        "audio column: fixed-width frames score integer energy, frames "
+        "above the threshold are 'speech', and consecutive active "
+        "frames merge into segments (gaps-and-islands) — per doc the "
+        "frame counts, segment count, and longest segment. This is the "
+        "audio-curation sibling of mm_scene_cut: training pipelines run "
+        "exactly this pass to drop silence and split long recordings "
+        "before transcription. Plan: one map-only Arrow decode pass "
+        "emitting ~5 counter rows per doc (materialized once via lazy "
+        "localCheckpoint — two consumers), then keyed windows and "
+        "aggregates over counters, never samples: per-doc state is "
+        "frames, not audio bytes, so a 100 TB corpus streams through "
+        "with executor memory bounded by frame counts. The activity "
+        "decision is exact int64 (no float RMS), making the segment "
+        "structure hash-verifiable cross-engine."
+    ),
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    audio = _audio_table(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_id", T.IntegerType()),
+            T.StructField("f_len", T.IntegerType()),
+            T.StructField("ssq", T.LongType()),
+        ]
+    )
+    frames = audio.mapInPandas(vad_frames_batch, schema).localCheckpoint(
+        eager=False
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    active = F.col("ssq") > F.col("f_len").cast("long") * VAD_MEANSQ
+    fr = (
+        frames.withColumn("active", active)
+        .withColumn("prev_a", F.lag("active").over(w))
+        .withColumn(
+            "is_start",
+            (F.col("active") & ~F.coalesce(F.col("prev_a"), F.lit(False)))
+            .cast("int"),
+        )
+        .withColumn(
+            "seg_id",
+            F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per = fr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("total_frames"),
+        F.sum(F.col("active").cast("int")).cast("int").alias("active_frames"),
+        F.sum("is_start").cast("int").alias("n_segments"),
+    )
+    seg_len = (
+        fr.filter(F.col("active"))
+        .groupBy("doc_id", "seg_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("seg_len"))
+    )
+    mx = seg_len.groupBy("doc_id").agg(
+        F.max("seg_len").alias("max_segment_frames")
+    )
+    return per.join(mx, "doc_id", "left").select(
+        "doc_id",
+        "total_frames",
+        "active_frames",
+        "n_segments",
+        F.coalesce("max_segment_frames", F.lit(0))
+        .cast("int")
+        .alias("max_segment_frames"),
+    )

@@ -2522,3 +2522,91 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(24).cast("bigint").alias("n_bins"),
         F.round(F.sum(term).cast("double"), 6).alias("psi"),
     )
+
+
+@register(
+    "ts_yoy_growth",
+    "E",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                   CAST(EXTRACT(month FROM o.o_orderdate) AS INT) AS o_month,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, o_year, o_month
+        )
+        SELECT a.n_name, a.o_year, a.o_month, a.rev_cents,
+               b.rev_cents AS prev_cents,
+               CASE WHEN b.rev_cents IS NOT NULL AND b.rev_cents != 0
+                    THEN ROUND((a.rev_cents - b.rev_cents)::DOUBLE
+                               / b.rev_cents * 100, 6)
+               END AS yoy_pct
+        FROM rev a
+        LEFT JOIN rev b
+          ON b.n_name = a.n_name
+         AND b.o_year = a.o_year - 1
+         AND b.o_month = a.o_month
+    """,
+    doc=(
+        "Year-over-year growth: monthly order revenue per nation with "
+        "the same month's prior-year revenue and percent change — the "
+        "analytics staple behind every KPI dashboard. The prior-year "
+        "value comes from an explicit (nation, year−1, month) equi-"
+        "self-join, NOT a lag-12 window: row-offset lag silently reads "
+        "the wrong month whenever any month is missing from a partition "
+        "(sparse fixture months at small sf, sparse dimensions at any "
+        "sf), while the equi-join is gap-correct by construction and "
+        "lets Catalyst reuse the aggregate's exchange for both sides. "
+        "Money sums in integer cents; the only float is the final "
+        "round-6 percentage of two exact integers."
+    ),
+)
+def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("bigint").alias("rev_cents"))
+    )
+    prev = rev.select(
+        F.col("n_name").alias("p_name"),
+        (F.col("o_year") + 1).alias("p_year"),
+        F.col("o_month").alias("p_month"),
+        F.col("rev_cents").alias("prev_cents"),
+    )
+    j = rev.join(
+        prev,
+        (F.col("n_name") == F.col("p_name"))
+        & (F.col("o_year") == F.col("p_year"))
+        & (F.col("o_month") == F.col("p_month")),
+        "left",
+    )
+    return j.select(
+        "n_name",
+        "o_year",
+        "o_month",
+        "rev_cents",
+        "prev_cents",
+        F.when(
+            F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0),
+            F.round(
+                (F.col("rev_cents") - F.col("prev_cents")).cast("double")
+                / F.col("prev_cents")
+                * 100,
+                6,
+            ),
+        ).alias("yoy_pct"),
+    )

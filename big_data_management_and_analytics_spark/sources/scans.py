@@ -561,6 +561,42 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_groupby_all",
+    "A",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents
+        FROM lineitem
+        GROUP BY ALL
+    """,
+    doc=(
+        "GROUP BY ALL (Spark 3.4+ / DuckDB shared SQL surface): the "
+        "grouping key set is inferred as every non-aggregate select "
+        "item, removing the classic copy-the-select-list maintenance "
+        "hazard. Catalyst resolves it to an ordinary Aggregate during "
+        "analysis, so the physical plan (partial + final hash "
+        "aggregate) is byte-identical to the explicit GROUP BY form — "
+        "pure parser surface, zero plan cost. Money in integer cents "
+        "per the determinism conventions."
+    ),
+)
+def sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
     "meta_table_stats",
     "A",
     oracle="""

@@ -117,6 +117,10 @@ SENSITIVE = [
     "agg_lift_chart",      # two-pass decile cut + array-folded capture
     "dq_psi_drift",        # decimal-quantized ln terms over exact bins
     "llm_span_corruption", # hash-position masks, map-only
+    # round-4 additions
+    "llm_ngram_novelty",   # first-occurrence join + round-6 ratio
+    "ts_yoy_growth",       # cents sums + prior-year equi-join percentage
+    "mm_audio_vad",        # integer frame energies + islands windows
 ]
 
 

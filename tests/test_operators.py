@@ -2997,3 +2997,127 @@ def test_psi_shifted_distribution_positive(spark, tmp_path):
     ev.write.parquet(d + "/events.parquet")
     r = timeseries.dq_psi_drift(spark, d).collect()[0]
     assert r["psi"] > 1.0
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """First-occurrence attribution: an exact copy has zero novelty, a
+    one-token variant exactly half, and a <5-token doc reports NULL."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "en", "s", 11),   # grams: abcde, bcdef
+            (2, "a b c d e f", "en", "s", 11),   # exact copy -> novelty 0
+            (3, "a b c d e x", "en", "s", 11),   # abcde seen, bcdex new
+            (4, "too short", "en", "s", 9),      # <5 tokens -> no grams
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "nov")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in llm_corpus.llm_ngram_novelty(spark, d).collect()
+    }
+    assert (rows[1]["n_grams"], rows[1]["n_novel"]) == (2, 2)
+    assert rows[1]["novelty_ratio"] == 1.0
+    assert (rows[2]["n_grams"], rows[2]["n_novel"]) == (2, 0)
+    assert rows[3]["novelty_ratio"] == 0.5
+    assert rows[4]["n_grams"] == 0 and rows[4]["novelty_ratio"] is None
+
+
+def test_vocab_growth_planted_deciles(spark, tmp_path):
+    """Tokens land in the decile of their FIRST doc; cumulative sums add
+    across deciles (multi-decile case the tiny-vocab fixture never hits)."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (0, "w0", "en", "s", 2),
+            (5, "w0 w5", "en", "s", 5),   # w0 already seen at doc 0
+            (9, "w9 w5", "en", "s", 5),   # w5 already seen at doc 5
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "vg")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = {
+        r["decile"]: r for r in llm_corpus.llm_vocab_growth(spark, d).collect()
+    }
+    assert set(rows) == {0, 5, 9}
+    assert [rows[k]["n_new_tokens"] for k in (0, 5, 9)] == [1, 1, 1]
+    assert [rows[k]["cum_vocab"] for k in (0, 5, 9)] == [1, 2, 3]
+
+
+def test_sample_topk_hash_exact_k_and_stable(spark):
+    """The sample is exactly k rows and identical across repeated runs
+    (hash order has no partition/session dependence)."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+    from tests.conftest import SF_T2
+
+    sf = SF_T2
+    a = llm_corpus.llm_sample_topk_hash(spark, sf).collect()
+    b = llm_corpus.llm_sample_topk_hash(spark, sf).collect()
+    assert len(a) == 100
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_audio_vad_segments_planted(spark, tmp_path):
+    """Known byte content -> known segment structure: 'z' pairs (v=31354,
+    mean square 9.8e8) are active, space pairs (v=8224, 6.8e7) are not;
+    active-inactive-active-active frames merge into 2 segments with a
+    longest run of 2."""
+    from big_data_management_and_analytics_spark.functions import multimodal
+
+    text = "z" * 64 + " " * 64 + "z" * 128  # 128 samples = 4 frames of 32
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "vad")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    r = multimodal.mm_audio_vad(spark, d).collect()[0]
+    assert r["total_frames"] == 4
+    assert r["active_frames"] == 3
+    assert r["n_segments"] == 2
+    assert r["max_segment_frames"] == 2
+
+
+def test_yoy_growth_planted(spark, tmp_path):
+    """Prior-year value joins on (nation, year-1, month) — a 50% growth
+    case and a no-prior-year NULL case, immune to missing months."""
+    import datetime
+
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    d = str(tmp_path / "yoy")
+    spark.createDataFrame(
+        [(1, "ALPHA", 0)],
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(d + "/nation.parquet")
+    spark.createDataFrame(
+        [(10, "c", 1, 0.0, "m")],
+        schema=(
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string"
+        ),
+    ).write.parquet(d + "/customer.parquet")
+    spark.createDataFrame(
+        [
+            (100, 10, "O", 100.0, datetime.datetime(1994, 3, 5), "p"),
+            (101, 10, "O", 150.0, datetime.datetime(1995, 3, 9), "p"),
+            (102, 10, "O", 80.0, datetime.datetime(1995, 7, 1), "p"),
+        ],
+        schema=(
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+        ),
+    ).write.parquet(d + "/orders.parquet")
+    rows = {
+        (r["o_year"], r["o_month"]): r
+        for r in timeseries.ts_yoy_growth(spark, d).collect()
+    }
+    assert rows[(1995, 3)]["yoy_pct"] == 50.0
+    assert rows[(1995, 3)]["prev_cents"] == 10000
+    assert rows[(1994, 3)]["yoy_pct"] is None
+    assert rows[(1995, 7)]["yoy_pct"] is None

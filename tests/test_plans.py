@@ -384,6 +384,15 @@ def test_minhash_signature_is_codegen_no_python(spark, registry):
             assert node not in plan, f"{name} left codegen: {node}"
 
 
+def test_sample_topk_hash_uses_bounded_heaps(spark, registry):
+    """llm_sample_topk_hash's exact-k sample must plan as
+    TakeOrderedAndProject (per-partition k-heaps + driver merge), never
+    a global sort or a window — k rows of driver traffic at any scale."""
+    plan = _plan(registry["llm_sample_topk_hash"].fn(spark, SF_T2))
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+
+
 def test_bpe_pairs_topk_avoids_global_sort(spark, registry):
     """llm_bpe_pairs' deterministic top-50 must plan as
     TakeOrderedAndProject (bounded per-partition heaps + driver merge),
