@@ -1297,3 +1297,83 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
     )
+
+
+@register(
+    "dq_join_skew",
+    "L",
+    oracle="""
+        WITH freq AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+            FROM events GROUP BY user_id
+        ),
+        tot AS (
+            SELECT CAST(SUM(f) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(f) AS BIGINT) AS max_freq
+            FROM freq
+        )
+        SELECT t.n_rows, t.n_keys, t.max_freq,
+               ROUND(t.max_freq::DOUBLE / t.n_rows, 6) AS top1_share,
+               CAST(COUNT(*) FILTER (WHERE q.f * t.n_keys > 2 * t.n_rows)
+                    AS BIGINT) AS heavy_2x,
+               CAST(COUNT(*) FILTER (WHERE q.f * t.n_keys > 4 * t.n_rows)
+                    AS BIGINT) AS heavy_4x,
+               CAST(COUNT(*) FILTER (WHERE q.f * t.n_keys > 8 * t.n_rows)
+                    AS BIGINT) AS heavy_8x,
+               CAST((t.max_freq * t.n_keys + t.n_rows - 1) // t.n_rows
+                    AS BIGINT) AS salt_factor
+        FROM freq q CROSS JOIN tot t
+        GROUP BY t.n_rows, t.n_keys, t.max_freq
+    """,
+    doc=(
+        "Join-key SKEW diagnostic — the report an engineer (or an "
+        "auto-tuner) reads before choosing broadcast/salting/AQE for a "
+        "shuffle join on this key: per-key frequencies reduced to row/"
+        "key/max counts, the heaviest key's share, heavy-hitter counts "
+        "at 2×/4×/8× the mean (decided by the exact integer cross-"
+        "product f·n_keys > k·n_rows — no float mean), and the ceil "
+        "salt factor join_salted_skew would need to level the hottest "
+        "key. Plan: one partial-agg groupBy on the key, then a 1-row "
+        "counters broadcast folded over the frequency table — the "
+        "two-aggregate shape is linear and the second pass touches "
+        "n_keys rows, not n_rows. Complements dq_profile (values) and "
+        "dq_psi_drift (distribution shift) with the join-planning view."
+    ),
+)
+def dq_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    tot = freq.agg(
+        F.sum("f").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("f").cast("bigint").alias("max_freq"),
+    )
+    heavy = lambda k: F.sum(
+        (F.col("f") * F.col("n_keys") > k * F.col("n_rows")).cast("bigint")
+    ).cast("bigint")
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .groupBy("n_rows", "n_keys", "max_freq")
+        .agg(
+            heavy(2).alias("heavy_2x"),
+            heavy(4).alias("heavy_4x"),
+            heavy(8).alias("heavy_8x"),
+        )
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            F.round(
+                F.col("max_freq").cast("double") / F.col("n_rows"), 6
+            ).alias("top1_share"),
+            "heavy_2x",
+            "heavy_4x",
+            "heavy_8x",
+            F.expr(
+                "CAST((max_freq * n_keys + n_rows - 1) DIV n_rows AS BIGINT)"
+            ).alias("salt_factor"),
+        )
+    )

@@ -939,3 +939,75 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("last_signup")).alias("signup_ts"),
         in_tol.alias("within_tolerance"),
     )
+
+
+@register(
+    "join_asof_multi",
+    "C",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               s.ts AS last_signup_ts, c.ts AS last_click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc=(
+        "Multi-feature POINT-IN-TIME join (the feature-store primitive): "
+        "each purchase enriched with the latest earlier-or-equal signup "
+        "AND the latest earlier-or-equal click of the same user, with no "
+        "future leakage on either feature. The naive form is one as-of "
+        "join PER feature table (k shuffles + k window passes); here all "
+        "three event kinds union into ONE relation and a single "
+        "partitioned window carries k last(ignorenulls) columns at once "
+        "— one shuffle and one sort total, independent of the number of "
+        "feature streams, which is what survives a feature store with "
+        "dozens of tables at 100 TB. Feature rows order before the "
+        "purchase row at equal timestamps (tag asc) so ties are "
+        "inclusive, matching DuckDB's ASOF `>=`; only timestamps are "
+        "emitted, so equal-ts feature duplicates cannot produce an "
+        "engine-dependent pick."
+    ),
+)
+def join_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("s_ts"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(1).alias("tag"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts",
+        F.col("ts").alias("s_ts"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(0).alias("tag"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("s_ts"),
+        F.col("ts").alias("c_ts"),
+        F.lit(0).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(signups)
+        .unionByName(clicks)
+        .withColumn("last_signup_ts", F.last("s_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_signup_ts",
+            "last_click_ts",
+        )
+    )

@@ -225,3 +225,60 @@ def proj_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overflow_add"
         ),
     )
+
+
+@register(
+    "proj_transpose",
+    "B",
+    oracle="""
+        SELECT 'n_lines' AS key,
+               CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT)
+                   AS "A",
+               CAST(COUNT(*) FILTER (WHERE l_returnflag = 'N') AS BIGINT)
+                   AS "N",
+               CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+                   AS "R"
+        FROM lineitem
+        UNION ALL
+        SELECT 'sum_qty',
+               CAST(SUM(CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'A') AS BIGINT),
+               CAST(SUM(CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'N') AS BIGINT),
+               CAST(SUM(CAST(l_quantity AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'sum_price_cents',
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'A') AS BIGINT),
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'N') AS BIGINT),
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+        FROM lineitem
+    """,
+    doc=(
+        "DataFrame TRANSPOSE (Spark 4.0 relational pivot of a compact "
+        "summary): per-returnflag metrics flip to one row per metric "
+        "with a column per flag — the report-layout step that previously "
+        "forced a driver-side pandas detour. Spark sorts the new columns "
+        "by index value and types them by the common value type (all "
+        "BIGINT here), so the shape is deterministic; the oracle states "
+        "the transposed layout directly with conditional aggregates. "
+        "Scale note: transpose materializes one column PER DISTINCT "
+        "index value — valid for bounded summaries like this 3-row "
+        "aggregate, never for high-cardinality frames (that inversion "
+        "is agg_pivot's guarded territory)."
+    ),
+)
+def proj_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    li = load(spark, sf_dir, "lineitem")
+    small = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        F.sum(cents("l_extendedprice")).cast("bigint").alias("sum_price_cents"),
+    )
+    return small.transpose("l_returnflag")

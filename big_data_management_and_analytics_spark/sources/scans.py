@@ -597,6 +597,48 @@ def sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_lateral_alias",
+    "A",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * CAST(l_quantity AS BIGINT) AS ext_cents,
+               CASE WHEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * CAST(l_quantity AS BIGINT) > 100000000
+                    THEN 'big' ELSE 'small' END AS tier
+        FROM lineitem
+    """,
+    doc=(
+        "LATERAL COLUMN ALIAS references (Spark 3.4+ / DuckDB shared "
+        "surface): select items reference earlier aliases of the SAME "
+        "select list (ext_cents builds on price_cents and qty; tier on "
+        "ext_cents), killing the copy-the-expression pyramid. The "
+        "analyzer inlines the aliases into one Project — the oracle "
+        "states the fully-expanded classic form and hash-matches, "
+        "proving pure parser sugar with zero plan cost. Exact integer "
+        "cents per the determinism conventions."
+    ),
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   AS price_cents,
+               CAST(l_quantity AS BIGINT) AS qty,
+               price_cents * qty AS ext_cents,
+               CASE WHEN ext_cents > 100000000 THEN 'big' ELSE 'small' END
+                   AS tier
+        FROM lineitem
+        """
+    )
+
+
+@register(
     "meta_table_stats",
     "A",
     oracle="""

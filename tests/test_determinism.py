@@ -121,6 +121,8 @@ SENSITIVE = [
     "llm_ngram_novelty",   # first-occurrence join + round-6 ratio
     "ts_yoy_growth",       # cents sums + prior-year equi-join percentage
     "mm_audio_vad",        # integer frame energies + islands windows
+    "graph_modularity",    # integer edge/degree counts -> round-6 Q terms
+    "join_asof_multi",     # multi-carry window, total-order tiebreaks
 ]
 
 

@@ -3121,3 +3121,114 @@ def test_yoy_growth_planted(spark, tmp_path):
     assert rows[(1995, 3)]["prev_cents"] == 10000
     assert rows[(1994, 3)]["yoy_pct"] is None
     assert rows[(1995, 7)]["yoy_pct"] is None
+
+
+def test_asof_multi_inclusive_ties_and_independence(spark, tmp_path):
+    """Each feature carries independently: a purchase sees the latest
+    earlier-or-equal signup AND click, ties are inclusive, and a missing
+    feature stays NULL without disturbing the other."""
+    import datetime as dt
+
+    from big_data_management_and_analytics_spark.operators import joins
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    ev = spark.createDataFrame(
+        [
+            (1, T("2024-01-01T09:00:00"), 7, "signup", 0.0, "{}"),
+            (2, T("2024-01-01T09:30:00"), 7, "click", 0.0, "{}"),
+            (3, T("2024-01-01T10:00:00"), 7, "click", 0.0, "{}"),  # tie
+            (4, T("2024-01-01T10:00:00"), 7, "purchase", 1.0, "{}"),
+            (5, T("2024-01-01T11:00:00"), 8, "purchase", 1.0, "{}"),  # alone
+        ],
+        schema="event_id long, ts timestamp, user_id long, event_type string,"
+               " value double, props string",
+    )
+    d = str(tmp_path / "asofm")
+    ev.write.mode("overwrite").parquet(d + "/events.parquet")
+    rows = {r["event_id"]: r for r in joins.join_asof_multi(spark, d).collect()}
+    assert rows[4]["last_signup_ts"] == T("2024-01-01T09:00:00")
+    assert rows[4]["last_click_ts"] == T("2024-01-01T10:00:00")  # inclusive tie
+    assert rows[5]["last_signup_ts"] is None
+    assert rows[5]["last_click_ts"] is None
+
+
+def test_modularity_hand_graph(spark, tmp_path):
+    """2 nations, hand-checkable Q terms: nation A holds the only intra
+    edge; contributions follow e_c/m - (d_c/2m)^2 exactly."""
+    from big_data_management_and_analytics_spark.operators import graph
+
+    d = str(tmp_path / "mod")
+    spark.createDataFrame(
+        [(0, "NA", 0), (1, "NB", 0)],
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(d + "/nation.parquet")
+    spark.createDataFrame(
+        [(10, "c", 0, 0.0, "m"), (11, "c", 1, 0.0, "m")],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(d + "/customer.parquet")
+    spark.createDataFrame(
+        [(20, "s", 0, 0.0), (21, "s", 1, 0.0)],
+        schema="s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(d + "/supplier.parquet")
+    # orders/lineitem: edges (c10,s20) intra-A, (c10,s21) cross, (c11,s21) intra-B... keep
+    # it to m=3: c10-s20 (A-A), c10-s21 (A-B), c11-s20 (B-A).
+    import datetime as _dt
+
+    _od = _dt.datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [(100, 10, "O", 1.0, _od, "p"), (101, 11, "O", 1.0, _od, "p")],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string,"
+               " o_totalprice double, o_orderdate timestamp,"
+               " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp"
+    )
+    import datetime as dt
+    sd = dt.datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [
+            (100, 1, 20, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", sd),
+            (100, 1, 21, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", sd),
+            (101, 1, 20, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", sd),
+        ],
+        schema=li_schema,
+    ).write.parquet(d + "/lineitem.parquet")
+    rows = {r["community"]: r for r in graph.graph_modularity(spark, d).collect()}
+    # m=3; NA: intra=1 (c10-s20), degree endpoints: c10 has 2, s20 has 2 -> 4
+    assert rows["NA"]["intra_edges"] == 1 and rows["NA"]["degree_sum"] == 4
+    assert rows["NA"]["n_nodes"] == 2
+    assert rows["NA"]["contribution"] == round(1 / 3 - (4 / 6) ** 2, 6)
+    # NB: intra=0; c11 degree 1, s21 degree 1 -> 2
+    assert rows["NB"]["intra_edges"] == 0 and rows["NB"]["degree_sum"] == 2
+    assert rows["NB"]["contribution"] == round(0 / 3 - (2 / 6) ** 2, 6)
+
+
+def test_join_skew_planted_hot_key(spark, tmp_path):
+    """A planted 8x-hot key is counted at every heavy tier and drives the
+    ceil salt factor (integer cross-product decisions, no float mean)."""
+    import datetime as dt
+
+    from big_data_management_and_analytics_spark.operators import aggregations
+
+    rows = []
+    eid = 0
+    # 9 keys with 1 row each, key 99 with 91 rows -> n_rows=100, n_keys=10
+    for u in range(9):
+        rows.append((eid, dt.datetime(2024, 1, 1), u, "click", 0.0, "{}")); eid += 1
+    for _ in range(91):
+        rows.append((eid, dt.datetime(2024, 1, 1), 99, "click", 0.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string,"
+               " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "skew") + "/events.parquet")
+    r = aggregations.dq_join_skew(spark, str(tmp_path / "skew")).collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_freq"]) == (100, 10, 91)
+    assert r["top1_share"] == 0.91
+    # f*n_keys > k*n_rows: 91*10=910 > 200/400/800 -> only the hot key
+    assert (r["heavy_2x"], r["heavy_4x"], r["heavy_8x"]) == (1, 1, 1)
+    assert r["salt_factor"] == 10  # ceil(91*10/100)
