@@ -1159,3 +1159,97 @@ def llm_sample_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "llm_fingerprint_winnow",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, gs.i,
+                   {SQL_PH0.format(col="(t[gs.i] || ' ' || t[gs.i+1] || ' ' || t[gs.i+2] || ' ' || t[gs.i+3])")}
+                       AS h
+            FROM toks, LATERAL (
+                SELECT UNNEST(generate_series(1, len(t) - 3)) AS i
+            ) gs
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS fp
+            FROM grams
+        ),
+        rep AS (
+            SELECT fp, MIN(doc_id) AS bucket_rep, COUNT(*) AS bucket_n
+            FROM fps GROUP BY fp
+        )
+        SELECT f.doc_id,
+               CAST(MIN(r.bucket_rep) AS BIGINT) AS group_rep,
+               CAST(MAX(r.bucket_n) AS BIGINT) AS max_bucket_size,
+               MIN(r.bucket_rep) < f.doc_id AS is_candidate_dup
+        FROM fps f JOIN rep r USING (fp)
+        GROUP BY f.doc_id
+    """,
+    doc=(
+        "WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, "
+        "SIGMOD 2003 — the MOSS algorithm): positional 4-token k-gram "
+        "hashes, a w=4 sliding window keeping each window's minimum "
+        "hash, the distinct minima forming the doc's fingerprint set; "
+        "docs sharing a fingerprint bucket-group exactly like the "
+        "minhash LSH output (min-rep groups, linear — never pairs). "
+        "Winnowing guarantees every shared run of w+k-1 = 7 tokens "
+        "yields a shared fingerprint while sampling only ~2/(w+1) of "
+        "grams — the local-dedup guarantee MinHash (whole-doc "
+        "similarity) does not give and exact substring dedup "
+        "(llm_dedup_substring, ALL grams) pays k× more hashes for. "
+        "Variant note: windows shorter than w at a doc's start also "
+        "emit their minimum (pure trailing-window min — one window "
+        "expression, no edge case), and the fingerprint SET makes "
+        "equal-hash tie rules moot; the oracle mirrors the exact same "
+        "rule. All hashing is the portable md5 family, whole-stage "
+        "codegen; per-doc state is one sorted window, map-side "
+        "otherwise — linear at 100 TB."
+    ),
+)
+def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.llm_dedup import (
+        _bucket_group_assign,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    g = F.when(
+        F.size("t") >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 3),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("t"), i + k) for k in range(4)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        spread(d, "doc_id")
+        .select("doc_id", t.alias("t"))
+        .select("doc_id", F.posexplode(g).alias("i", "gram"))
+        .select("doc_id", "i", ph0(F.col("gram")).alias("h"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    # Materialize once: the bucket assign consumes fps in two subplans
+    # (bucket aggregate + join), and without this the tokenize+hash+
+    # window pipeline runs twice (the minhash-signature lesson; ~2n/(w+1)
+    # long pairs of state — linear).
+    fps = (
+        grams.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return _bucket_group_assign(fps, "doc_id", bucket_cols=("fp",))

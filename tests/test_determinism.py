@@ -123,6 +123,7 @@ SENSITIVE = [
     "mm_audio_vad",        # integer frame energies + islands windows
     "graph_modularity",    # integer edge/degree counts -> round-6 Q terms
     "join_asof_multi",     # multi-carry window, total-order tiebreaks
+    "llm_fingerprint_winnow",  # positional hash windows -> bucket groups
 ]
 
 

@@ -3232,3 +3232,30 @@ def test_join_skew_planted_hot_key(spark, tmp_path):
     # f*n_keys > k*n_rows: 91*10=910 > 200/400/800 -> only the hot key
     assert (r["heavy_2x"], r["heavy_4x"], r["heavy_8x"]) == (1, 1, 1)
     assert r["salt_factor"] == 10  # ceil(91*10/100)
+
+
+def test_winnow_local_match_guarantee(spark, tmp_path):
+    """Winnowing's defining property: any shared run of w+k-1 = 7 tokens
+    forces a shared fingerprint (docs group together), while docs with
+    no such run stay apart."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    shared = "one two three four five six seven"  # 7-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta", "en", "s", 1),
+            (2, "zeta " + shared, "en", "s", 1),          # same 7-run inside
+            (3, "wholly unrelated words appear in this doc", "en", "s", 1),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "win")
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
+    g = {
+        r["doc_id"]: r
+        for r in llm_corpus.llm_fingerprint_winnow(spark, d).collect()
+    }
+    assert g[2]["group_rep"] == 1          # guaranteed shared fingerprint
+    assert g[2]["is_candidate_dup"]
+    assert g[3]["group_rep"] == 3          # disjoint vocabulary stays apart
+    assert not g[3]["is_candidate_dup"]
