@@ -1244,3 +1244,124 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def _lsh_tuning_oracle() -> str:
+    """Per-config CTE blocks over the shared signature CTE."""
+    blocks, selects = [], []
+    for bands in (16, 8, 4, 2):
+        r = N_HASHES // bands
+        rows = ",".join(
+            "({b}, {expr})".format(
+                b=b,
+                expr=" || ':' || ".join(f"s{b * r + j}" for j in range(r)),
+            )
+            for b in range(bands)
+        )
+        blocks.append(f"""
+        bb{bands} AS (
+            SELECT doc_id, v.band, v.bucket
+            FROM sig CROSS JOIN LATERAL (VALUES {rows}) v(band, bucket)
+        ),
+        rep{bands} AS (
+            SELECT band, bucket, MIN(doc_id) AS rep, COUNT(*) AS n
+            FROM bb{bands} GROUP BY band, bucket
+        ),
+        summ{bands} AS (
+            SELECT {bands} AS bands, {r} AS rows_per_band,
+                   (SELECT CAST(COUNT(*) FILTER (WHERE n >= 2) AS BIGINT)
+                    FROM rep{bands}) AS n_multi_buckets,
+                   (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT)
+                    FROM rep{bands}) AS n_candidate_pairs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                        SELECT t.doc_id FROM bb{bands} t
+                        JOIN rep{bands} rr USING (band, bucket)
+                        GROUP BY t.doc_id
+                        HAVING MIN(rr.rep) < t.doc_id
+                   )) AS n_flagged_docs
+        )""")
+        selects.append(f"SELECT * FROM summ{bands}")
+    return ",".join(blocks) + " " + " UNION ALL ".join(selects)
+
+
+@register(
+    "llm_lsh_tuning",
+    "K",
+    oracle=f"""
+        WITH {_minhash_oracle_cte()},
+        {_lsh_tuning_oracle()}
+    """,
+    doc=(
+        "LSH band-geometry TUNING audit: the 16 minhash signatures "
+        "re-banded under every (bands × rows-per-band) factorization — "
+        "16×1, 8×2, 4×4, 2×8 — reporting per config the multi-occupant "
+        "bucket count, the exact candidate-pair workload Σ C(n,2) over "
+        "buckets, and how many docs would flag as candidate dups. This "
+        "is the S-curve trade (more rows per band → higher precision, "
+        "lower recall) measured on the actual corpus instead of "
+        "guessed from the formula — the report you read before fixing "
+        "the production band geometry, computed WITHOUT materializing "
+        "any candidate pair (bucket-count arithmetic only; the n² "
+        "estimate costs O(buckets)). One signature pass (shared, "
+        "checkpointed) + two small aggregates per config. All counts "
+        "exact integers."
+    ),
+)
+def llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs(spark, sf_dir)
+    out = None
+    for bands in (16, 8, 4, 2):
+        r = N_HASHES // bands
+        banded = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col(f"s{b * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        rep = banded.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("n")
+        )
+        bucket_stats = rep.agg(
+            F.sum((F.col("n") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("n_multi_buckets"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+        )
+        flagged = (
+            banded.join(rep, ["band", "bucket"])
+            .groupBy("doc_id")
+            .agg(F.min("rep").alias("grp"))
+            .agg(
+                F.sum((F.col("grp") < F.col("doc_id")).cast("bigint"))
+                .cast("bigint")
+                .alias("n_flagged_docs")
+            )
+        )
+        row = (
+            bucket_stats.crossJoin(F.broadcast(flagged))
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_multi_buckets",
+                "n_candidate_pairs",
+                "n_flagged_docs",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1011,3 +1011,51 @@ def join_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_ts",
         )
     )
+
+
+@register(
+    "join_null_safe",
+    "C",
+    oracle="""
+        WITH lhs AS (
+            SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer GROUP BY NULLIF(c_mktsegment, 'BUILDING')
+        ),
+        rhs AS (
+            SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS n_rich
+            FROM customer WHERE c_acctbal > 5000
+            GROUP BY NULLIF(c_mktsegment, 'BUILDING')
+        )
+        SELECT l.seg, l.n_customers, r.n_rich
+        FROM lhs l JOIN rhs r ON l.seg IS NOT DISTINCT FROM r.seg
+    """,
+    doc=(
+        "NULL-SAFE equality join (Spark <=> / eqNullSafe ≡ SQL IS NOT "
+        "DISTINCT FROM): the NULL group on each side matches the NULL "
+        "group on the other, where ordinary equi-join semantics silently "
+        "drop every NULL-keyed row (filter_null_semantics' three-valued-"
+        "logic lesson applied to the JOIN operator). Physically Spark "
+        "still plans a HASH join — <=> is an equi-comparison with NULL "
+        "as an ordinary key value — so the null-safe form costs the "
+        "same shuffle as =, NOT a nested loop; that plan property is "
+        "what makes it usable on real keys with missing values at "
+        "scale. NULLIF manufactures a nullable key from the fixture."
+    ),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    lhs = c.groupBy(seg.alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    rhs = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .groupBy(seg.alias("seg2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rich"))
+    )
+    return (
+        lhs.join(rhs, F.col("seg").eqNullSafe(F.col("seg2")))
+        .select("seg", "n_customers", "n_rich")
+    )

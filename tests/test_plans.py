@@ -384,6 +384,14 @@ def test_minhash_signature_is_codegen_no_python(spark, registry):
             assert node not in plan, f"{name} left codegen: {node}"
 
 
+def test_null_safe_join_plans_as_hash_join(spark, registry):
+    """join_null_safe's claim: <=> is an equi-comparison, so the plan is
+    a hash/sort-merge join, never a nested loop."""
+    plan = _plan(registry["join_null_safe"].fn(spark, SF_T2))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
 def test_sample_topk_hash_uses_bounded_heaps(spark, registry):
     """llm_sample_topk_hash's exact-k sample must plan as
     TakeOrderedAndProject (per-partition k-heaps + driver merge), never
