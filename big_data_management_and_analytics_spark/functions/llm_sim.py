@@ -919,3 +919,179 @@ def llm_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(docs, "retrieved_id").select(
         "query_id", "rank", "retrieved_id", "score", "lang", "snippet"
     )
+
+
+@register(
+    "llm_knn_classifier",
+    "K",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        q AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+        t AS (SELECT * FROM v WHERE vec_id % 20 != 0),
+        top5 AS (
+            SELECT q.vec_id AS query_id, q.label AS true_label,
+                   t.label AS n_label
+            FROM q JOIN t ON true
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY ROUND({SQL_COSINE.format(a='q.emb', b='t.emb')}, 6)
+                             DESC,
+                         t.vec_id ASC
+            ) <= 5
+        ),
+        votes AS (
+            SELECT query_id, true_label, n_label,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM top5 GROUP BY query_id, true_label, n_label
+        )
+        SELECT query_id, true_label,
+               CAST(arg_max(n_label, n_votes * 1048576 - n_label) AS INT)
+                   AS pred_label,
+               CAST(MAX(n_votes) AS BIGINT) AS n_votes,
+               arg_max(n_label, n_votes * 1048576 - n_label) = true_label
+                   AS correct
+        FROM votes GROUP BY query_id, true_label
+    """,
+    doc=(
+        "k-NN CLASSIFIER with held-out evaluation: every 20th vector is "
+        "a query classified by majority label over its 5 nearest train "
+        "vectors (round-6 cosine, vec_id tiebreak — the llm_sim_knn "
+        "ranking discipline), with the true label carried for accuracy "
+        "audits. Majority election is ONE max_by over the injective "
+        "score n_votes·2^20 − label (ties → smallest label; labels are "
+        "single digits, far under the 2^20 precondition) — the "
+        "composite-argmax trick the survival/argmax operators share. "
+        "Declared exact-small-scale baseline like llm_sim_knn: the "
+        "scored pair space is |queries|×|train| with the IVF/LSH "
+        "operators as the stated 100 TB path; everything downstream of "
+        "scoring is linear in queries."
+    ),
+)
+def llm_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    t = v.filter(F.col("vec_id") % 20 != 0)
+    scored = (
+        F.broadcast(q)
+        .join(t)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.round(cosine_batch(F.col("q_emb"), F.col("emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    pick = F.col("n_votes") * 1048576 - F.col("n_label")
+    return votes.groupBy("query_id", "true_label").agg(
+        F.max_by("n_label", pick).cast("int").alias("pred_label"),
+        F.max("n_votes").cast("bigint").alias("n_votes"),
+        (F.max_by("n_label", pick) == F.col("true_label")).alias("correct"),
+    )
+
+
+@register(
+    "llm_hard_negatives",
+    "K",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        a AS (SELECT * FROM v WHERE vec_id % 25 = 0),
+        scored AS (
+            SELECT a.vec_id AS anchor_id, a.label,
+                   v.vec_id AS other_id, v.label AS o_label,
+                   (v.label = a.label) AS same,
+                   ROUND({SQL_COSINE.format(a='a.emb', b='v.emb')}, 6)
+                       AS cos_sim
+            FROM a JOIN v ON a.vec_id <> v.vec_id
+        ),
+        best AS (
+            SELECT anchor_id, label, same, other_id, cos_sim
+            FROM scored
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY anchor_id, same
+                ORDER BY cos_sim DESC, other_id ASC
+            ) = 1
+        )
+        SELECT p.anchor_id, p.label,
+               p.other_id AS pos_id, p.cos_sim AS pos_sim,
+               n.other_id AS neg_id, n.cos_sim AS neg_sim,
+               ROUND(p.cos_sim - n.cos_sim, 6) AS margin,
+               p.cos_sim > n.cos_sim AS satisfied
+        FROM (SELECT * FROM best WHERE same) p
+        JOIN (SELECT * FROM best WHERE NOT same) n USING (anchor_id, label)
+    """,
+    doc=(
+        "Triplet HARD-NEGATIVE MINING for contrastive/embedding "
+        "training: every 25th vector is an anchor paired with its "
+        "hardest positive (most-similar same-label vector) and hardest "
+        "negative (most-similar different-label vector), plus the "
+        "triplet margin and whether it is already satisfied — exactly "
+        "the per-anchor record a hard-triplet sampler feeds the "
+        "dataloader. One scored pass serves both sides via a "
+        "(same-label?) flag and a single (anchor, side) window — no "
+        "second pair scan. Ranking is round-6 cosine + id tiebreak "
+        "(cross-engine total order). Declared exact-small baseline "
+        "like llm_sim_knn; at 100 TB the candidate set comes from the "
+        "IVF/LSH index instead of all pairs (same plan downstream)."
+    ),
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir)
+    a = v.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("emb").alias("a_emb"),
+    )
+    scored = (
+        F.broadcast(a)
+        .join(v, F.col("anchor_id") != F.col("vec_id"))
+        .select(
+            "anchor_id",
+            F.col("a_label").alias("label"),
+            F.col("vec_id").alias("other_id"),
+            (F.col("label") == F.col("a_label")).alias("same"),
+            F.round(cosine_batch(F.col("a_emb"), F.col("emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same").orderBy(
+        F.col("cos_sim").desc(), F.col("other_id").asc()
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=False)
+    )
+    pos = best.filter(F.col("same")).select(
+        "anchor_id", "label",
+        F.col("other_id").alias("pos_id"), F.col("cos_sim").alias("pos_sim"),
+    )
+    neg = best.filter(~F.col("same")).select(
+        "anchor_id", "label",
+        F.col("other_id").alias("neg_id"), F.col("cos_sim").alias("neg_sim"),
+    )
+    return pos.join(neg, ["anchor_id", "label"]).select(
+        "anchor_id", "label", "pos_id", "pos_sim", "neg_id", "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+        (F.col("pos_sim") > F.col("neg_sim")).alias("satisfied"),
+    )

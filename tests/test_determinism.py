@@ -124,6 +124,8 @@ SENSITIVE = [
     "graph_modularity",    # integer edge/degree counts -> round-6 Q terms
     "join_asof_multi",     # multi-carry window, total-order tiebreaks
     "llm_fingerprint_winnow",  # positional hash windows -> bucket groups
+    "llm_knn_classifier",  # round-6 cosine ranking + injective argmax
+    "llm_hard_negatives",  # round-6 cosine ranking, two-sided window pick
 ]
 
 
