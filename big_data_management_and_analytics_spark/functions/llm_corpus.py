@@ -1253,3 +1253,52 @@ def llm_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return _bucket_group_assign(fps, "doc_id", bucket_cols=("fp",))
+
+
+@register(
+    "llm_template_skeleton",
+    "K",
+    oracle="""
+        WITH sk AS (
+            SELECT doc_id, source,
+                   md5(regexp_replace(lower(text), '[a-z0-9]+', '_', 'g'))
+                       AS skeleton_hash
+            FROM documents
+        )
+        SELECT skeleton_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM sk
+        GROUP BY skeleton_hash
+        HAVING COUNT(*) >= 2
+    """,
+    doc=(
+        "TEMPLATE / boilerplate detection by structural skeleton: every "
+        "alphanumeric run collapses to '_' so documents sharing layout "
+        "but differing in content collide — the inverse of "
+        "llm_dedup_canonical (which keeps content, drops formatting). "
+        "Groups of ≥2 docs are template suspects, with the distinct-"
+        "source count separating site-wide boilerplate (one source, "
+        "many docs) from cross-site templates (many sources) — the "
+        "diagnostic web-corpus pipelines run before deciding what "
+        "near-dup thresholds miss. Map-only normalize + one hash "
+        "aggregate: linear, no window, no join — llm_dedup_exact's "
+        "plan shape at skeleton granularity."
+    ),
+)
+def llm_template_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sk = F.md5(
+        F.regexp_replace(F.lower(F.col("text")), "[a-z0-9]+", "_")
+    )
+    return (
+        d.select("doc_id", "source", sk.alias("skeleton_hash"))
+        .groupBy("skeleton_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1151,3 +1151,94 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("max_segment_frames"),
     )
+
+
+@register(
+    "mm_pixel_stats",
+    "K",
+    oracle=f"""
+        WITH {_MM_BYTES_CTE},
+        sq AS (SELECT doc_id, SUM(v * v) AS ss FROM bytes GROUP BY doc_id),
+        per AS (
+            SELECT g.doc_id, g.h * 32 AS npix,
+                   su.s + 32 * (g.h * 32 - g.n) AS psum,
+                   sq.ss + 1024 * (g.h * 32 - g.n) AS psumsq
+            FROM geom g JOIN sums su USING (doc_id) JOIN sq USING (doc_id)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(npix) AS BIGINT) AS total_pixels,
+               CAST(SUM(psum) AS BIGINT) AS sum_pixels,
+               CAST(SUM(psumsq) AS BIGINT) AS sumsq_pixels,
+               ROUND(SUM(psum)::DOUBLE / SUM(npix) / 255, 6) AS mean_pixel,
+               ROUND(sqrt(SUM(psumsq)::DOUBLE / SUM(npix)
+                          - (SUM(psum)::DOUBLE / SUM(npix))
+                            * (SUM(psum)::DOUBLE / SUM(npix))) / 255, 6)
+                   AS std_pixel
+        FROM per
+    """,
+    doc=(
+        "Corpus NORMALIZATION constants for the image modality: the "
+        "global pixel mean and std (in [0,1] scale) every vision "
+        "training pipeline computes once over the corpus and bakes into "
+        "its preprocessing transform. Per-image integer moments "
+        "(n, Σv, Σv²) come from the Arrow decode pass — int64-exact, so "
+        "the partial aggregation across any partitioning is "
+        "order-independent — and the only floats are the two final "
+        "expressions over exact BIGINT totals (identical operation "
+        "order in the oracle). Map-only decode + one global aggregate: "
+        "the cheapest possible full-corpus pass at 100 TB."
+    ),
+)
+def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_table(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("npix", T.LongType()),
+            T.StructField("psum", T.LongType()),
+            T.StructField("psumsq", T.LongType()),
+        ]
+    )
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            npix, psum, psumsq = [], [], []
+            for b in pdf["payload"]:
+                _w, _h, _mx, raster = parse_pgm(bytes(b))
+                r = raster.astype(np.int64)
+                npix.append(int(r.size))
+                psum.append(int(r.sum()))
+                psumsq.append(int((r * r).sum()))
+            yield pd.DataFrame(
+                {
+                    "npix": pd.array(npix, dtype="int64"),
+                    "psum": pd.array(psum, dtype="int64"),
+                    "psumsq": pd.array(psumsq, dtype="int64"),
+                }
+            )
+
+    per = media.select("payload").mapInPandas(moments, schema)
+    mean_raw = F.col("sum_pixels").cast("double") / F.col("total_pixels")
+    return (
+        per.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.sum("npix").cast("bigint").alias("total_pixels"),
+            F.sum("psum").cast("bigint").alias("sum_pixels"),
+            F.sum("psumsq").cast("bigint").alias("sumsq_pixels"),
+        )
+        .select(
+            "n_images",
+            "total_pixels",
+            "sum_pixels",
+            "sumsq_pixels",
+            F.round(mean_raw / 255, 6).alias("mean_pixel"),
+            F.round(
+                F.sqrt(
+                    F.col("sumsq_pixels").cast("double")
+                    / F.col("total_pixels")
+                    - mean_raw * mean_raw
+                )
+                / 255,
+                6,
+            ).alias("std_pixel"),
+        )
+    )

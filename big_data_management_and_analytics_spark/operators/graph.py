@@ -726,3 +726,94 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contribution"),
         )
     )
+
+
+@register(
+    "graph_assortativity",
+    "G",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+        de AS (
+            SELECT ds.d AS jd, dd.d AS kd
+            FROM edges e
+            JOIN deg ds ON e.src = ds.node
+            JOIN deg dd ON e.dst = dd.node
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(jd) AS BIGINT) AS sj,
+                   CAST(SUM(jd * kd) AS BIGINT) AS sjk,
+                   CAST(SUM(jd * jd) AS BIGINT) AS sj2
+            FROM de
+        )
+        SELECT m AS n_directed_edges, sj AS sum_src_deg,
+               sjk AS sum_deg_products, sj2 AS sum_src_deg_sq,
+               ROUND((m::DOUBLE * sjk - sj::DOUBLE * sj)
+                     / (m::DOUBLE * sj2 - sj::DOUBLE * sj), 6)
+                   AS assortativity
+        FROM mom
+    """,
+    doc=(
+        "Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of "
+        "endpoint degrees across edges of the customer↔supplier purchase "
+        "graph — negative means hubs attach to leaves (the typical "
+        "bipartite/disassortative signature), the structural summary "
+        "read alongside graph_degree_stats and graph_modularity. Each "
+        "undirected edge counts in both directions, which reduces the "
+        "correlation to exact BIGINT moments (M, Σj, Σjk, Σj²) folded "
+        "in ONE aggregate; r = (M·Σjk − (Σj)²)/(M·Σj² − (Σj)²) is a "
+        "single round-6 double over those exact integers. Plan: the "
+        "degree table joins to the edge list twice (hash joins, "
+        "AQE-splittable) and everything partial-aggregates — linear in "
+        "edges, one counters-row output."
+    ),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    de = (
+        edges.join(deg.select(F.col("node").alias("src"), F.col("d").alias("jd")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("kd")), "dst")
+    )
+    mom = de.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("jd").cast("bigint").alias("sj"),
+        F.sum(F.col("jd") * F.col("kd")).cast("bigint").alias("sjk"),
+        F.sum(F.col("jd") * F.col("jd")).cast("bigint").alias("sj2"),
+    )
+    md, sjd = F.col("m").cast("double"), F.col("sj").cast("double")
+    return mom.select(
+        F.col("m").alias("n_directed_edges"),
+        F.col("sj").alias("sum_src_deg"),
+        F.col("sjk").alias("sum_deg_products"),
+        F.col("sj2").alias("sum_src_deg_sq"),
+        F.round(
+            (md * F.col("sjk") - sjd * F.col("sj"))
+            / (md * F.col("sj2") - sjd * F.col("sj")),
+            6,
+        ).alias("assortativity"),
+    )

@@ -2610,3 +2610,71 @@ def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("yoy_pct"),
     )
+
+
+@register(
+    "events_user_overlap",
+    "L",
+    oracle="""
+        WITH tu AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        sizes AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM tu GROUP BY event_type
+        ),
+        shared AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_users
+            FROM tu a JOIN tu b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT s.type_a, s.type_b, sa.n_users AS users_a,
+               sb.n_users AS users_b, s.shared_users,
+               ROUND(s.shared_users::DOUBLE
+                     / (sa.n_users + sb.n_users - s.shared_users), 6)
+                   AS jaccard
+        FROM shared s
+        JOIN sizes sa ON sa.event_type = s.type_a
+        JOIN sizes sb ON sb.event_type = s.type_b
+    """,
+    doc=(
+        "AUDIENCE OVERLAP matrix: Jaccard of distinct-user sets for "
+        "every event-type pair — the cross-channel audience analysis "
+        "behind segment planning (and the user-granularity sibling of "
+        "llm_dedup_shingle's sparse set-similarity shape). Sparse "
+        "formulation: the distinct (type,user) relation self-joins on "
+        "user_id, so work is Σ per-user type-pairs — a user touching t "
+        "types costs C(t,2) rows with t bounded by the type vocabulary "
+        "(5 here), never |users|² — and the per-type sizes broadcast "
+        "back. All counts exact; one round-6 ratio."
+    ),
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    shared = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_users"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b"))
+    jac = F.col("shared_users").cast("double") / (
+        F.col("users_a") + F.col("users_b") - F.col("shared_users")
+    )
+    return (
+        shared.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "users_a", "users_b", "shared_users",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

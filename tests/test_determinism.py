@@ -126,6 +126,9 @@ SENSITIVE = [
     "llm_fingerprint_winnow",  # positional hash windows -> bucket groups
     "llm_knn_classifier",  # round-6 cosine ranking + injective argmax
     "llm_hard_negatives",  # round-6 cosine ranking, two-sided window pick
+    "mm_pixel_stats",      # int64 pixel moments -> two final doubles
+    "events_user_overlap", # sparse set-overlap counts + round-6 jaccard
+    "graph_assortativity", # exact BIGINT edge moments -> one double
 ]
 
 
