@@ -1663,3 +1663,68 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         starts.cast("bigint").alias("n_spans"),
         F.round(n_masked.cast("double") / F.col("n"), 6).alias("mask_rate"),
     )
+
+
+# Fixed demo blocklist (fixture-vocabulary terms so every tier of the
+# decision logic is exercised at any sf; a production list is a config).
+BLOCKLIST = ("slow", "dup", "merge")
+
+
+@register(
+    "llm_blocklist_filter",
+    "K",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS tok
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id,
+                   len(list_filter(tok, x -> x IN ('slow', 'dup', 'merge')))
+                       AS n_hits,
+                   COALESCE(array_to_string(
+                       list_sort(list_distinct(
+                           list_filter(tok, x -> x IN ('slow', 'dup', 'merge'))
+                       )), ','), '') AS hit_terms
+            FROM t
+        )
+        SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+               hit_terms,
+               CASE WHEN n_hits = 0 THEN 'keep'
+                    WHEN n_hits <= 2 THEN 'review'
+                    ELSE 'drop' END AS action
+        FROM hits
+    """,
+    doc=(
+        "BLOCKLIST content filter — the term-matching tier of a safety/"
+        "compliance pipeline (runs beside the statistical "
+        "llm_quality_classifier: lists catch what scores cannot, and "
+        "vice versa): per doc the blocklist hit count, the sorted "
+        "distinct hit terms, and a keep/review/drop action with the "
+        "review band a human-in-the-loop queue consumes. The blocklist "
+        "compiles to a codegen array predicate over the canonical "
+        "tokenizer — map-only, no join (a 10^6-term production list "
+        "would broadcast-join token hashes instead; same output "
+        "contract). Exact counts, no floats."
+    ),
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    bl = F.array(*[F.lit(t) for t in BLOCKLIST])
+    hits = F.filter(tok, lambda x: F.array_contains(bl, x))
+    return (
+        spread(d, "doc_id")
+        .select("doc_id", hits.alias("h"))
+        .select(
+            "doc_id",
+            F.size("h").cast("bigint").alias("n_hits"),
+            F.concat_ws(",", F.sort_array(F.array_distinct(F.col("h")))).alias(
+                "hit_terms"
+            ),
+            F.when(F.size("h") == 0, F.lit("keep"))
+            .when(F.size("h") <= 2, F.lit("review"))
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+        )
+    )

@@ -2678,3 +2678,71 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "win_time_weighted_avg",
+    "E",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+                   epoch_us(ts) AS t_us,
+                   LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_us
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, vc, next_us - t_us AS dur_us
+            FROM seq WHERE next_us IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+               ROUND(SUM(CAST(vc AS DECIMAL(38,0)) * dur_us)::DOUBLE
+                     / SUM(dur_us) / 100, 6) AS twap
+        FROM seg
+        GROUP BY user_id
+        HAVING COUNT(*) > 0
+    """,
+    doc=(
+        "TIME-WEIGHTED average (TWAP): each event's value holds until "
+        "the user's next event, so the average weights by exact "
+        "microsecond duration instead of event count — the standard "
+        "correction when sampling is irregular (ts_ewma decays by "
+        "event order; this weights by wall time; a burst of identical "
+        "readings no longer dominates the mean). All arithmetic exact: "
+        "integer cents × unix_micros durations accumulated in "
+        "DECIMAL(38,0) (value·duration products exceed what a "
+        "worst-case BIGINT guarantees at wide spans — §2.0 rule 2), "
+        "one terminal round-6 division. One partitioned window (lead) "
+        "+ one hash aggregate; the last event per user carries no "
+        "duration and drops on both engines."
+    ),
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.plans.determinism import cents
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        cents("value").alias("vc"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    seg = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id", "vc", (F.col("next_us") - F.col("t_us")).alias("dur_us")
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.round(
+            F.sum(F.col("vc").cast("decimal(38,0)") * F.col("dur_us"))
+            .cast("double")
+            / F.sum("dur_us")
+            / 100,
+            6,
+        ).alias("twap"),
+    )

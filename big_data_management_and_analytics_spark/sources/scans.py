@@ -639,6 +639,46 @@ def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_unpivot",
+    "A",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'n_lines' AS metric, n_lines AS val FROM base
+        UNION ALL
+        SELECT l_returnflag, 'sum_qty', sum_qty FROM base
+    """,
+    doc=(
+        "SQL UNPIVOT clause (Spark 3.4+ wide→long in the parser, the "
+        "inverse of agg_pivot): metric columns melt into (metric, val) "
+        "rows. Catalyst expands UNPIVOT to the same Expand node the "
+        "stack() function builds (agg_unpivot is the expression-API "
+        "twin) — the oracle states the UNION ALL expansion and "
+        "hash-matches, pinning both the NULL-dropping default and "
+        "column naming. Pure parser surface over a bounded summary."
+    ),
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, metric, val
+        FROM (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag
+        )
+        UNPIVOT (val FOR metric IN (n_lines, sum_qty))
+        """
+    )
+
+
+@register(
     "meta_table_stats",
     "A",
     oracle="""

@@ -129,6 +129,7 @@ SENSITIVE = [
     "mm_pixel_stats",      # int64 pixel moments -> two final doubles
     "events_user_overlap", # sparse set-overlap counts + round-6 jaccard
     "graph_assortativity", # exact BIGINT edge moments -> one double
+    "win_time_weighted_avg",  # decimal value-duration products
 ]
 
 
