@@ -1302,3 +1302,43 @@ def llm_template_skeleton(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "llm_domain_cap",
+    "K",
+    oracle="""
+        SELECT source, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS sample_rank
+        FROM documents
+        QUALIFY sample_rank <= 100
+    """,
+    doc=(
+        "DOMAIN CAPPING: at most 100 documents survive per source, "
+        "chosen by portable-hash rank — the anti-domination step corpus "
+        "balancing runs so one crawled site cannot swamp the mixture "
+        "(the per-source form of llm_corpus_temperature's reweighting; "
+        "llm_sample_topk_hash is the global-k sibling). Hash-rank "
+        "selection makes the kept set a uniform, rerun-stable sample "
+        "within each source — growing the corpus only swaps docs out, "
+        "it never reshuffles survivors arbitrarily. One window "
+        "partitioned by source (rank heaps would need "
+        "TakeOrderedAndProject per group, which Spark lacks; the "
+        "window + filter is the standard top-k-per-group plan, "
+        "win_topk_per_group's asserted shape). Output is the capped "
+        "corpus manifest (source, doc_id, rank)."
+    ),
+)
+def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 100)
+    )

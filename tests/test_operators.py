@@ -3259,3 +3259,23 @@ def test_winnow_local_match_guarantee(spark, tmp_path):
     assert g[2]["is_candidate_dup"]
     assert g[3]["group_rep"] == 3          # disjoint vocabulary stays apart
     assert not g[3]["is_candidate_dup"]
+
+
+def test_domain_cap_boundary(spark, tmp_path):
+    """A 101-doc source keeps exactly 100 (hash-ranked); a small source
+    keeps everything; ranks are 1..n_kept without gaps."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    rows = [(i, f"doc {i}", "en", "big", 5) for i in range(101)]
+    rows += [(200, "x", "en", "small", 1), (201, "y", "en", "small", 1)]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "cap") + "/documents.parquet")
+    out = llm_corpus.llm_domain_cap(spark, str(tmp_path / "cap")).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["sample_rank"])
+    assert len(by_src["big"]) == 100
+    assert sorted(by_src["big"]) == list(range(1, 101))
+    assert sorted(by_src["small"]) == [1, 2]
