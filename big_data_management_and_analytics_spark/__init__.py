@@ -36,6 +36,7 @@ def load_all() -> None:
         graph,
         timeseries,
         mining,
+        ml_features,
     )
     from big_data_management_and_analytics_spark.functions import (  # noqa: F401
         strings,

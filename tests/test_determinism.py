@@ -130,6 +130,11 @@ SENSITIVE = [
     "events_user_overlap", # sparse set-overlap counts + round-6 jaccard
     "graph_assortativity", # exact BIGINT edge moments -> one double
     "win_time_weighted_avg",  # decimal value-duration products
+    "feat_standard_scale",  # exact long/decimal moments -> one z expression
+    "feat_minmax_scale",    # exact cents extrema -> one double division
+    "feat_target_encode",   # decimal(38,0)-cleared smoothing ratio
+    "agg_bootstrap_ci",     # hash-seeded Poisson weights + percentile_cont
+    "feat_quantile_bin",    # two-pass global ntile assignment
 ]
 
 

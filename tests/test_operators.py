@@ -3279,3 +3279,147 @@ def test_domain_cap_boundary(spark, tmp_path):
     assert len(by_src["big"]) == 100
     assert sorted(by_src["big"]) == list(range(1, 101))
     assert sorted(by_src["small"]) == [1, 2]
+
+
+def test_standard_scale_known_z(spark, tmp_path):
+    """Hand-computable z-scores: {100,200,300} → {-1,0,1}; a 2-row group
+    gives ±0.707107 (sample stddev, round 6)."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+
+    rows = [
+        (1, 10, "O", 100.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+        (2, 10, "O", 200.0, _ts("2024-01-02T00:00:00"), "1-URGENT"),
+        (3, 10, "O", 300.0, _ts("2024-01-03T00:00:00"), "1-URGENT"),
+        (4, 10, "O", 10.0, _ts("2024-01-04T00:00:00"), "5-LOW"),
+        (5, 10, "O", 20.0, _ts("2024-01-05T00:00:00"), "5-LOW"),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "ss") + "/orders.parquet")
+    out = {r["o_orderkey"]: r["z_score"]
+           for r in ml_features.feat_standard_scale(spark, str(tmp_path / "ss")).collect()}
+    assert (out[1], out[2], out[3]) == (-1.0, 0.0, 1.0)
+    assert (out[4], out[5]) == (-0.707107, 0.707107)
+
+
+def test_minmax_scale_bounds_and_midpoint(spark, tmp_path):
+    """Min→0, max→1, midpoint→0.5 within the group."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+
+    rows = [
+        (1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "A", "F", _ts("2024-01-01T00:00:00")),
+        (1, 1, 1, 2, 1.0, 200.0, 0.0, 0.0, "A", "F", _ts("2024-01-01T00:00:00")),
+        (1, 1, 1, 3, 1.0, 300.0, 0.0, 0.0, "A", "F", _ts("2024-01-01T00:00:00")),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "mm") + "/lineitem.parquet")
+    out = {r["l_linenumber"]: r["mm_scaled"]
+           for r in ml_features.feat_minmax_scale(spark, str(tmp_path / "mm")).collect()}
+    assert (out[1], out[2], out[3]) == (0.0, 0.5, 1.0)
+
+
+def test_target_encode_shrinks_toward_prior(spark, tmp_path):
+    """m=10 smoothing: SEG_A (2×100) → (200+10·200)/12 = 183.333333;
+    SEG_B (1×400) → (400+10·200)/11 = 218.181818 — both pulled toward
+    the global mean 200, the rare category pulled harder."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "SEG_A"), (2, "c2", 0, 0.0, "SEG_A"),
+         (3, "c3", 0, 0.0, "SEG_B")],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "te") + "/customer.parquet")
+    spark.createDataFrame(
+        [(1, 1, "O", 100.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+         (2, 2, "O", 100.0, _ts("2024-01-02T00:00:00"), "1-URGENT"),
+         (3, 3, "O", 400.0, _ts("2024-01-03T00:00:00"), "1-URGENT")],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "te") + "/orders.parquet")
+    out = {r["c_mktsegment"]: r
+           for r in ml_features.feat_target_encode(spark, str(tmp_path / "te")).collect()}
+    assert out["SEG_A"]["n_orders"] == 2
+    assert out["SEG_A"]["encoding"] == 183.333333
+    assert out["SEG_B"]["encoding"] == 218.181818
+
+
+def test_onehot_indicators_and_unknown_category(spark, tmp_path):
+    """Exactly one indicator fires per known priority; an out-of-domain
+    string gets index 0 and an all-zero vector."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+
+    rows = [
+        (1, 10, "O", 1.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+        (2, 10, "O", 1.0, _ts("2024-01-02T00:00:00"), "5-LOW"),
+        (3, 10, "O", 1.0, _ts("2024-01-03T00:00:00"), "9-BOGUS"),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "oh") + "/orders.parquet")
+    out = {r["o_orderkey"]: r
+           for r in ml_features.feat_onehot(spark, str(tmp_path / "oh")).collect()}
+    ind = ["pri_urgent", "pri_high", "pri_medium", "pri_notspec", "pri_low"]
+    assert out[1]["pri_idx"] == 1 and [out[1][c] for c in ind] == [1, 0, 0, 0, 0]
+    assert out[2]["pri_idx"] == 5 and [out[2][c] for c in ind] == [0, 0, 0, 0, 1]
+    assert out[3]["pri_idx"] == 0 and [out[3][c] for c in ind] == [0, 0, 0, 0, 0]
+
+
+def test_hashing_trick_matches_reference_hash_and_cancels(spark, tmp_path):
+    """Bucket/sign reproduce the portable md5 family bit-for-bit, and a
+    repeated token accumulates ±2 in its single bucket."""
+    import hashlib as _hl
+
+    from big_data_management_and_analytics_spark.operators import ml_features
+
+    spark.createDataFrame(
+        [(1, "n", "b", "alpha alpha", 1, 1.0), (2, "n", "b", "beta", 1, 1.0)],
+        schema="p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "ht") + "/part.parquet")
+    out = {(r["p_partkey"], r["bucket"]): r["feat_val"]
+           for r in ml_features.feat_hashing_trick(spark, str(tmp_path / "ht")).collect()}
+
+    def ref(tok):
+        hx = _hl.md5(tok.encode()).hexdigest()
+        return int(hx[0:15], 16) % 64, (1 if int(hx[16:31], 16) % 2 == 0 else -1)
+
+    b_a, s_a = ref("alpha")
+    b_b, s_b = ref("beta")
+    assert out[(1, b_a)] == 2 * s_a   # repeated token stacks its sign
+    assert out[(2, b_b)] == s_b
+    assert len(out) == 2
+
+
+def test_quantile_bin_ntile_remainder_rule(spark, tmp_path):
+    """n=12, k=10 → the first two deciles hold 2 rows, the rest 1
+    (SQL NTILE remainder-first rule), in balance order."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+
+    rows = [(i, f"c{i}", 0, float(i), "S") for i in range(1, 13)]
+    spark.createDataFrame(
+        rows,
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "qb") + "/customer.parquet")
+    out = sorted(
+        (r["acctbal_cents"], r["decile"])
+        for r in ml_features.feat_quantile_bin(spark, str(tmp_path / "qb")).collect()
+    )
+    assert [d for _, d in out] == [1, 1, 2, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+
+
+def test_bootstrap_ci_constant_data_collapses(spark, tmp_path):
+    """On constant data every replica mean is exactly the constant, so
+    the CI collapses to a point and all 32 replicas materialize."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+
+    rows = [(i, 10, "O", 100.0, _ts("2024-01-01T00:00:00"), "1-URGENT")
+            for i in range(1, 41)]
+    spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "bs") + "/orders.parquet")
+    r = ml_features.agg_bootstrap_ci(spark, str(tmp_path / "bs")).collect()[0]
+    assert r["n_replicas"] == 32
+    assert r["ci_lo"] == r["ci_med"] == r["ci_hi"] == 100.0

@@ -667,3 +667,13 @@ def test_scene_cut_single_shuffle(spark, registry):
     tree = plan.split("\n\n(")[0]
     assert tree.count("Exchange") == 1, tree
     assert "Join" not in tree
+
+
+def test_scalers_broadcast_moments_not_window(spark, registry):
+    """The scaler family joins a broadcast per-group aggregate back to the
+    facts — a per-group window would collapse parallelism to the distinct
+    group count (5 priorities / 3 flags) at any scale."""
+    for name in ("feat_standard_scale", "feat_minmax_scale"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "BroadcastHashJoin" in plan, name
+        assert "Window" not in plan, name
