@@ -483,3 +483,175 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("m", F.lit(0.5)), 6).alias("ci_med"),
         F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "llm_nb_langid",
+    "K",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   UNNEST(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT lang, tok, COUNT(*) AS c
+            FROM tok WHERE doc_id % 5 != 0 GROUP BY lang, tok
+        ),
+        vocab AS (SELECT DISTINCT tok FROM cnt),
+        vs AS (SELECT COUNT(*) AS v FROM vocab),
+        nl AS (
+            SELECT lang, COUNT(*) AS n_l
+            FROM documents WHERE doc_id % 5 != 0 GROUP BY lang
+        ),
+        nt AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 != 0),
+        ls AS (
+            SELECT nl.lang, t.tot, vs.v,
+                   CAST(ROUND(ln(1.0 / (t.tot + vs.v)) * 1000000) AS BIGINT)
+                       AS w0,
+                   CAST(ROUND(ln(CAST(nl.n_l AS DOUBLE) / nt.n) * 1000000)
+                        AS BIGINT) AS prior
+            FROM nl
+            JOIN (SELECT lang, SUM(c) AS tot FROM cnt GROUP BY lang) t
+              USING (lang)
+            CROSS JOIN vs CROSS JOIN nt
+        ),
+        dw AS (
+            SELECT cnt.lang, cnt.tok,
+                   CAST(ROUND(ln((cnt.c + 1.0) / (ls.tot + ls.v)) * 1000000)
+                        AS BIGINT) - ls.w0 AS dw
+            FROM cnt JOIN ls USING (lang)
+        ),
+        tt AS (
+            SELECT doc_id, lang AS true_lang, tok, COUNT(*) AS c
+            FROM tok
+            WHERE doc_id % 5 = 0 AND tok IN (SELECT tok FROM vocab)
+            GROUP BY 1, 2, 3
+        ),
+        td AS (
+            SELECT doc_id, true_lang, SUM(c) AS ntok FROM tt GROUP BY 1, 2
+        ),
+        contrib AS (
+            SELECT tt.doc_id, dw.lang, SUM(tt.c * dw.dw) AS sdw
+            FROM tt JOIN dw ON tt.tok = dw.tok GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT td.doc_id, td.true_lang, ls.lang,
+                   ls.prior + td.ntok * ls.w0 + COALESCE(c.sdw, 0) AS score
+            FROM td CROSS JOIN ls
+            LEFT JOIN contrib c
+              ON c.doc_id = td.doc_id AND c.lang = ls.lang
+        )
+        SELECT doc_id, true_lang, lang AS pred_lang,
+               CAST(score AS BIGINT) AS score_micro,
+               lang = true_lang AS correct
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, lang ASC) = 1
+    """,
+    doc=(
+        "MULTINOMIAL NAIVE BAYES language classifier (add-one smoothing "
+        "over the train vocabulary) with held-out evaluation: docs with "
+        "doc_id %% 5 = 0 are scored by the model fit on the rest — the "
+        "count-based classifier whose training IS a groupBy (token "
+        "counts per class), the canonical fully-SQL-expressible ML fit. "
+        "Log-likelihoods are quantized to INTEGER micro-nats per "
+        "(token, class) — ROUND(ln(p)·1e6) — so the per-doc score sum "
+        "and the argmax are EXACT integer arithmetic cross-engine (a "
+        "raw double log-sum would be summation-order-sensitive, §2.0 "
+        "rule 2). The zero-count baseline w0 folds into ntok·w0 so the "
+        "weight table is |observed (token,class)| rows, never "
+        "vocab×classes; unknown test tokens are dropped (vocab "
+        "semi-join), docs with no known token are absent — both "
+        "mirrored in the oracle. Plan: two token aggregates (train fit, "
+        "test counts), one equi-join on token, one 5-class broadcast "
+        "grid, one 5-row-per-doc window pick — everything keyed, "
+        "map-side combinable, linear in corpus size."
+    ),
+)
+def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from big_data_management_and_analytics_spark.functions.strings import tokens
+    from big_data_management_and_analytics_spark.sources.io import spread
+
+    d = load(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tr = tok.filter(F.col("doc_id") % 5 != 0)
+    cnt = tr.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cnt.select("tok").distinct()
+    vs = vocab.agg(F.count(F.lit(1)).alias("v"))
+    nl = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+    )
+    nt = d.filter(F.col("doc_id") % 5 != 0).agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    micro = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
+    ls = (
+        nl.join(tot, "lang")
+        .crossJoin(F.broadcast(vs))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "lang",
+            "tot",
+            "v",
+            micro(F.log(1.0 / (F.col("tot") + F.col("v")))).alias("w0"),
+            micro(F.log(F.col("n_l").cast("double") / F.col("n"))).alias(
+                "prior"
+            ),
+        )
+    )
+    dw = cnt.join(ls, "lang").select(
+        "lang",
+        "tok",
+        (
+            micro(F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("v"))))
+            - F.col("w0")
+        ).alias("dw"),
+    )
+    tt = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .join(vocab, "tok", "left_semi")
+        .groupBy(
+            "doc_id", F.col("lang").alias("true_lang"), "tok"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    td = tt.groupBy("doc_id", "true_lang").agg(F.sum("c").alias("ntok"))
+    contrib = (
+        tt.join(dw.withColumnRenamed("lang", "cand_lang"), "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum(F.col("c") * F.col("dw")).alias("sdw"))
+    )
+    scored = (
+        td.crossJoin(F.broadcast(ls.select(F.col("lang").alias("cand_lang"), "w0", "prior")))
+        .join(contrib, ["doc_id", "cand_lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            (
+                F.col("prior")
+                + F.col("ntok") * F.col("w0")
+                + F.coalesce(F.col("sdw"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cand_lang").alias("pred_lang"),
+            F.col("score").cast("bigint").alias("score_micro"),
+            (F.col("cand_lang") == F.col("true_lang")).alias("correct"),
+        )
+    )

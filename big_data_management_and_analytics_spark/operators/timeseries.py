@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from big_data_management_and_analytics_spark.plans.determinism import money_sum_fast
+from big_data_management_and_analytics_spark.plans.determinism import cents, money_sum_fast
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
 
@@ -2745,4 +2745,211 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100,
             6,
         ).alias("twap"),
+    )
+
+
+@register(
+    "ts_sax",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT user_id, COUNT(*) AS n, SUM(xc) AS s,
+                   SUM(CAST(xc * xc AS DECIMAL(38,0))) AS ss
+            FROM daily GROUP BY user_id HAVING COUNT(*) >= 8
+        ),
+        z AS (
+            SELECT daily.user_id, daily.d, m.n,
+                   CAST(ROUND(
+                       (CAST(daily.xc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+                       / sqrt((CAST(m.ss AS DOUBLE)
+                               - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / m.n)
+                              / (m.n - 1)), 6) AS DECIMAL(18,6)) AS zq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY daily.user_id ORDER BY daily.d) AS rn
+            FROM daily JOIN m ON daily.user_id = m.user_id
+        ),
+        paa AS (
+            SELECT user_id, (rn - 1) // 4 AS seg,
+                   CAST(SUM(zq) AS DOUBLE) / COUNT(*) AS pv
+            FROM z GROUP BY 1, 2 HAVING COUNT(*) = 4
+        ),
+        sym AS (
+            SELECT user_id, seg,
+                   CASE WHEN pv < -0.6745 THEN 'a'
+                        WHEN pv < 0.0 THEN 'b'
+                        WHEN pv < 0.6745 THEN 'c'
+                        ELSE 'd' END AS s
+            FROM paa
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS INT) AS n_segments,
+               string_agg(s, '' ORDER BY seg) AS sax_word
+        FROM sym GROUP BY user_id
+    """,
+    doc=(
+        "SAX — Symbolic Aggregate approXimation (Lin, Keogh et al., "
+        "DMKD 2003): each user's daily-total series is z-normalized, "
+        "Piecewise-Aggregate-Approximated over 4-day segments, and "
+        "quantized to the 4-letter Gaussian-breakpoint alphabet "
+        "(±0.6745, 0 — the equiprobable N(0,1) quartile cuts), yielding "
+        "one index-able symbolic word per user. Determinism: moments "
+        "are exact (cents, DECIMAL(38,0) squares), z is one IEEE "
+        "expression then QUANTIZED to DECIMAL(18,6) before the PAA sum "
+        "(§2.0 rule 2 — a double sum would be order-sensitive), and "
+        "trailing partial segments are dropped (HAVING n=4) so both "
+        "engines segment identically. Plan: per-user aggregates and "
+        "windows only — parallelism = users; the word assembles with an "
+        "ordered string_agg / sorted-struct transform, no collect."
+    ),
+)
+def ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("user_id", "d").agg(F.sum("_vc").alias("xc"))
+    m = (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xc").alias("s"),
+            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).alias("ss"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+    s_d = F.col("s").cast("double")
+    var = (F.col("ss").cast("double") - s_d * s_d / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (
+        daily.join(m, "user_id")
+        .withColumn(
+            "zq",
+            F.round(
+                (F.col("xc").cast("double") - s_d / F.col("n")) / F.sqrt(var),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("d")
+            ),
+        )
+    )
+    paa = (
+        z.groupBy("user_id", ((F.col("rn") - 1) / 4).cast("int").alias("seg"))
+        .agg(
+            (F.sum("zq").cast("double") / F.count(F.lit(1))).alias("pv"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") == 4)
+    )
+    sym = paa.withColumn(
+        "sym",
+        F.when(F.col("pv") < -0.6745, "a")
+        .when(F.col("pv") < 0.0, "b")
+        .when(F.col("pv") < 0.6745, "c")
+        .otherwise("d"),
+    )
+    return sym.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seg"), F.col("sym")))
+                ),
+                lambda x: x.sym,
+            ),
+        ).alias("sax_word"),
+    )
+
+
+@register(
+    "ts_rsi",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        delta AS (
+            SELECT event_type, d,
+                   xc - LAG(xc) OVER (
+                       PARTITION BY event_type ORDER BY d) AS dx
+            FROM daily
+        ),
+        gl AS (
+            SELECT event_type, d,
+                   GREATEST(dx, 0) AS gain, GREATEST(-dx, 0) AS loss,
+                   COUNT(dx) OVER w AS n14,
+                   SUM(GREATEST(dx, 0)) OVER w AS sg,
+                   SUM(GREATEST(-dx, 0)) OVER w AS sl
+            FROM delta WHERE dx IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+               ROUND(CASE WHEN sl = 0 THEN 100.0
+                          ELSE 100.0 - 100.0
+                               / (1.0 + CAST(sg AS DOUBLE) / sl) END,
+                     6) AS rsi14
+        FROM gl WHERE n14 = 14
+    """,
+    doc=(
+        "RSI-14 (Wilder's Relative Strength Index, simple-average form) "
+        "per event-type daily series: gains/losses from day-over-day "
+        "deltas of exact-cents daily totals, 14-period rolling sums, "
+        "RSI = 100 − 100/(1 + Σgain/Σloss) with the all-gain series "
+        "pinned to 100 — emitted only where the window holds a full 14 "
+        "deltas (partial warm-up rows differ per engine's frame "
+        "semantics otherwise). The sg/sl INTEGER rolling sums make the "
+        "single terminal division the entire float surface. Windows "
+        "partition by event_type (the series key); day serialized to "
+        "ISO string per §2.0 rule 9 (no DATE columns). The named-window "
+        "SQL (WINDOW w AS ...) doubles as the sql_window_clause "
+        "surface demo on the oracle side."
+    ),
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    w_lag = Window.partitionBy("event_type").orderBy("d")
+    delta = daily.withColumn(
+        "dx", F.col("xc") - F.lag("xc").over(w_lag)
+    ).filter(F.col("dx").isNotNull())
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    gl = (
+        delta.withColumn("gain", F.greatest(F.col("dx"), F.lit(0)))
+        .withColumn("loss", F.greatest(-F.col("dx"), F.lit(0)))
+        .withColumn("n14", F.count("dx").over(w14))
+        .withColumn("sg", F.sum("gain").over(w14))
+        .withColumn("sl", F.sum("loss").over(w14))
+        .filter(F.col("n14") == 14)
+    )
+    return gl.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(
+            F.when(F.col("sl") == 0, F.lit(100.0)).otherwise(
+                F.lit(100.0)
+                - F.lit(100.0)
+                / (F.lit(1.0) + F.col("sg").cast("double") / F.col("sl"))
+            ),
+            6,
+        ).alias("rsi14"),
     )

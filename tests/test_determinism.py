@@ -135,6 +135,10 @@ SENSITIVE = [
     "feat_target_encode",   # decimal(38,0)-cleared smoothing ratio
     "agg_bootstrap_ci",     # hash-seeded Poisson weights + percentile_cont
     "feat_quantile_bin",    # two-pass global ntile assignment
+    "llm_nb_langid",        # integer micro-nat scores + window argmax
+    "graph_clustering_coeff",  # integer triangle/degree counts
+    "ts_sax",               # quantized-z PAA + ordered word assembly
+    "ts_rsi",               # integer rolling gain/loss sums
 ]
 
 

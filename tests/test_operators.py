@@ -3423,3 +3423,110 @@ def test_bootstrap_ci_constant_data_collapses(spark, tmp_path):
     r = ml_features.agg_bootstrap_ci(spark, str(tmp_path / "bs")).collect()[0]
     assert r["n_replicas"] == 32
     assert r["ci_lo"] == r["ci_med"] == r["ci_hi"] == 100.0
+
+
+def test_nb_langid_separable_vocab(spark, tmp_path):
+    """Disjoint train vocabularies classify held-out docs by their tokens;
+    a test doc with only out-of-vocab tokens is absent from the output."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+
+    rows = [
+        (1, "aa aa", "en", "s", 5), (2, "aa", "en", "s", 2),
+        (3, "bb bb", "fr", "s", 5), (4, "bb", "fr", "s", 2),
+        (5, "aa aa aa", "en", "s", 8),    # held out, english tokens
+        (10, "bb", "en", "s", 2),          # held out, french-looking text
+        (15, "zz zz", "en", "s", 5),       # held out, unknown vocab
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "nb") + "/documents.parquet")
+    out = {r["doc_id"]: r
+           for r in ml_features.llm_nb_langid(spark, str(tmp_path / "nb")).collect()}
+    assert out[5]["pred_lang"] == "en" and out[5]["correct"]
+    assert out[10]["pred_lang"] == "fr" and not out[10]["correct"]
+    assert 15 not in out  # no known token -> no score row
+    assert set(out) == {5, 10}
+
+
+def test_clustering_coeff_triangle_plus_pendant(spark, tmp_path):
+    """K3 plus a pendant edge: triangle corners get cc 1, 1, 1/3; the
+    degree-1 pendant is pinned to 0.0."""
+    from big_data_management_and_analytics_spark.operators import graph
+
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+        (1, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+        (1, 1, 3, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+        (2, 1, 3, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+        (2, 1, 4, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+    ]
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "cc") + "/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 10, "O", 500000.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+         (2, 10, "O", 500000.0, _ts("2024-01-02T00:00:00"), "1-URGENT")],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "cc") + "/orders.parquet")
+    out = {r["supplier"]: r
+           for r in graph.graph_clustering_coeff(spark, str(tmp_path / "cc")).collect()}
+    assert out[1]["local_cc"] == 1.0 and out[1]["n_triangles"] == 1
+    assert out[2]["local_cc"] == 1.0
+    assert out[3]["degree"] == 3 and out[3]["local_cc"] == 0.333333
+    assert out[4]["degree"] == 1 and out[4]["local_cc"] == 0.0
+
+
+def test_sax_two_level_series_and_min_length(spark, tmp_path):
+    """4 low days + 4 high days → word 'ad' (z = ∓0.935414 per segment);
+    a 7-day user is below the n≥8 cut and absent."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    eid = 0
+    for day in range(1, 9):
+        eid += 1
+        v = 1.0 if day <= 4 else 3.0
+        rows.append((eid, _ts(f"2024-01-{day:02d}T10:00:00"), 1, "x", v, "{}"))
+    for day in range(1, 8):  # 7 days only
+        eid += 1
+        rows.append((eid, _ts(f"2024-01-{day:02d}T10:00:00"), 2, "x", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "sax") + "/events.parquet")
+    out = {r["user_id"]: r
+           for r in timeseries.ts_sax(spark, str(tmp_path / "sax")).collect()}
+    assert out[1]["sax_word"] == "ad" and out[1]["n_segments"] == 2
+    assert 2 not in out
+
+
+def test_rsi_monotonic_and_alternating(spark, tmp_path):
+    """A monotonic-up series pins RSI to 100 (zero losses); a ±1
+    alternating series balances to exactly 50."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    eid = 0
+    for day in range(1, 17):
+        eid += 1
+        rows.append((eid, _ts(f"2024-01-{day:02d}T10:00:00"), 1, "up",
+                     float(day), "{}"))
+    base = [2.0, 3.0]  # alternating +1 / -1 deltas
+    for day in range(1, 17):
+        eid += 1
+        rows.append((eid, _ts(f"2024-01-{day:02d}T10:00:00"), 1, "alt",
+                     base[day % 2], "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "rsi") + "/events.parquet")
+    out = sorted(
+        (r["event_type"], r["day"], r["rsi14"])
+        for r in timeseries.ts_rsi(spark, str(tmp_path / "rsi")).collect()
+    )
+    ups = [r for r in out if r[0] == "up"]
+    alts = [r for r in out if r[0] == "alt"]
+    assert len(ups) == 2 and all(r[2] == 100.0 for r in ups)
+    assert len(alts) == 2 and all(r[2] == 50.0 for r in alts)
