@@ -1342,3 +1342,161 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= 100)
     )
+
+
+@register(
+    "llm_word_pmi",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok, pos
+            FROM (
+                SELECT doc_id,
+                       UNNEST({SQL_TOKENS.format(col='text')}) AS tok,
+                       UNNEST(generate_series(
+                           1, len({SQL_TOKENS.format(col='text')}))) AS pos
+                FROM documents
+            )
+        ),
+        big AS (
+            SELECT a.tok AS x, b.tok AS y
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM big GROUP BY x, y),
+        cx AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (
+            SELECT (SELECT COUNT(*) FROM toks) AS n,
+                   (SELECT COUNT(*) FROM big) AS m
+        )
+        SELECT cxy.x, cxy.y, CAST(cxy.c_xy AS BIGINT) AS c_xy,
+               ROUND(ln((CAST(cxy.c_xy AS DOUBLE) * tot.n * tot.n)
+                        / (CAST(tot.m AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+        FROM cxy
+        JOIN cx ux ON ux.tok = cxy.x
+        JOIN cx uy ON uy.tok = cxy.y
+        CROSS JOIN tot
+        WHERE cxy.c_xy >= 3
+    """,
+    doc=(
+        "POINTWISE MUTUAL INFORMATION of adjacent token bigrams (Church "
+        "& Hanks 1990 — the collocation-mining statistic): pmi = "
+        "ln(p(x,y)/(p(x)p(y))) with p from exact corpus counts, i.e. "
+        "ln(c_xy·N²/(M·c_x·c_y)) evaluated in ONE fixed-order double "
+        "expression over exact integers (identical multiplication order "
+        "both engines → identical double → identical ln; §2.0 "
+        "discipline). Bigrams form per-document via a positional "
+        "self-join (oracle) / an ordered lead window per doc (Spark) — "
+        "never across document boundaries. The c_xy ≥ 3 support floor "
+        "is the standard collocation cut. Plan: two token aggregates + "
+        "two broadcast-able unigram joins + a 1-row totals broadcast — "
+        "all linear, the PMI table itself is the vocabulary-sized "
+        "output a phrase-miner or tokenizer-merge stage consumes."
+    ),
+)
+def llm_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("y", F.lead("tok").over(w))
+        .filter(F.col("y").isNotNull())
+        .select(F.col("tok").alias("x"), "y")
+    )
+    cxy = big.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        big.agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        cxy.filter(F.col("c_xy") >= 3)
+        .join(F.broadcast(cx.withColumnRenamed("tok", "x").withColumnRenamed("c", "ux")), "x")
+        .join(F.broadcast(cx.withColumnRenamed("tok", "y").withColumnRenamed("c", "uy")), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("n") * F.col("n"))
+                    / (F.col("m").cast("double") * F.col("ux") * F.col("uy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "llm_curriculum_order",
+    "K",
+    oracle=f"""
+        WITH stats AS (
+            SELECT doc_id,
+                   (SELECT SUM(strlen(t.tok)) FROM
+                       UNNEST({SQL_TOKENS.format(col='text')}) AS t(tok)) AS schars,
+                   len({SQL_TOKENS.format(col='text')}) AS ntok
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(1000 * schars // ntok AS BIGINT) AS mwl_milli
+            FROM stats WHERE ntok > 0
+        )
+        SELECT doc_id, mwl_milli,
+               CAST(ROW_NUMBER() OVER (ORDER BY mwl_milli, doc_id) AS BIGINT)
+                   AS curriculum_rank,
+               CAST(NTILE(4) OVER (ORDER BY mwl_milli, doc_id) AS INT)
+                   AS phase
+        FROM scored
+    """,
+    doc=(
+        "CURRICULUM ORDERING (Bengio et al., ICML 2009): documents are "
+        "globally ranked easy→hard by an exact integer difficulty proxy "
+        "— mean token length in millichars (1000·Σchars DIV ntok, "
+        "integer floor division, no float surface) — and cut into 4 "
+        "curriculum phases. The global total-order rank runs through "
+        "the range-partitioned two-pass scan + closed-form ntile "
+        "(operators/global_rank.py): no single-partition window at any "
+        "scale, which is the whole point — a naive ORDER BY curriculum "
+        "materialization is the classic 100 TB bottleneck. Output is "
+        "the (doc → rank, phase) training-schedule manifest the data "
+        "loader shuffles within-phase."
+    ),
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        ntile_expr,
+        with_global_row_number,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    scored = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.sum(F.length("tok")).alias("schars"),
+            F.count(F.lit(1)).alias("ntok"),
+        )
+        .select(
+            "doc_id",
+            F.expr("1000 * schars DIV ntok").cast("bigint").alias("mwl_milli"),
+        )
+    )
+    ranked = with_global_row_number(
+        scored,
+        [F.col("mwl_milli").asc(), F.col("doc_id").asc()],
+        rn="curriculum_rank",
+        total="_total",
+    )
+    return ranked.select(
+        "doc_id",
+        "mwl_milli",
+        F.col("curriculum_rank").cast("bigint").alias("curriculum_rank"),
+        ntile_expr(F.col("curriculum_rank"), F.col("_total"), 4).alias("phase"),
+    )

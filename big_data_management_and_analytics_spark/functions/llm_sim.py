@@ -1095,3 +1095,231 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
         (F.col("pos_sim") > F.col("neg_sim")).alias("satisfied"),
     )
+
+
+@register(
+    "llm_mmr_rerank",
+    "K",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v
+              WHERE vec_id % 100 = 0),
+        cand AS (
+            SELECT q.query_id, v.vec_id,
+                   CAST(ROUND(({SQL_COSINE.format(a='q.q_emb', b='v.emb')})
+                              * 1000000) AS BIGINT) AS rel_u
+            FROM q JOIN v ON v.vec_id <> q.query_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY CAST(ROUND(({SQL_COSINE.format(a='q.q_emb', b='v.emb')})
+                              * 1000000) AS BIGINT) DESC,
+                         v.vec_id ASC) <= 8
+        ),
+        sims AS (
+            SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+                   CAST(ROUND(({SQL_COSINE.format(a='av.emb', b='bv.emb')})
+                              * 1000000) AS BIGINT) AS sim_u
+            FROM cand a
+            JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+            JOIN v av ON av.vec_id = a.vec_id
+            JOIN v bv ON bv.vec_id = b.vec_id
+        ),
+        rest AS (
+            SELECT * FROM cand
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel_u DESC, vec_id ASC) > 1
+        ),
+        s1 AS (
+            SELECT query_id, vec_id AS s1_id, 7 * rel_u AS mmr1
+            FROM cand
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel_u DESC, vec_id ASC) = 1
+        ),
+        c2 AS (
+            SELECT r.query_id, r.vec_id, r.rel_u, sm.sim_u AS sim_s1,
+                   7 * r.rel_u - 3 * sm.sim_u AS m2
+            FROM rest r
+            JOIN s1 ON s1.query_id = r.query_id
+            JOIN sims sm ON sm.query_id = r.query_id
+                        AND sm.a_id = r.vec_id AND sm.b_id = s1.s1_id
+        ),
+        s2 AS (
+            SELECT query_id, vec_id AS s2_id, m2 FROM c2
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY m2 DESC, vec_id ASC) = 1
+        ),
+        c3 AS (
+            SELECT c2.query_id, c2.vec_id,
+                   7 * c2.rel_u - 3 * GREATEST(c2.sim_s1, sm2.sim_u) AS m3
+            FROM c2
+            JOIN s2 ON s2.query_id = c2.query_id AND c2.vec_id <> s2.s2_id
+            JOIN sims sm2 ON sm2.query_id = c2.query_id
+                         AND sm2.a_id = c2.vec_id AND sm2.b_id = s2.s2_id
+        ),
+        s3 AS (
+            SELECT query_id, vec_id AS s3_id, m3 FROM c3
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY m3 DESC, vec_id ASC) = 1
+        )
+        SELECT query_id, 1 AS sel_rank, s1_id AS vec_id,
+               CAST(mmr1 AS BIGINT) AS mmr_e7
+        FROM s1
+        UNION ALL
+        SELECT query_id, 2, s2_id, CAST(m2 AS BIGINT) FROM s2
+        UNION ALL
+        SELECT query_id, 3, s3_id, CAST(m3 AS BIGINT) FROM s3
+    """,
+    doc=(
+        "MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein, "
+        "SIGIR 1998): from each query's top-8 cosine candidates, pick 3 "
+        "results greedily by mmr = λ·rel − (1−λ)·max sim-to-selected "
+        "(λ=0.7) — the diversity re-ranker between retrieval and "
+        "generation in a RAG stack. Scores live in INTEGER units of "
+        "10⁻⁷ (mmr_e7 = 7·rel_u − 3·sim_u over micro-unit cosines): a "
+        "float λ-blend of two 6-decimal values lands exactly on "
+        "7th-decimal .5 boundaries where the engines' rounding modes "
+        "diverge — observed on the fixture — so the greedy trace ranks "
+        "integers instead (§2.0 rule 2's integer-first discipline). "
+        "The k=3 greedy recursion UNROLLS into 3 window-pick stages "
+        "over the candidate×candidate similarity table (8² per query, "
+        "constant); at 100 TB candidates come from the IVF index, same "
+        "rerank tail. The DuckDB CTE chain replays the identical trace "
+        "(the llm_bpe_train unrolled-oracle discipline)."
+    ),
+)
+def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir).select("vec_id", "emb")
+    q = v.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    micro = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
+    rel = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "emb",
+            micro(cosine_batch(F.col("q_emb"), F.col("emb"))).alias("rel_u"),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.col("rel_u").desc(), F.col("vec_id").asc()
+    )
+    # Materialized once: feeds the pair-sim self-join (twice), the pick
+    # stages, and keeps the pandas-UDF cosine from re-running per branch.
+    cand = (
+        rel.withColumn("crank", F.row_number().over(w_rel))
+        .filter(F.col("crank") <= 8)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        "query_id", F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")
+    )
+    b = cand.select(
+        "query_id", F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb")
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            micro(cosine_batch(F.col("a_emb"), F.col("b_emb"))).alias(
+                "sim_u"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    slim = cand.select("query_id", "vec_id", "rel_u", "crank")
+    s1 = slim.filter(F.col("crank") == 1).select(
+        "query_id",
+        F.col("vec_id").alias("s1_id"),
+        (7 * F.col("rel_u")).alias("mmr1"),
+    )
+    sims_s1 = sims.join(
+        s1.select("query_id", "s1_id"),
+        (sims.query_id == s1.query_id) & (sims.b_id == F.col("s1_id")),
+    ).select(sims.query_id, "a_id", F.col("sim_u").alias("sim_s1"))
+    c2 = (
+        slim.filter(F.col("crank") > 1)
+        .join(
+            sims_s1,
+            (slim.query_id == sims_s1.query_id)
+            & (slim.vec_id == sims_s1.a_id),
+        )
+        .select(
+            slim.query_id,
+            "vec_id",
+            "rel_u",
+            "sim_s1",
+            (7 * F.col("rel_u") - 3 * F.col("sim_s1")).alias("m2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("m2").desc(), F.col("vec_id").asc()
+    )
+    c2r = c2.withColumn("rn2", F.row_number().over(w2)).localCheckpoint(
+        eager=True
+    )
+    s2 = c2r.filter(F.col("rn2") == 1).select(
+        "query_id", F.col("vec_id").alias("s2_id"), F.col("m2").alias("mmr2")
+    )
+    sims_s2 = sims.join(
+        s2.select("query_id", "s2_id"),
+        (sims.query_id == s2.query_id) & (sims.b_id == F.col("s2_id")),
+    ).select(sims.query_id, F.col("a_id").alias("a2_id"), F.col("sim_u").alias("sim_s2"))
+    c3 = (
+        c2r.join(
+            s2.select(F.col("query_id").alias("q3"), "s2_id"),
+            (c2r.query_id == F.col("q3")) & (c2r.vec_id != F.col("s2_id")),
+        )
+        .join(
+            sims_s2,
+            (c2r.query_id == sims_s2.query_id)
+            & (c2r.vec_id == sims_s2.a2_id),
+        )
+        .select(
+            c2r.query_id,
+            "vec_id",
+            (
+                7 * F.col("rel_u")
+                - 3 * F.greatest(F.col("sim_s1"), F.col("sim_s2"))
+            ).alias("m3"),
+        )
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("m3").desc(), F.col("vec_id").asc()
+    )
+    s3 = (
+        c3.withColumn("rn3", F.row_number().over(w3))
+        .filter(F.col("rn3") == 1)
+        .select("query_id", F.col("vec_id").alias("s3_id"), F.col("m3").alias("mmr3"))
+    )
+    return (
+        s1.select(
+            "query_id",
+            F.lit(1).alias("sel_rank"),
+            F.col("s1_id").alias("vec_id"),
+            F.col("mmr1").cast("bigint").alias("mmr_e7"),
+        )
+        .unionAll(
+            s2.select(
+                "query_id",
+                F.lit(2).alias("sel_rank"),
+                F.col("s2_id").alias("vec_id"),
+                F.col("mmr2").cast("bigint").alias("mmr_e7"),
+            )
+        )
+        .unionAll(
+            s3.select(
+                "query_id",
+                F.lit(3).alias("sel_rank"),
+                F.col("s3_id").alias("vec_id"),
+                F.col("mmr3").cast("bigint").alias("mmr_e7"),
+            )
+        )
+    )

@@ -139,6 +139,9 @@ SENSITIVE = [
     "graph_clustering_coeff",  # integer triangle/degree counts
     "ts_sax",               # quantized-z PAA + ordered word assembly
     "ts_rsi",               # integer rolling gain/loss sums
+    "llm_word_pmi",         # fixed-order count ratio -> ln, round 6
+    "llm_curriculum_order", # two-pass global rank over integer difficulty
+    "llm_mmr_rerank",       # integer micro-unit greedy trace
 ]
 
 

@@ -3530,3 +3530,59 @@ def test_rsi_monotonic_and_alternating(spark, tmp_path):
     alts = [r for r in out if r[0] == "alt"]
     assert len(ups) == 2 and all(r[2] == 100.0 for r in ups)
     assert len(alts) == 2 and all(r[2] == 50.0 for r in alts)
+
+
+def test_word_pmi_known_counts(spark, tmp_path):
+    """Corpus {3×'a b', 2×'c d'}: only (a,b) clears the c≥3 support
+    floor; pmi = ln(3·10²/(5·3·3)) = ln(20/3) = 1.89712."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    rows = [(i, "a b", "en", "s", 3) for i in range(1, 4)]
+    rows += [(i, "c d", "en", "s", 3) for i in range(4, 6)]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "pmi") + "/documents.parquet")
+    out = llm_corpus.llm_word_pmi(spark, str(tmp_path / "pmi")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["x"], r["y"], r["c_xy"]) == ("a", "b", 3)
+    assert r["pmi"] == 1.89712
+
+
+def test_curriculum_order_by_mean_word_length(spark, tmp_path):
+    """Docs with mean token lengths 1..4 chars rank easy→hard into
+    phases 1..4 (n=4, k=4 → one doc per phase)."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    rows = [(1, "a a", "en", "s", 3), (2, "bb bb", "en", "s", 5),
+            (3, "ccc", "en", "s", 3), (4, "dddd", "en", "s", 4)]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "cur") + "/documents.parquet")
+    out = {r["doc_id"]: r
+           for r in llm_corpus.llm_curriculum_order(spark, str(tmp_path / "cur")).collect()}
+    assert [out[i]["mwl_milli"] for i in (1, 2, 3, 4)] == [1000, 2000, 3000, 4000]
+    assert [out[i]["curriculum_rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert [out[i]["phase"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+
+def test_mmr_prefers_diverse_second_pick(spark, tmp_path):
+    """Two near-duplicate top candidates + one equally-relevant diverse
+    candidate: plain cosine ranking would take the duplicate second;
+    MMR (λ=0.7) must take the diverse vector, then the duplicate."""
+    from big_data_management_and_analytics_spark.functions import llm_sim
+
+    vecs = [
+        (0, [1.0, 0.0], 0),          # query (vec_id % 100 == 0)
+        (1, [0.97, 0.2431], 0),      # s1: top relevance (id tiebreak)
+        (2, [0.97, 0.2432], 0),      # near-duplicate of 1
+        (3, [0.97, -0.2431], 0),     # same relevance, diverse direction
+    ]
+    spark.createDataFrame(
+        vecs, schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "mmr") + "/embeddings.parquet")
+    out = {r["sel_rank"]: r["vec_id"]
+           for r in llm_sim.llm_mmr_rerank(spark, str(tmp_path / "mmr")).collect()}
+    assert out == {1: 1, 2: 3, 3: 2}
