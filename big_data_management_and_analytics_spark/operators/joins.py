@@ -1059,3 +1059,94 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         lhs.join(rhs, F.col("seg").eqNullSafe(F.col("seg2")))
         .select("seg", "n_customers", "n_rich")
     )
+
+
+@register(
+    "join_geo_haversine",
+    "C",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey, c_nationkey,
+                   ('0x' || substr(md5('geo:c:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                       % 160000001 - 80000000 AS lat_u,
+                   ('0x' || substr(md5('geo:c:' || CAST(c_custkey AS VARCHAR)), 17, 15))::BIGINT
+                       % 360000001 - 180000000 AS lon_u
+            FROM customer
+        ),
+        s AS (
+            SELECT s_suppkey, s_nationkey,
+                   ('0x' || substr(md5('geo:s:' || CAST(s_suppkey AS VARCHAR)), 1, 15))::BIGINT
+                       % 160000001 - 80000000 AS lat_u,
+                   ('0x' || substr(md5('geo:s:' || CAST(s_suppkey AS VARCHAR)), 17, 15))::BIGINT
+                       % 360000001 - 180000000 AS lon_u
+            FROM supplier
+        )
+        SELECT c.c_custkey, s.s_suppkey, c.c_nationkey AS nationkey,
+               ROUND(12742.0 * asin(sqrt(
+                   sin(radians((s.lat_u - c.lat_u) / 1000000.0) / 2)
+                   * sin(radians((s.lat_u - c.lat_u) / 1000000.0) / 2)
+                   + cos(radians(c.lat_u / 1000000.0))
+                     * cos(radians(s.lat_u / 1000000.0))
+                     * sin(radians((s.lon_u - c.lon_u) / 1000000.0) / 2)
+                     * sin(radians((s.lon_u - c.lon_u) / 1000000.0) / 2)
+               )), 6) AS dist_km
+        FROM c JOIN s ON s.s_nationkey = c.c_nationkey
+    """,
+    doc=(
+        "GREAT-CIRCLE (haversine) distance join: every customer paired "
+        "with its nation's suppliers, distance on the sphere from "
+        "synthesized coordinates — integer MICRO-DEGREES derived from "
+        "the portable md5 family (one digest per entity, ph0→lat, "
+        "ph1→lon; the fixture has no native geometry), so the only "
+        "float inputs are exact integers and both engines evaluate the "
+        "identical sin/cos/asin expression tree (round-6 absorbs "
+        "sub-ulp libm drift — the ln/tfidf precedent). The join key is "
+        "the nation — a real bounded equi-join, NOT a cross join: "
+        "candidate generation scales with per-key co-occupancy exactly "
+        "like join_grid_knn's cell join, which is the declared scale "
+        "path when no relational key bounds the pairs. Complements "
+        "join_grid_knn (planar, grid-pruned) with the spherical metric "
+        "a geo pipeline actually ships."
+    ),
+)
+def join_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.portable_hash import (
+        ph0_hex,
+        ph1_hex,
+    )
+
+    def coords(df, key, prefix, nation):
+        hx = F.md5(F.concat(F.lit(prefix), F.col(key).cast("string")))
+        return df.select(
+            key,
+            F.col(nation).alias(f"_{prefix[4:5]}nat"),
+            (ph0_hex(hx) % 160000001 - 80000000).alias(f"{prefix[4:5]}lat_u"),
+            (ph1_hex(hx) % 360000001 - 180000000).alias(f"{prefix[4:5]}lon_u"),
+        )
+
+    c = coords(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        "c_custkey", "geo:c:", "c_nationkey",
+    )
+    s = coords(
+        load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        "s_suppkey", "geo:s:", "s_nationkey",
+    )
+    dlat = F.radians((F.col("slat_u") - F.col("clat_u")) / 1000000.0) / 2
+    dlon = F.radians((F.col("slon_u") - F.col("clon_u")) / 1000000.0) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(F.col("clat_u") / 1000000.0))
+        * F.cos(F.radians(F.col("slat_u") / 1000000.0))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    return (
+        c.join(s, c["_cnat"] == s["_snat"])
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.col("_cnat").alias("nationkey"),
+            F.round(F.lit(12742.0) * F.asin(F.sqrt(a)), 6).alias("dist_km"),
+        )
+    )

@@ -1177,3 +1177,47 @@ def scan_corrupt_files_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
     )
+
+
+@register(
+    "sql_window_clause",
+    "A",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    OVER w AS BIGINT) AS running_cents,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   - CAST(LAG(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                          OVER w AS BIGINT) AS delta_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc=(
+        "NAMED WINDOW CLAUSE (WINDOW w AS ...): three analytic "
+        "functions share ONE window definition — the SQL surface that "
+        "kills the copy-the-spec hazard the same way GROUP BY ALL "
+        "kills the copy-the-select-list one (sql_groupby_all's "
+        "sibling). Catalyst resolves the named spec during analysis "
+        "and the shared (partition, order) collapses all three "
+        "functions into a single Window physical operator — one sort, "
+        "one pass, identical to the inline-spec plan; pure parser "
+        "surface. Per-customer partitioning keeps parallelism = "
+        "customer count; money in integer cents."
+    ),
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    OVER w AS BIGINT) AS running_cents,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                   - CAST(LAG(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                          OVER w AS BIGINT) AS delta_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+    )

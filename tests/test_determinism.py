@@ -142,6 +142,7 @@ SENSITIVE = [
     "llm_word_pmi",         # fixed-order count ratio -> ln, round 6
     "llm_curriculum_order", # two-pass global rank over integer difficulty
     "llm_mmr_rerank",       # integer micro-unit greedy trace
+    "join_geo_haversine",   # integer micro-degree coords -> round-6 trig
 ]
 
 

@@ -3586,3 +3586,62 @@ def test_mmr_prefers_diverse_second_pick(spark, tmp_path):
     out = {r["sel_rank"]: r["vec_id"]
            for r in llm_sim.llm_mmr_rerank(spark, str(tmp_path / "mmr")).collect()}
     assert out == {1: 1, 2: 3, 3: 2}
+
+
+def test_window_clause_shared_spec(spark, tmp_path):
+    """One named window feeds seq / running sum / lag delta: 3 orders →
+    seq 1..3, cumulative cents, first delta NULL."""
+    from big_data_management_and_analytics_spark.sources import scans
+
+    rows = [
+        (1, 7, "O", 10.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+        (2, 7, "O", 25.5, _ts("2024-01-02T00:00:00"), "1-URGENT"),
+        (3, 7, "O", 5.25, _ts("2024-01-03T00:00:00"), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "wc") + "/orders.parquet")
+    out = {r["o_orderkey"]: r
+           for r in scans.sql_window_clause(spark, str(tmp_path / "wc")).collect()}
+    assert [out[i]["order_seq"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert [out[i]["running_cents"] for i in (1, 2, 3)] == [1000, 3550, 4075]
+    assert out[1]["delta_cents"] is None
+    assert (out[2]["delta_cents"], out[3]["delta_cents"]) == (1550, -2025)
+
+
+def test_geo_haversine_matches_reference_formula(spark, tmp_path):
+    """Distance reproduces the closed-form haversine over the same
+    md5-derived micro-degree coordinates, and pairs never cross
+    nations."""
+    import hashlib as _hl
+    import math
+
+    from big_data_management_and_analytics_spark.operators import joins
+
+    spark.createDataFrame(
+        [(1, "c1", 3, 0.0, "S"), (2, "c2", 4, 0.0, "S")],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "geo") + "/customer.parquet")
+    spark.createDataFrame(
+        [(11, "s1", 3, 0.0), (12, "s2", 4, 0.0)],
+        schema="s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(str(tmp_path / "geo") + "/supplier.parquet")
+    out = {(r["c_custkey"], r["s_suppkey"]): r
+           for r in joins.join_geo_haversine(spark, str(tmp_path / "geo")).collect()}
+    assert set(out) == {(1, 11), (2, 12)}  # nation-bounded pairs only
+
+    def coord(prefix, key):
+        hx = _hl.md5(f"{prefix}{key}".encode()).hexdigest()
+        lat = int(hx[0:15], 16) % 160000001 - 80000000
+        lon = int(hx[16:31], 16) % 360000001 - 180000000
+        return lat / 1e6, lon / 1e6
+
+    lat1, lon1 = coord("geo:c:", 1)
+    lat2, lon2 = coord("geo:s:", 11)
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1) / 2
+    dl = math.radians(lon2 - lon1) / 2
+    a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    want = round(12742.0 * math.asin(math.sqrt(a)), 6)
+    assert abs(out[(1, 11)]["dist_km"] - want) < 1e-6
