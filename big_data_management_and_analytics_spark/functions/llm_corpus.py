@@ -1500,3 +1500,63 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("curriculum_rank").cast("bigint").alias("curriculum_rank"),
         ntile_expr(F.col("curriculum_rank"), F.col("_total"), 4).alias("phase"),
     )
+
+
+@register(
+    "llm_oov_rate",
+    "K",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   UNNEST({SQL_TOKENS.format(col='text')}) AS tok
+            FROM documents
+        ),
+        tv AS (
+            SELECT DISTINCT lang, tok FROM tok WHERE doc_id % 5 != 0
+        ),
+        te AS (
+            SELECT t.lang, t.tok,
+                   CASE WHEN tv.tok IS NULL THEN 1 ELSE 0 END AS oov
+            FROM (SELECT * FROM tok WHERE doc_id % 5 = 0) t
+            LEFT JOIN tv ON tv.lang = t.lang AND tv.tok = t.tok
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_test_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM te GROUP BY lang
+    """,
+    doc=(
+        "OUT-OF-VOCABULARY RATE per language: the fraction of held-out "
+        "token occurrences (doc_id %% 5 = 0, the llm_nb_langid split) "
+        "absent from that language's training vocabulary — the "
+        "coverage metric that decides tokenizer/vocab sizing before a "
+        "training run (the static complement to llm_vocab_growth's "
+        "Heaps curve). Membership is one left join against the "
+        "distinct (lang, token) train vocabulary — linear, "
+        "equi-keyed, map-side combinable counts; the only float is "
+        "the terminal rounded ratio of two BIGINTs."
+    ),
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = spread(d, "doc_id").select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tv = tok.filter(F.col("doc_id") % 5 != 0).select("lang", "tok").distinct()
+    te = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .join(
+            tv.withColumn("_seen", F.lit(1)),
+            ["lang", "tok"],
+            "left",
+        )
+        .withColumn("oov", F.when(F.col("_seen").isNull(), 1).otherwise(0))
+    )
+    return te.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.round(
+            F.sum("oov").cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )

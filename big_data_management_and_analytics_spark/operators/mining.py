@@ -1812,3 +1812,105 @@ def agg_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             rate / (F.col("tp").cast("double") / F.col("tn")), 6
         ).alias("lift"),
     ).orderBy("decile")
+
+
+@register(
+    "mkt_item_similarity",
+    "L",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        ic AS (SELECT l_partkey, COUNT(*) AS ci FROM items GROUP BY 1),
+        pairs AS (
+            SELECT a.l_partkey AS i, b.l_partkey AS j, COUNT(*) AS cij
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        sym AS (
+            SELECT i, j, cij FROM pairs
+            UNION ALL
+            SELECT j, i, cij FROM pairs
+        ),
+        scored AS (
+            SELECT s.i AS item, s.j AS neighbor,
+                   CAST(s.cij AS BIGINT) AS n_coorders,
+                   ROUND(CAST(s.cij AS DOUBLE)
+                         / sqrt(CAST(a.ci AS DOUBLE) * CAST(b.ci AS DOUBLE)),
+                         6) AS cos_sim
+            FROM sym s
+            JOIN ic a ON a.l_partkey = s.i
+            JOIN ic b ON b.l_partkey = s.j
+        )
+        SELECT item, neighbor, n_coorders, cos_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY item
+                   ORDER BY cos_sim DESC, neighbor ASC) AS INT) AS sim_rank
+        FROM scored
+        QUALIFY sim_rank <= 5
+    """,
+    doc=(
+        "ITEM-ITEM COLLABORATIVE FILTERING (Sarwar et al., WWW 2001 / "
+        "the Amazon item-to-item recommender): parts scored by cosine "
+        "over order co-occurrence — sim(i,j) = c_ij/√(c_i·c_j) — with "
+        "the top-5 neighbor list per item that a recommender serves. "
+        "Complements mkt_basket_rules (support/confidence/lift keep "
+        "directionality; cosine is the symmetric-normalized ranking "
+        "form). Pair space is per-basket (Σ|basket|², the basket-rules "
+        "bound — never a global item cross join); c_ij ≥ 2 support "
+        "floor; the c_i marginals join back broadcast-ably. The only "
+        "float is one division by one sqrt over exact BIGINTs — "
+        "identical expression both engines — and ranking uses the "
+        "rounded score with a neighbor-id tiebreak (§2.0 rule 4)."
+    ),
+)
+def mkt_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # Feeds the self-join (twice) and the marginal counts.
+        .localCheckpoint(eager=True)
+    )
+    ic = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ci"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("i"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("j"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("cij"))
+        .filter(F.col("cij") >= 2)
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "cij")
+    )
+    scored = (
+        sym.join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("i"), F.col("ci").alias("ci_i"))),
+            "i",
+        )
+        .join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("j"), F.col("ci").alias("ci_j"))),
+            "j",
+        )
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            F.col("cij").cast("bigint").alias("n_coorders"),
+            F.round(
+                F.col("cij").cast("double")
+                / F.sqrt(F.col("ci_i").cast("double") * F.col("ci_j").cast("double")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sim_rank") <= 5)
+    )

@@ -2953,3 +2953,137 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rsi14"),
     )
+
+
+# Literal trig table for ts_periodogram: one (period, phase) -> (cos, sin)
+# row per distinct argument, frozen as 12-dp Python floats at import and
+# injected VERBATIM into both the Spark plan and the oracle SQL — the two
+# engines never call their own cos/sin on the data path, so libm ulp drift
+# cannot flip a rounded term (the hazard that killed a float-blended MMR
+# score; same literal-constant discipline as portable_hash.MIX).
+import math as _math
+
+PERIODOGRAM_PERIODS = (7, 14, 30)
+TRIG_TABLE: list[tuple[int, int, float, float]] = [
+    (p, t,
+     round(_math.cos(2.0 * _math.pi * t / p), 12),
+     round(_math.sin(2.0 * _math.pi * t / p), 12))
+    for p in PERIODOGRAM_PERIODS
+    for t in range(p)
+]
+
+_TRIG_SQL_ROWS = ",\n                ".join(
+    f"({p}, {t}, {c!r}, {s!r})" for p, t, c, s in TRIG_TABLE
+)
+
+
+@register(
+    "ts_periodogram",
+    "E",
+    oracle=f"""
+        WITH trig(period, phase, cosv, sinv) AS (
+            VALUES {_TRIG_SQL_ROWS}
+        ),
+        daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, xc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY d) - 1 AS t,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n,
+                   SUM(xc) OVER (PARTITION BY event_type) AS s
+            FROM daily
+        ),
+        terms AS (
+            SELECT i.event_type, tr.period, i.n,
+                   CAST(ROUND((CAST(i.xc AS DOUBLE) - CAST(i.s AS DOUBLE) / i.n)
+                              * tr.cosv, 6) AS DECIMAL(38,6)) AS tc,
+                   CAST(ROUND((CAST(i.xc AS DOUBLE) - CAST(i.s AS DOUBLE) / i.n)
+                              * tr.sinv, 6) AS DECIMAL(38,6)) AS ts
+            FROM idx i
+            JOIN trig tr ON tr.phase = i.t % tr.period
+        ),
+        power AS (
+            SELECT event_type, period, CAST(ANY_VALUE(n) AS BIGINT) AS n_days,
+                   ROUND(sqrt(CAST(SUM(tc) AS DOUBLE) * CAST(SUM(tc) AS DOUBLE)
+                              + CAST(SUM(ts) AS DOUBLE) * CAST(SUM(ts) AS DOUBLE))
+                         / ANY_VALUE(n) / 100.0, 6) AS amplitude
+            FROM terms GROUP BY event_type, period
+        )
+        SELECT event_type, CAST(period AS INT) AS period, n_days, amplitude,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY amplitude DESC, period ASC) AS INT) AS power_rank
+        FROM power
+    """,
+    doc=(
+        "PERIODOGRAM probe at candidate periods {{7, 14, 30}} days per "
+        "event-type series — the Schuster/DFT-bin seasonality detector: "
+        "amplitude(p) = |Σ (x_t − x̄)·e^(−2πi·t/p)| / n over the "
+        "mean-removed daily cents series, ranked so power_rank = 1 "
+        "flags the dominant cycle (the screening step before "
+        "ts_seasonal_decompose commits to a period). cos/sin come from "
+        "a FROZEN literal table keyed by (period, t mod period) — 51 "
+        "rows injected identically into both engines, so the data path "
+        "is: exact-integer x, one exact-rational mean, one double "
+        "product per term ROUND→DECIMAL(38,6) (order-invariant sum, "
+        "§2.0 rule 2), one terminal sqrt. Plan: per-type day windows + "
+        "a 51-row broadcast join + hash aggregate — linear, no global "
+        "window, no libm on the distributed path."
+    ),
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_all = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "xc",
+        (F.row_number().over(w_ord) - 1).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("xc").over(w_all).alias("s"),
+    )
+    trig = F.broadcast(
+        daily.sparkSession.createDataFrame(
+            TRIG_TABLE, "period int, phase int, cosv double, sinv double"
+        )
+    )
+    dev = F.col("xc").cast("double") - F.col("s").cast("double") / F.col("n")
+    terms = idx.join(
+        trig, trig.phase == F.col("t") % trig.period
+    ).select(
+        "event_type",
+        "period",
+        "n",
+        F.round(dev * F.col("cosv"), 6).cast("decimal(38,6)").alias("tc"),
+        F.round(dev * F.col("sinv"), 6).cast("decimal(38,6)").alias("ts"),
+    )
+    power = terms.groupBy("event_type", "period").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.round(
+            F.sqrt(
+                F.sum("tc").cast("double") * F.sum("tc").cast("double")
+                + F.sum("ts").cast("double") * F.sum("ts").cast("double")
+            )
+            / F.max("n")
+            / 100.0,
+            6,
+        ).alias("amplitude"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("amplitude").desc(), F.col("period").asc()
+    )
+    return power.select(
+        "event_type",
+        F.col("period").cast("int").alias("period"),
+        "n_days",
+        "amplitude",
+        F.row_number().over(w_rank).cast("int").alias("power_rank"),
+    )

@@ -143,6 +143,9 @@ SENSITIVE = [
     "llm_curriculum_order", # two-pass global rank over integer difficulty
     "llm_mmr_rerank",       # integer micro-unit greedy trace
     "join_geo_haversine",   # integer micro-degree coords -> round-6 trig
+    "llm_oov_rate",         # anti-join counts -> one rounded ratio
+    "ts_periodogram",       # frozen trig literals, decimal term sums
+    "mkt_item_similarity",  # integer co-counts -> rounded cosine ranking
 ]
 
 

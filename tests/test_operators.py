@@ -3645,3 +3645,63 @@ def test_geo_haversine_matches_reference_formula(spark, tmp_path):
     a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
     want = round(12742.0 * math.asin(math.sqrt(a)), 6)
     assert abs(out[(1, 11)]["dist_km"] - want) < 1e-6
+
+
+def test_oov_rate_half_unknown(spark, tmp_path):
+    """Held-out 'a zz' against train vocab {a,b}: 2 test tokens, 1 OOV,
+    rate 0.5 — per-language vocabulary, not global."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    rows = [(1, "a b", "en", "s", 3), (2, "b a", "en", "s", 3),
+            (5, "a zz", "en", "s", 4)]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "oov") + "/documents.parquet")
+    out = llm_corpus.llm_oov_rate(spark, str(tmp_path / "oov")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_test_tokens"], r["n_oov"], r["oov_rate"]) == (2, 1, 0.5)
+
+
+def test_periodogram_detects_weekly_cycle(spark, tmp_path):
+    """A 7-day-periodic impulse train over 14 days puts rank-1 power at
+    period 7 (the p=14 bin is orthogonal to a 2/14-frequency signal)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    for day in range(1, 15):
+        v = 10.0 if day % 7 == 0 else 1.0
+        rows.append((day, _ts(f"2024-01-{day:02d}T10:00:00"), 1, "w", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "per") + "/events.parquet")
+    out = {r["period"]: r
+           for r in timeseries.ts_periodogram(spark, str(tmp_path / "per")).collect()}
+    assert set(out) == {7, 14, 30}
+    assert all(r["n_days"] == 14 for r in out.values())
+    assert out[7]["power_rank"] == 1
+    assert out[7]["amplitude"] > out[14]["amplitude"]
+
+
+def test_item_similarity_cosine_and_support_floor(spark, tmp_path):
+    """{p1,p2}×2 orders + {p1,p3}×1: only (p1,p2) clears c≥2; cosine =
+    2/√(3·2) = 0.816497, symmetric rows, rank 1 both directions."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    li = []
+    for ok, parts in [(1, [1, 2]), (2, [1, 2]), (3, [1, 3])]:
+        for n, p in enumerate(parts, start=1):
+            li.append((ok, p, 1, n, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                       _ts("2024-01-01T00:00:00")))
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "cf") + "/lineitem.parquet")
+    out = {(r["item"], r["neighbor"]): r
+           for r in mining.mkt_item_similarity(spark, str(tmp_path / "cf")).collect()}
+    assert set(out) == {(1, 2), (2, 1)}
+    assert out[(1, 2)]["n_coorders"] == 2
+    assert out[(1, 2)]["cos_sim"] == 0.816497
+    assert out[(1, 2)]["sim_rank"] == 1 and out[(2, 1)]["sim_rank"] == 1
