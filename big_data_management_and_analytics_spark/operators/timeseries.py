@@ -3087,3 +3087,227 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "amplitude",
         F.row_number().over(w_rank).cast("int").alias("power_rank"),
     )
+
+
+@register(
+    "events_bot_score",
+    "L",
+    oracle="""
+        WITH base AS (
+            SELECT user_id, ts, event_id,
+                   date_trunc('minute', ts) AS minute
+            FROM events
+        ),
+        per_minute AS (
+            SELECT user_id, minute, COUNT(*) AS c
+            FROM base GROUP BY 1, 2
+        ),
+        peak AS (
+            SELECT user_id, CAST(MAX(c) AS BIGINT) AS peak_per_minute,
+                   CAST(SUM(c) AS BIGINT) AS n_events
+            FROM per_minute GROUP BY user_id
+        ),
+        gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS g
+            FROM base
+        ),
+        gm AS (
+            SELECT user_id, COUNT(g) AS ng, SUM(g) AS s,
+                   SUM(CAST(g AS DECIMAL(19,0)) * g) AS ss
+            FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+        ),
+        cv AS (
+            SELECT user_id,
+                   CASE WHEN ng >= 2 AND s > 0 THEN
+                       ROUND(sqrt((CAST(ss AS DOUBLE)
+                                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / ng)
+                                  / (ng - 1))
+                             / (CAST(s AS DOUBLE) / ng), 6)
+                   END AS gap_cv
+            FROM gm
+        )
+        SELECT p.user_id, p.n_events, p.peak_per_minute, cv.gap_cv,
+               (p.peak_per_minute >= 5
+                OR (cv.gap_cv IS NOT NULL AND cv.gap_cv < 0.1)) AS is_bot
+        FROM peak p LEFT JOIN cv ON cv.user_id = p.user_id
+    """,
+    doc=(
+        "BOT / AUTOMATION SCORING over behavioral event streams — the "
+        "traffic-cleaning gate a training pipeline runs before user "
+        "data enters a corpus: per user, (a) burst rate = max events in "
+        "any calendar minute, (b) inter-event REGULARITY = coefficient "
+        "of variation of gap lengths (machines fire on timers → "
+        "near-zero CV; humans are bursty → CV ≳ 1). Gaps in exact "
+        "integer MICROSECONDS (unix_micros — the events_time_to_convert "
+        "convention), moments exact (DECIMAL(38,0) squares), CV one "
+        "IEEE expression, flags integer. is_bot = burst ≥ 5/min OR "
+        "CV < 0.1. Plan: one minute-bucket aggregate + one per-user lag "
+        "window + per-user moment aggregate — all user-keyed, linear; "
+        "thresholds are plan constants a real deployment would tune."
+    ),
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    per_min = e.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    peak = per_min.groupBy("user_id").agg(
+        F.max("c").cast("bigint").alias("peak_per_minute"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    gm = gaps.groupBy("user_id").agg(
+        F.count("g").alias("ng"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g").cast("decimal(19,0)") * F.col("g")).alias("ss"),
+    )
+    s_d = F.col("s").cast("double")
+    cv_expr = F.round(
+        F.sqrt(
+            (F.col("ss").cast("double") - s_d * s_d / F.col("ng"))
+            / (F.col("ng") - 1)
+        )
+        / (s_d / F.col("ng")),
+        6,
+    )
+    cv = gm.select(
+        "user_id",
+        F.when((F.col("ng") >= 2) & (F.col("s") > 0), cv_expr).alias(
+            "gap_cv"
+        ),
+    )
+    return peak.join(cv, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "peak_per_minute",
+        "gap_cv",
+        (
+            (F.col("peak_per_minute") >= 5)
+            | (F.col("gap_cv").isNotNull() & (F.col("gap_cv") < 0.1))
+        ).alias("is_bot"),
+    )
+
+
+@register(
+    "events_markov_stationary",
+    "L",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        trans0 AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        trans AS (
+            SELECT * FROM trans0
+            WHERE next_type IN (SELECT DISTINCT prev_type FROM trans0)
+        ),
+        totals AS (
+            SELECT prev_type, SUM(n) AS total FROM trans GROUP BY prev_type
+        ),
+        kk AS (SELECT COUNT(*) AS k FROM totals),
+        p AS (
+            SELECT t.prev_type AS i, t.next_type AS j,
+                   CAST(t.n AS DOUBLE) / tt.total AS pij
+            FROM trans t JOIN totals tt ON tt.prev_type = t.prev_type
+        ),
+        pi0 AS (
+            SELECT prev_type AS state, 1.0 / kk.k AS pi
+            FROM totals CROSS JOIN kk
+        ),
+        it1 AS (
+            SELECT p.j AS state,
+                   CAST(SUM(CAST(ROUND(pi0.pi * p.pij, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS pi
+            FROM pi0 JOIN p ON p.i = pi0.state GROUP BY p.j
+        ),
+        it2 AS (
+            SELECT p.j AS state,
+                   CAST(SUM(CAST(ROUND(it1.pi * p.pij, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS pi
+            FROM it1 JOIN p ON p.i = it1.state GROUP BY p.j
+        ),
+        it3 AS (
+            SELECT p.j AS state,
+                   CAST(SUM(CAST(ROUND(it2.pi * p.pij, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS pi
+            FROM it2 JOIN p ON p.i = it2.state GROUP BY p.j
+        )
+        SELECT it3.state, CAST(kk.k AS INT) AS n_states,
+               ROUND(it3.pi, 6) AS pi
+        FROM it3 CROSS JOIN kk
+    """,
+    doc=(
+        "STATIONARY DISTRIBUTION of the per-user event-type Markov "
+        "chain by 3 fixed power iterations from uniform — the "
+        "steady-state companion to events_transition_matrix (which "
+        "reports P itself), answering 'where does a user session "
+        "settle'. The chain is restricted to states with outgoing "
+        "transitions so P is row-stochastic on its support. Each "
+        "iteration's π·P terms are ROUND(...,9)→DECIMAL(38,9) before "
+        "the per-state sum (order-invariant — the chisq/psi term "
+        "discipline), so the 3-step trace is bit-identical in the "
+        "unrolled DuckDB CTE chain. Event-scale work is ONE per-user "
+        "lag window + one hash aggregate; the iteration runs on the "
+        "|types|²-bounded transition relation — the pagerank shape "
+        "with a constant-size state (fixed 3 iterations ≡ llm_bpe "
+        "fixed-merge-count discipline for unrolled-oracle parity)."
+    ),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans0 = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    trans = trans0.join(
+        trans0.select(F.col("prev_type").alias("next_type")).distinct(),
+        "next_type",
+        "left_semi",
+    ).localCheckpoint(eager=True)  # consumed by totals + p + the 3 iterations
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    kk = totals.agg(F.count(F.lit(1)).alias("k"))
+    p = (
+        trans.join(F.broadcast(totals), "prev_type")
+        .select(
+            F.col("prev_type").alias("i"),
+            F.col("next_type").alias("j"),
+            (F.col("n").cast("double") / F.col("total")).alias("pij"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pi = totals.crossJoin(F.broadcast(kk)).select(
+        F.col("prev_type").alias("state"), (F.lit(1.0) / F.col("k")).alias("pi")
+    )
+    for _ in range(3):
+        pi = (
+            pi.join(p, pi.state == p.i)
+            .groupBy(F.col("j").alias("state"))
+            .agg(
+                F.sum(
+                    F.round(F.col("pi") * F.col("pij"), 9).cast(
+                        "decimal(38,9)"
+                    )
+                )
+                .cast("double")
+                .alias("pi")
+            )
+        )
+    return pi.crossJoin(F.broadcast(kk)).select(
+        "state", F.col("k").cast("int").alias("n_states"), F.round("pi", 6).alias("pi")
+    )

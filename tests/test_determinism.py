@@ -146,6 +146,8 @@ SENSITIVE = [
     "llm_oov_rate",         # anti-join counts -> one rounded ratio
     "ts_periodogram",       # frozen trig literals, decimal term sums
     "mkt_item_similarity",  # integer co-counts -> rounded cosine ranking
+    "events_bot_score",     # exact micros gap moments -> one CV expression
+    "events_markov_stationary",  # decimal-quantized power-iteration terms
 ]
 
 

@@ -3705,3 +3705,52 @@ def test_item_similarity_cosine_and_support_floor(spark, tmp_path):
     assert out[(1, 2)]["n_coorders"] == 2
     assert out[(1, 2)]["cos_sim"] == 0.816497
     assert out[(1, 2)]["sim_rank"] == 1 and out[(2, 1)]["sim_rank"] == 1
+
+
+def test_bot_score_regular_vs_bursty(spark, tmp_path):
+    """A timer bot (6 events, exactly 10s apart, one minute) trips both
+    rules (peak≥5, CV=0); an irregular human does not; a single-event
+    user has NULL CV and is clean."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    for i in range(6):  # user 1: 10s metronome inside one minute
+        rows.append((i + 1, _ts(f"2024-01-01T10:00:{i*10:02d}"), 1, "x", 1.0, "{}"))
+    human = ["2024-01-01T09:00:00", "2024-01-01T09:00:10",
+             "2024-01-01T09:05:10", "2024-01-01T10:05:10"]
+    for i, t in enumerate(human):  # user 2: bursty gaps (10s, 5m, 1h)
+        rows.append((10 + i, _ts(t), 2, "x", 1.0, "{}"))
+    rows.append((20, _ts("2024-01-01T08:00:00"), 3, "x", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "bot") + "/events.parquet")
+    out = {r["user_id"]: r
+           for r in timeseries.events_bot_score(spark, str(tmp_path / "bot")).collect()}
+    assert out[1]["peak_per_minute"] == 6 and out[1]["gap_cv"] == 0.0
+    assert out[1]["is_bot"]
+    assert not out[2]["is_bot"] and out[2]["gap_cv"] > 0.1
+    assert out[3]["gap_cv"] is None and not out[3]["is_bot"]
+
+
+def test_markov_stationary_two_cycle_and_absorbing_drop(spark, tmp_path):
+    """A↔B alternation fixes π = (0.5, 0.5) at every iteration; a
+    sink state with no outgoing edges is excluded from the chain."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    seqs = {1: ["A", "B", "A", "B", "A"], 2: ["A", "C"]}
+    eid = 0
+    for uid, states in seqs.items():
+        for i, st in enumerate(states):
+            eid += 1
+            rows.append((eid, _ts(f"2024-01-01T10:{i:02d}:00"), uid, st, 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "mkv") + "/events.parquet")
+    out = {r["state"]: r
+           for r in timeseries.events_markov_stationary(spark, str(tmp_path / "mkv")).collect()}
+    assert set(out) == {"A", "B"}  # C has no outgoing edge -> dropped
+    assert all(r["n_states"] == 2 for r in out.values())
+    assert out["A"]["pi"] == 0.5 and out["B"]["pi"] == 0.5
