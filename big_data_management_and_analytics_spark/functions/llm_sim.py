@@ -1323,3 +1323,202 @@ def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def _pq_iter_sql(i: int, prev_cent: str) -> str:
+    """One unrolled PQ Lloyd iteration (assign + quantized means +
+    empty-cell carry) as DuckDB CTE steps ending at cent{i}."""
+    return f"""
+        terms{i} AS (
+            SELECT v.vec_id, v.s, c.cell,
+                   CAST(ROUND((v.val - c.cval) * (v.val - c.cval), 12)
+                        AS DECIMAL(38,12)) AS t
+            FROM pq_vals v JOIN {prev_cent} c
+              ON c.s = v.s AND c.pos = v.pos
+        ),
+        d2_{i} AS (
+            SELECT vec_id, s, cell, SUM(t) AS d2
+            FROM terms{i} GROUP BY 1, 2, 3
+        ),
+        asg{i} AS (
+            SELECT vec_id, s, cell FROM d2_{i}
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id, s ORDER BY d2 ASC, cell ASC) = 1
+        ),
+        means{i} AS (
+            SELECT v.s, a.cell, v.pos,
+                   ROUND(CAST(SUM(CAST(ROUND(v.val, 9) AS DECIMAL(28,9)))
+                              AS DOUBLE) / COUNT(*), 6) AS cval
+            FROM asg{i} a
+            JOIN pq_vals v ON v.vec_id = a.vec_id AND v.s = a.s
+            GROUP BY 1, 2, 3
+        ),
+        cent{i} AS (
+            SELECT c.s, c.cell, c.pos, COALESCE(m.cval, c.cval) AS cval
+            FROM {prev_cent} c
+            LEFT JOIN means{i} m
+              ON m.s = c.s AND m.cell = c.cell AND m.pos = c.pos
+        )"""
+
+
+@register(
+    "llm_embed_pq",
+    "K",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        pq_vals AS (
+            SELECT vec_id, s, pos, emb[s * 8 + pos] AS val
+            FROM v
+            CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS s)
+            CROSS JOIN (SELECT UNNEST(generate_series(1, 8)) AS pos)
+        ),
+        seeds AS (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+            FROM v QUALIFY cell < 16
+        ),
+        cent0 AS (
+            SELECT p.s, sd.cell, p.pos, ROUND(p.val, 6) AS cval
+            FROM seeds sd JOIN pq_vals p ON p.vec_id = sd.vec_id
+        ),
+        {_pq_iter_sql(1, 'cent0')},
+        {_pq_iter_sql(2, 'cent1')},
+        terms3 AS (
+            SELECT v.vec_id, v.s, c.cell,
+                   CAST(ROUND((v.val - c.cval) * (v.val - c.cval), 12)
+                        AS DECIMAL(38,12)) AS t
+            FROM pq_vals v JOIN cent2 c
+              ON c.s = v.s AND c.pos = v.pos
+        ),
+        d2_3 AS (
+            SELECT vec_id, s, cell, SUM(t) AS d2
+            FROM terms3 GROUP BY 1, 2, 3
+        ),
+        asg3 AS (
+            SELECT vec_id, s, cell, d2 FROM d2_3
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id, s ORDER BY d2 ASC, cell ASC) = 1
+        )
+        SELECT vec_id,
+               string_agg(cell, '-' ORDER BY s) AS pq_code,
+               ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS recon_err
+        FROM asg3 GROUP BY vec_id
+    """,
+    doc=(
+        "PRODUCT QUANTIZATION (Jégou, Douze, Schmid — TPAMI 2011): the "
+        "64-d embedding splits into 8 contiguous 8-d subspaces, each "
+        "with its own 16-centroid codebook trained by 2 Lloyd "
+        "iterations; a vector compresses to 8 codebook ids (4 bits "
+        "each → 64-d float32 becomes 8 bytes, the 32× compression ANN "
+        "serving relies on) plus its reconstruction error. The trainer "
+        "is FULLY RELATIONAL — (vec, subspace, pos, val) explode, "
+        "distance terms ROUND→DECIMAL(38,12) (order-invariant sums), "
+        "argmin by (d2, cell) total order, per-(s,cell,pos) means "
+        "quantized to 6 dp before the next assignment, empty cells "
+        "carrying the previous centroid — so the DuckDB twin replays "
+        "the IDENTICAL 2-iteration trace (the llm_bpe unrolled-oracle "
+        "discipline; a float centroid chain would diverge in ulps). "
+        "Driver state: ZERO — centroids stay a 1024-row relation, "
+        "localCheckpointed per iteration like llm_dedup_components' "
+        "labels. At 100 TB the assignment join becomes the "
+        "_nearest_cell_udf Arrow closure over a broadcast codebook "
+        "(llm_sim_knn_ivf's pattern); the relational form is the "
+        "oracle-parity trainer. Complements llm_embed_quantize "
+        "(scalar) and llm_sim_knn_ivf (coarse cells): PQ is the "
+        "fine-grained residual compressor of the IVF-PQ stack."
+    ),
+)
+def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vecs(spark, sf_dir).select("vec_id", "emb")
+    vals = (
+        v.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"),
+            "emb",
+        )
+        .select(
+            "vec_id",
+            "s",
+            F.posexplode(F.expr("slice(emb, s * 8 + 1, 8)")).alias(
+                "pos0", "val"
+            ),
+        )
+        .select("vec_id", "s", (F.col("pos0") + 1).alias("pos"), "val")
+        # Feeds every iteration's terms + means + the final encode.
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        v.select("vec_id")
+        .orderBy("vec_id")
+        .limit(16)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+        )
+    )
+    cent = (
+        seeds.join(vals, "vec_id")
+        .select("s", "cell", "pos", F.round("val", 6).alias("cval"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        terms = vals.join(c, ["s", "pos"]).select(
+            "vec_id",
+            "s",
+            "cell",
+            F.round(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("t"),
+        )
+        d2 = terms.groupBy("vec_id", "s", "cell").agg(F.sum("t").alias("d2"))
+        w = Window.partitionBy("vec_id", "s").orderBy(
+            F.col("d2").asc(), F.col("cell").asc()
+        )
+        return (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "cell", "d2")
+        )
+
+    for _ in range(2):
+        asg = assign(cent)
+        means = (
+            asg.join(vals, ["vec_id", "s"])
+            .groupBy("s", "cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.round("val", 9).cast("decimal(28,9)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mval")
+            )
+        )
+        cent = (
+            cent.join(means, ["s", "cell", "pos"], "left")
+            .select(
+                "s",
+                "cell",
+                "pos",
+                F.coalesce(F.col("mval"), F.col("cval")).alias("cval"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = assign(cent)
+    return final.groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "cell"))),
+                lambda x: x.cell.cast("string"),
+            ),
+        ).alias("pq_code"),
+        F.round(F.sum("d2").cast("double"), 6).alias("recon_err"),
+    )

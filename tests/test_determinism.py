@@ -148,6 +148,7 @@ SENSITIVE = [
     "mkt_item_similarity",  # integer co-counts -> rounded cosine ranking
     "events_bot_score",     # exact micros gap moments -> one CV expression
     "events_markov_stationary",  # decimal-quantized power-iteration terms
+    "llm_embed_pq",         # decimal-quantized Lloyd trace, relational
 ]
 
 

@@ -3754,3 +3754,26 @@ def test_markov_stationary_two_cycle_and_absorbing_drop(spark, tmp_path):
     assert set(out) == {"A", "B"}  # C has no outgoing edge -> dropped
     assert all(r["n_states"] == 2 for r in out.values())
     assert out["A"]["pi"] == 0.5 and out["B"]["pi"] == 0.5
+
+
+def test_pq_seed_identity_and_duplicate_code(spark, tmp_path):
+    """With ≤16 vectors every vector seeds its own codebook entry →
+    zero reconstruction error; an exact duplicate of vector 0 encodes
+    to the identical 8-subspace code."""
+    import numpy as np
+
+    from big_data_management_and_analytics_spark.functions import llm_sim
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(64).round(3)], 0)
+            for i in range(16)]
+    vecs.append((16, vecs[0][1], 0))  # exact duplicate of vec 0
+    spark.createDataFrame(
+        vecs, schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "pq") + "/embeddings.parquet")
+    out = {r["vec_id"]: r
+           for r in llm_sim.llm_embed_pq(spark, str(tmp_path / "pq")).collect()}
+    assert len(out) == 17
+    assert all(r["recon_err"] == 0.0 for r in out.values())
+    assert out[16]["pq_code"] == out[0]["pq_code"]
+    assert len(out[0]["pq_code"].split("-")) == 8
