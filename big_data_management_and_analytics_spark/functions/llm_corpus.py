@@ -1560,3 +1560,95 @@ def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("oov").cast("double") / F.count(F.lit(1)), 6
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "llm_bigram_kn",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok, pos
+            FROM (
+                SELECT doc_id,
+                       UNNEST({SQL_TOKENS.format(col='text')}) AS tok,
+                       UNNEST(generate_series(
+                           1, len({SQL_TOKENS.format(col='text')}))) AS pos
+                FROM documents
+            )
+        ),
+        big AS (
+            SELECT a.tok AS v, b.tok AS w
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        cvw AS (SELECT v, w, COUNT(*) AS c FROM big GROUP BY v, w),
+        cv AS (
+            SELECT v, SUM(c) AS cv, COUNT(*) AS n1p_fwd
+            FROM cvw GROUP BY v
+        ),
+        cw AS (SELECT w, COUNT(*) AS n1p_bwd FROM cvw GROUP BY w),
+        tt AS (SELECT COUNT(*) AS t FROM cvw)
+        SELECT cvw.v, cvw.w, CAST(cvw.c AS BIGINT) AS c_vw,
+               CAST(cv.cv AS BIGINT) AS c_v,
+               ROUND(
+                   (CAST(cvw.c AS DOUBLE) - 0.75) / cv.cv
+                   + (0.75 * cv.n1p_fwd / cv.cv)
+                     * (CAST(cw.n1p_bwd AS DOUBLE) / tt.t),
+                   6) AS p_kn
+        FROM cvw
+        JOIN cv ON cv.v = cvw.v
+        JOIN cw ON cw.w = cvw.w
+        CROSS JOIN tt
+    """,
+    doc=(
+        "KNESER-NEY smoothed bigram language model (Kneser & Ney, "
+        "ICASSP 1995; Chen & Goodman 1998 form with absolute discount "
+        "D = 0.75): p(w|v) = (c(vw)−D)/c(v) + λ(v)·p_cont(w), where "
+        "λ(v) = D·N1+(v·)/c(v) and the CONTINUATION probability "
+        "p_cont(w) = N1+(·w)/|bigram types| — the how-many-contexts "
+        "estimator that distinguishes KN from plain interpolation "
+        "(llm_text_unigram_lm is the MLE baseline; this is the "
+        "n-gram-LM smoothing that held SOTA before neural LMs). Every "
+        "statistic is an exact integer aggregate (bigram counts, "
+        "context totals, forward/backward type counts, global type "
+        "count); p_kn is ONE fixed-order double expression over them "
+        "(no observed bigram has c−D ≤ 0, so no max() branch "
+        "divergence). Plan: one lead-window bigram pass (the "
+        "llm_word_pmi shape), three broadcast-able marginal joins, one "
+        "1-row type-total broadcast — linear, all equi-keyed."
+    ),
+)
+def llm_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w_lead = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w", F.lead("tok").over(w_lead))
+        .filter(F.col("w").isNotNull())
+        .select(F.col("tok").alias("v"), "w")
+    )
+    cvw = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    cv = cvw.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cw = cvw.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tt = cvw.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        cvw.join(F.broadcast(cv), "v")
+        .join(F.broadcast(cw), "w")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "v",
+            "w",
+            F.col("c").cast("bigint").alias("c_vw"),
+            F.col("cv").cast("bigint").alias("c_v"),
+            F.round(
+                (F.col("c").cast("double") - 0.75) / F.col("cv")
+                + (F.lit(0.75) * F.col("n1p_fwd") / F.col("cv"))
+                * (F.col("n1p_bwd").cast("double") / F.col("t")),
+                6,
+            ).alias("p_kn"),
+        )
+    )

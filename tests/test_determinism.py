@@ -149,6 +149,7 @@ SENSITIVE = [
     "events_bot_score",     # exact micros gap moments -> one CV expression
     "events_markov_stationary",  # decimal-quantized power-iteration terms
     "llm_embed_pq",         # decimal-quantized Lloyd trace, relational
+    "llm_bigram_kn",        # exact count marginals -> one KN expression
 ]
 
 

@@ -3777,3 +3777,24 @@ def test_pq_seed_identity_and_duplicate_code(spark, tmp_path):
     assert all(r["recon_err"] == 0.0 for r in out.values())
     assert out[16]["pq_code"] == out[0]["pq_code"]
     assert len(out[0]["pq_code"].split("-")) == 8
+
+
+def test_bigram_kn_discount_and_normalization(spark, tmp_path):
+    """Corpus {2×'a b', 'a c'}: p(b|a) = 1.25/3 + (0.75·2/3)·(1/2) =
+    0.666667, p(c|a) = 0.333333 — discounted mass is redistributed via
+    the continuation term and the context distribution sums to 1."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    rows = [(1, "a b", "en", "s", 3), (2, "a b", "en", "s", 3),
+            (3, "a c", "en", "s", 3)]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "kn") + "/documents.parquet")
+    out = {(r["v"], r["w"]): r
+           for r in llm_corpus.llm_bigram_kn(spark, str(tmp_path / "kn")).collect()}
+    assert set(out) == {("a", "b"), ("a", "c")}
+    assert out[("a", "b")]["c_vw"] == 2 and out[("a", "b")]["c_v"] == 3
+    assert out[("a", "b")]["p_kn"] == 0.666667
+    assert out[("a", "c")]["p_kn"] == 0.333333
+    assert abs(sum(r["p_kn"] for r in out.values()) - 1.0) < 1e-5
