@@ -1652,3 +1652,134 @@ def llm_bigram_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_kn"),
         )
     )
+
+
+RAKE_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on")
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+@register(
+    "llm_keyword_rake",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, tok, pos,
+                   CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END
+                       AS is_stop
+            FROM (
+                SELECT doc_id,
+                       UNNEST({SQL_TOKENS.format(col='text')}) AS tok,
+                       UNNEST(generate_series(
+                           1, len({SQL_TOKENS.format(col='text')}))) AS pos
+                FROM documents
+            )
+        ),
+        seg AS (
+            SELECT doc_id, tok, pos,
+                   SUM(is_stop) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS phrase_id
+            FROM toks
+            QUALIFY is_stop = 0
+        ),
+        plen AS (
+            SELECT doc_id, phrase_id, COUNT(*) AS len
+            FROM seg GROUP BY 1, 2
+        ),
+        wscore AS (
+            SELECT s.tok,
+                   CAST(SUM(p.len) AS BIGINT) AS deg,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(ROUND(CAST(SUM(p.len) AS DOUBLE) / COUNT(*), 6)
+                        AS DECIMAL(18,6)) AS score
+            FROM seg s
+            JOIN plen p ON p.doc_id = s.doc_id AND p.phrase_id = s.phrase_id
+            GROUP BY s.tok
+        ),
+        pscore AS (
+            SELECT s.doc_id, s.phrase_id,
+                   string_agg(s.tok, ' ' ORDER BY s.pos) AS phrase,
+                   ROUND(CAST(SUM(w.score) AS DOUBLE), 6) AS rake_score
+            FROM seg s JOIN wscore w ON w.tok = s.tok
+            GROUP BY s.doc_id, s.phrase_id
+        )
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY rake_score DESC, phrase_id ASC) AS INT)
+                   AS rake_rank,
+               phrase, rake_score
+        FROM pscore
+        QUALIFY rake_rank <= 3
+    """,
+    doc=(
+        "RAKE keyword extraction (Rose, Engel, Cramer, Cowley 2010): "
+        "candidate phrases are maximal stopword-free token runs "
+        "(segmented by the gaps-and-islands running-stopword-count "
+        "trick — win_gaps_islands applied to text), each word scores "
+        "deg/freq over the whole corpus' phrase table, each phrase "
+        "sums its words' scores, top-3 phrases per document survive. "
+        "Word scores are ROUND(...,6)→DECIMAL(18,6) before the "
+        "per-phrase sum (order-invariant, §2.0 rule 2); ranking keys "
+        "are the rounded score + phrase position. Plan: one "
+        "per-document position window, two hash aggregates (phrase "
+        "lengths, corpus word scores — the latter broadcast-joined "
+        "back), one top-k window per doc — linear in tokens, the "
+        "classic extractor a training pipeline runs for doc tagging."
+    ),
+)
+def llm_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).withColumn(
+        "is_stop",
+        F.when(F.col("tok").isin(*RAKE_STOPWORDS), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = (
+        toks.withColumn("phrase_id", F.sum("is_stop").over(w_run))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "tok", "pos", "phrase_id")
+    )
+    plen = seg.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    wscore = (
+        seg.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.sum("len").cast("bigint").alias("deg"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.round(
+                F.sum("len").cast("double") / F.count(F.lit(1)), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("score"),
+        )
+    )
+    pscore = (
+        seg.join(F.broadcast(wscore.select("tok", "score")), "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x.tok,
+                ),
+            ).alias("phrase"),
+            F.round(F.sum("score").cast("double"), 6).alias("rake_score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("rake_score").desc(), F.col("phrase_id").asc()
+    )
+    return (
+        pscore.withColumn("rake_rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rake_rank") <= 3)
+        .select("doc_id", "rake_rank", "phrase", "rake_score")
+    )

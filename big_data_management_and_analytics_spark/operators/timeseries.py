@@ -3311,3 +3311,112 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.crossJoin(F.broadcast(kk)).select(
         "state", F.col("k").cast("int").alias("n_states"), F.round("pi", 6).alias("pi")
     )
+
+
+@register(
+    "ts_croston",
+    "E",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type,
+                   date_diff('day',
+                             MIN(d) OVER (PARTITION BY event_type), d) AS t,
+                   xc
+            FROM daily
+        ),
+        h AS (
+            SELECT event_type,
+                   list(t ORDER BY t) AS ts_l,
+                   list(xc ORDER BY t) AS xs_l,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM idx GROUP BY event_type HAVING COUNT(*) >= 2
+        ),
+        r AS (
+            SELECT event_type, ts_l, xs_l, n, 1 AS i,
+                   CAST(xs_l[1] AS DOUBLE) AS z,
+                   CAST(ts_l[1] + 1 AS DOUBLE) AS p,
+                   ts_l[1] AS prev_t
+            FROM h
+            UNION ALL
+            SELECT event_type, ts_l, xs_l, n, i + 1,
+                   0.1 * CAST(xs_l[i + 1] AS DOUBLE) + 0.9 * z,
+                   0.1 * CAST(ts_l[i + 1] - prev_t AS DOUBLE) + 0.9 * p,
+                   ts_l[i + 1]
+            FROM r WHERE i < n
+        )
+        SELECT event_type, n AS n_demand_days,
+               ROUND(z, 6) AS level_cents,
+               ROUND(p, 6) AS mean_interval,
+               ROUND(z / p, 6) AS croston_forecast
+        FROM r WHERE i = n
+    """,
+    doc=(
+        "CROSTON'S METHOD for intermittent demand (Croston, Oper. Res. "
+        "Q. 1972): two coupled EWMAs over the DEMAND points only — "
+        "level z over nonzero-day sizes, p over inter-demand intervals "
+        "(α = 0.1) — with forecast-per-period z/p; the standard "
+        "forecaster when a naive EWMA over the zero-heavy series "
+        "biases toward zero (spare parts, sparse event streams). The "
+        "sequential recurrence folds per event_type over the "
+        "day-index-sorted demand list (sort_array + F.aggregate — the "
+        "ts_holt_linear fold discipline; identical expression order "
+        "replayed by the DuckDB recursive CTE). Day indexes are exact "
+        "integer day-diffs from the series start, sizes exact cents; "
+        "the fold is the per-entity O(n) any sequential smoother "
+        "costs, parallelism = series count."
+    ),
+)
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    w_min = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.min("d").over(w_min)).alias("t"),
+        "xc",
+    )
+    h = (
+        idx.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("t", "xc"))).alias("hh"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    ts_l = F.transform(F.col("hh"), lambda s: s["t"])
+    xs_l = F.transform(F.col("hh"), lambda s: s["xc"])
+    z0 = F.element_at(xs_l, 1).cast("double")
+    p0 = (F.element_at(ts_l, 1) + 1).cast("double")
+
+    def step(acc, s):
+        z_new = F.lit(0.1) * s["xc"].cast("double") + F.lit(0.9) * acc["z"]
+        p_new = (
+            F.lit(0.1) * (s["t"] - acc["prev_t"]).cast("double")
+            + F.lit(0.9) * acc["p"]
+        )
+        return F.struct(
+            z_new.alias("z"), p_new.alias("p"), s["t"].alias("prev_t")
+        )
+
+    folded = F.aggregate(
+        F.slice(F.col("hh"), 2, F.size(F.col("hh")) - 1),
+        F.struct(
+            z0.alias("z"), p0.alias("p"), F.element_at(ts_l, 1).alias("prev_t")
+        ),
+        step,
+    )
+    return h.select(
+        "event_type",
+        F.col("n").alias("n_demand_days"),
+        F.round(folded["z"], 6).alias("level_cents"),
+        F.round(folded["p"], 6).alias("mean_interval"),
+        F.round(folded["z"] / folded["p"], 6).alias("croston_forecast"),
+    )

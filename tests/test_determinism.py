@@ -150,6 +150,8 @@ SENSITIVE = [
     "events_markov_stationary",  # decimal-quantized power-iteration terms
     "llm_embed_pq",         # decimal-quantized Lloyd trace, relational
     "llm_bigram_kn",        # exact count marginals -> one KN expression
+    "ts_croston",           # sequential per-type demand fold
+    "llm_keyword_rake",     # decimal word scores -> phrase sums + ranking
 ]
 
 

@@ -3798,3 +3798,40 @@ def test_bigram_kn_discount_and_normalization(spark, tmp_path):
     assert out[("a", "b")]["p_kn"] == 0.666667
     assert out[("a", "c")]["p_kn"] == 0.333333
     assert abs(sum(r["p_kn"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_croston_hand_trace(spark, tmp_path):
+    """Demands 100c@t0 and 200c@t2: z = 0.1·200+0.9·100 = 110,
+    p = 0.1·2+0.9·1 = 1.1, forecast = 100 exactly."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = [(1, _ts("2024-01-01T10:00:00"), 1, "x", 1.0, "{}"),
+            (2, _ts("2024-01-03T10:00:00"), 1, "x", 2.0, "{}")]
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "cro") + "/events.parquet")
+    out = timeseries.ts_croston(spark, str(tmp_path / "cro")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_demand_days"] == 2
+    assert r["level_cents"] == 110.0
+    assert r["mean_interval"] == 1.1
+    assert r["croston_forecast"] == 100.0
+
+
+def test_rake_phrase_segmentation(spark, tmp_path):
+    """'big data the fast query' splits on the stopword into two
+    2-word phrases scoring 4.0 each (deg/freq = 2 per word); rank
+    breaks ties by position. An all-stopword doc emits nothing."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    rows = [(1, "big data the fast query", "en", "s", 23),
+            (2, "a the a", "en", "s", 7)]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "rake") + "/documents.parquet")
+    out = [(r["doc_id"], r["rake_rank"], r["phrase"], r["rake_score"])
+           for r in llm_corpus.llm_keyword_rake(spark, str(tmp_path / "rake")).collect()]
+    assert sorted(out) == [(1, 1, "big data", 4.0), (1, 2, "fast query", 4.0)]
