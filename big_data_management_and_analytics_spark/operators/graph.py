@@ -28,7 +28,7 @@ Spark's 38-digit cap and silently re-round to a coarse scale (measured:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
@@ -926,3 +926,145 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("local_cc"),
         )
     )
+
+
+@register(
+    "graph_hits",
+    "G",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey IS NOT NULL
+        ),
+        cn AS (SELECT COUNT(DISTINCT c) AS nc FROM edges),
+        h0 AS (
+            SELECT DISTINCT c, 1.0 / cn.nc AS h FROM edges CROSS JOIN cn
+        ),
+        a1r AS (
+            SELECT e.s, SUM(CAST(ROUND(h0.h, 9) AS DECIMAL(38,9))) AS a
+            FROM edges e JOIN h0 ON h0.c = e.c GROUP BY e.s
+        ),
+        a1t AS (SELECT SUM(a) AS t FROM a1r),
+        a1 AS (
+            SELECT s, CAST(a AS DOUBLE) / CAST(t AS DOUBLE) AS a
+            FROM a1r CROSS JOIN a1t
+        ),
+        h1r AS (
+            SELECT e.c, SUM(CAST(ROUND(a1.a, 9) AS DECIMAL(38,9))) AS h
+            FROM edges e JOIN a1 ON a1.s = e.s GROUP BY e.c
+        ),
+        h1t AS (SELECT SUM(h) AS t FROM h1r),
+        h1 AS (
+            SELECT c, CAST(h AS DOUBLE) / CAST(t AS DOUBLE) AS h
+            FROM h1r CROSS JOIN h1t
+        ),
+        a2r AS (
+            SELECT e.s, SUM(CAST(ROUND(h1.h, 9) AS DECIMAL(38,9))) AS a
+            FROM edges e JOIN h1 ON h1.c = e.c GROUP BY e.s
+        ),
+        a2t AS (SELECT SUM(a) AS t FROM a2r),
+        a2 AS (
+            SELECT s, CAST(a AS DOUBLE) / CAST(t AS DOUBLE) AS a
+            FROM a2r CROSS JOIN a2t
+        ),
+        h2r AS (
+            SELECT e.c, SUM(CAST(ROUND(a2.a, 9) AS DECIMAL(38,9))) AS h
+            FROM edges e JOIN a2 ON a2.s = e.s GROUP BY e.c
+        ),
+        h2t AS (SELECT SUM(h) AS t FROM h2r),
+        h2 AS (
+            SELECT c, CAST(h AS DOUBLE) / CAST(t AS DOUBLE) AS h
+            FROM h2r CROSS JOIN h2t
+        ),
+        ranked AS (
+            SELECT 'authority' AS role, s AS node_id, ROUND(a, 6) AS score,
+                   ROW_NUMBER() OVER (ORDER BY a DESC, s ASC) AS rnk
+            FROM a2
+            UNION ALL
+            SELECT 'hub', c, ROUND(h, 6),
+                   ROW_NUMBER() OVER (ORDER BY h DESC, c ASC)
+            FROM h2
+        )
+        SELECT role, CAST(node_id AS BIGINT) AS node_id, score,
+               CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= 10
+    """,
+    doc=(
+        "HITS hubs & authorities (Kleinberg, JACM 1999) on the directed "
+        "customer→supplier purchase graph: 2 unrolled mutual-"
+        "reinforcement iterations (authority = Σ hub scores of "
+        "in-neighbors, hub = Σ authority of out-neighbors), L1-"
+        "normalized each half step so the chain needs no sqrt. Each "
+        "half-step's terms are ROUND(...,9)→DECIMAL(38,9) before the "
+        "per-node sum (the events_markov_stationary power-iteration "
+        "discipline), so the DuckDB CTE chain replays the identical "
+        "trace. Complements graph_pagerank (single eigenvector, "
+        "undirected-ish) with the bipartite-role decomposition. Work "
+        "per half-step is one equi-join on the edge relation + one "
+        "hash aggregate — the pagerank shape; the top-10 windows run "
+        "on node-count relations. The small 2-iteration count is the "
+        "unrolled-oracle contract, not a convergence claim."
+    ),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 4 half-steps + the node inits
+    )
+    cn = edges.select("c").distinct().agg(F.count(F.lit(1)).alias("nc"))
+    h = (
+        edges.select("c")
+        .distinct()
+        .crossJoin(F.broadcast(cn))
+        .select("c", (F.lit(1.0) / F.col("nc")).alias("h"))
+    )
+
+    def half_step(scores: DataFrame, key_in: str, key_out: str, col: str) -> DataFrame:
+        raw = (
+            edges.join(scores, key_in)
+            .groupBy(key_out)
+            .agg(
+                F.sum(
+                    F.round(F.col(col), 9).cast("decimal(38,9)")
+                ).alias("r")
+            )
+        )
+        tot = raw.agg(F.sum("r").alias("t"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            key_out,
+            (F.col("r").cast("double") / F.col("t").cast("double")).alias(col),
+        )
+
+    for _ in range(2):
+        a = half_step(h.withColumnRenamed("h", "x"), "c", "s", "x").withColumnRenamed("x", "a")
+        h = half_step(a.withColumnRenamed("a", "x"), "s", "c", "x").withColumnRenamed("x", "h")
+    # Global top-10 rank rides the two-pass range-partitioned scan — the
+    # node relations are customer/supplier-sized, so a single-partition
+    # window here would be the classic global-ORDER-BY bottleneck.
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    auth = with_global_row_number(
+        a, [F.col("a").desc(), F.col("s").asc()], rn="rnk"
+    ).filter(F.col("rnk") <= 10).select(
+        F.lit("authority").alias("role"),
+        F.col("s").cast("bigint").alias("node_id"),
+        F.round("a", 6).alias("score"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+    hub = with_global_row_number(
+        h, [F.col("h").desc(), F.col("c").asc()], rn="rnk"
+    ).filter(F.col("rnk") <= 10).select(
+        F.lit("hub").alias("role"),
+        F.col("c").cast("bigint").alias("node_id"),
+        F.round("h", 6).alias("score"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+    return auth.unionAll(hub)

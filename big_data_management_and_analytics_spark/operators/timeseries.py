@@ -3420,3 +3420,118 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded["p"], 6).alias("mean_interval"),
         F.round(folded["z"] / folded["p"], 6).alias("croston_forecast"),
     )
+
+
+@register(
+    "ts_haar_energy",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, xc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY d) AS rn
+            FROM daily
+            QUALIFY COUNT(*) OVER (PARTITION BY event_type) >= 8
+        ),
+        w AS (SELECT * FROM idx WHERE rn <= 8),
+        l1 AS (
+            SELECT event_type, (rn - 1) // 2 AS k,
+                   SUM(CASE WHEN rn % 2 = 1 THEN xc ELSE -xc END) AS det,
+                   SUM(xc) AS app
+            FROM w GROUP BY 1, 2
+        ),
+        l2 AS (
+            SELECT event_type, k // 2 AS k,
+                   SUM(CASE WHEN k % 2 = 0 THEN app ELSE -app END) AS det,
+                   SUM(app) AS app
+            FROM l1 GROUP BY 1, 2
+        ),
+        l3 AS (
+            SELECT event_type,
+                   SUM(CASE WHEN k % 2 = 0 THEN app ELSE -app END) AS det,
+                   SUM(app) AS app
+            FROM l2 GROUP BY 1
+        )
+        SELECT l3.event_type,
+               CAST(8 AS INT) AS n_days_used,
+               CAST((SELECT SUM(det * det) FROM l1 i
+                     WHERE i.event_type = l3.event_type) AS BIGINT) AS e1,
+               CAST((SELECT SUM(det * det) FROM l2 i
+                     WHERE i.event_type = l3.event_type) AS BIGINT) AS e2,
+               CAST(l3.det * l3.det AS BIGINT) AS e3,
+               CAST(l3.app AS BIGINT) AS approx_sum
+        FROM l3
+    """,
+    doc=(
+        "HAAR WAVELET multi-resolution energy decomposition (unnormalized "
+        "Haar transform over the first 8 days of each event-type daily "
+        "series): level-1/2/3 detail energies Σd² separate fast "
+        "day-to-day variation (e1) from 2-day (e2) and 4-day (e3) "
+        "structure — the multi-resolution screen wavelet-based "
+        "similarity/compression papers build on (Chan & Fu, ICDE 1999). "
+        "The pairwise butterfly is three sign-conditional integer "
+        "aggregates (odd−even per pair) — ZERO float operations "
+        "anywhere, the strongest determinism class in the suite; at "
+        "scales where cents² sums could exceed BIGINT the accumulators "
+        "widen to DECIMAL(38,0) (plans/determinism.py posture). "
+        "Parallelism = series count; each level halves the relation."
+    ),
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_all = Window.partitionBy("event_type")
+    idx = (
+        daily.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .filter((F.col("_n") >= 8) & (F.col("rn") <= 8))
+    )
+    l1 = idx.groupBy(
+        "event_type", ((F.col("rn") - 1) / 2).cast("long").alias("k")
+    ).agg(
+        F.sum(
+            F.when(F.col("rn") % 2 == 1, F.col("xc")).otherwise(-F.col("xc"))
+        ).alias("det"),
+        F.sum("xc").alias("app"),
+    )
+    l2 = l1.groupBy(
+        "event_type", (F.col("k") / 2).cast("long").alias("k")
+    ).agg(
+        F.sum(
+            F.when(F.col("k") % 2 == 0, F.col("app")).otherwise(-F.col("app"))
+        ).alias("det"),
+        F.sum("app").alias("app"),
+    )
+    l3 = l2.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("k") % 2 == 0, F.col("app")).otherwise(-F.col("app"))
+        ).alias("det"),
+        F.sum("app").alias("app"),
+    )
+    e1 = l1.groupBy("event_type").agg(
+        F.sum(F.col("det") * F.col("det")).cast("bigint").alias("e1")
+    )
+    e2 = l2.groupBy("event_type").agg(
+        F.sum(F.col("det") * F.col("det")).cast("bigint").alias("e2")
+    )
+    return (
+        l3.join(e1, "event_type")
+        .join(e2, "event_type")
+        .select(
+            "event_type",
+            F.lit(8).cast("int").alias("n_days_used"),
+            "e1",
+            "e2",
+            (F.col("det") * F.col("det")).cast("bigint").alias("e3"),
+            F.col("app").cast("bigint").alias("approx_sum"),
+        )
+    )

@@ -152,6 +152,8 @@ SENSITIVE = [
     "llm_bigram_kn",        # exact count marginals -> one KN expression
     "ts_croston",           # sequential per-type demand fold
     "llm_keyword_rake",     # decimal word scores -> phrase sums + ranking
+    "graph_hits",           # decimal-quantized half-steps + two-pass rank
+    "ts_haar_energy",       # all-integer butterfly, zero float surface
 ]
 
 

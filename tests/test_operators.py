@@ -3835,3 +3835,54 @@ def test_rake_phrase_segmentation(spark, tmp_path):
     out = [(r["doc_id"], r["rake_rank"], r["phrase"], r["rake_score"])
            for r in llm_corpus.llm_keyword_rake(spark, str(tmp_path / "rake")).collect()]
     assert sorted(out) == [(1, 1, "big data", 4.0), (1, 2, "fast query", 4.0)]
+
+
+def test_hits_bipartite_star(spark, tmp_path):
+    """Supplier 1 serves both customers, supplier 2 serves one: the
+    shared supplier is the top authority; both customers are equal
+    hubs... (scores L1-normalize to 1 per role)."""
+    from big_data_management_and_analytics_spark.operators import graph
+
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+        (2, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", _ts("2024-01-01T00:00:00")),
+    ]
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "hits") + "/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 100, "O", 1.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
+         (2, 200, "O", 1.0, _ts("2024-01-02T00:00:00"), "1-URGENT")],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "hits") + "/orders.parquet")
+    out = {(r["role"], r["node_id"]): r
+           for r in graph.graph_hits(spark, str(tmp_path / "hits")).collect()}
+    auth = {k[1]: v for k, v in out.items() if k[0] == "authority"}
+    hub = {k[1]: v for k, v in out.items() if k[0] == "hub"}
+    assert auth[1]["rnk"] == 1 and auth[1]["score"] > auth[2]["score"]
+    assert abs(sum(r["score"] for r in auth.values()) - 1.0) < 1e-5
+    assert hub[200]["score"] > hub[100]["score"]  # cust 200 touches both
+
+
+def test_haar_energy_two_level_step(spark, tmp_path):
+    """[1×4, 3×4] dollars: flat pairs → e1 = e2 = 0; all structure sits
+    in the level-3 detail (400−1200)² = 640000 cents²."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rows = []
+    for day in range(1, 9):
+        v = 1.0 if day <= 4 else 3.0
+        rows.append((day, _ts(f"2024-01-{day:02d}T10:00:00"), 1, "h", v, "{}"))
+    rows.append((99, _ts("2024-01-01T10:00:00"), 1, "short", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "haar") + "/events.parquet")
+    out = {r["event_type"]: r
+           for r in timeseries.ts_haar_energy(spark, str(tmp_path / "haar")).collect()}
+    assert set(out) == {"h"}  # 1-day series below the 8-day floor
+    r = out["h"]
+    assert (r["e1"], r["e2"], r["e3"]) == (0, 0, 640000)
+    assert r["approx_sum"] == 1600
