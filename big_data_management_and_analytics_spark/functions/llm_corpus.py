@@ -1783,3 +1783,130 @@ def llm_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rake_rank") <= 3)
         .select("doc_id", "rake_rank", "phrase", "rake_score")
     )
+
+
+BM25_QUERIES = (
+    ("q1", "spark join"),
+    ("q2", "slow query"),
+    ("q3", "data stream"),
+)
+_BM25_Q_SQL = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+
+
+@register(
+    "llm_bm25_search",
+    "K",
+    oracle=f"""
+        WITH queries(query_id, qtext) AS (VALUES {_BM25_Q_SQL}),
+        qterms AS (
+            SELECT query_id, UNNEST(string_split(qtext, ' ')) AS term
+            FROM queries
+        ),
+        words AS (
+            SELECT doc_id, UNNEST({SQL_TOKENS.format(col='text')}) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM words GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM dl
+        ),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(ROUND(
+                       ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                       * (CAST(tf.tf AS DOUBLE) * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+                       6) AS DECIMAL(18,6)) AS s
+            FROM qterms q
+            JOIN tf ON tf.term = q.term
+            JOIN df ON df.term = q.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+        ),
+        agg AS (
+            SELECT query_id, doc_id,
+                   ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+            FROM scored GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, bm25,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+        FROM agg
+        QUALIFY rank <= 5
+    """,
+    doc=(
+        "BM25 LEXICAL RETRIEVAL (Robertson & Walker, SIGIR 1994; "
+        "k1 = 1.2, b = 0.75): three fixed keyword queries score against "
+        "the corpus with the classic idf·tf-saturation·length-"
+        "normalization formula, top-5 documents per query — the exact "
+        "lexical baseline every hybrid RAG stack pairs with the "
+        "llm_rag_retrieve dense path, and the consumer the "
+        "llm_inverted_index operator exists to serve. All statistics "
+        "(tf, df, dl, N, Σdl) are exact integers; each term's partial "
+        "score is ONE fixed-order double expression then "
+        "ROUND→DECIMAL(18,6) so the per-doc sum is order-invariant "
+        "(§2.0 rule 2); ranking uses the rounded score + doc_id. "
+        "Plan: one tokenize pass feeds tf/dl/df (tf-derived, the "
+        "llm_text_tfidf reuse discipline), query terms and df join "
+        "broadcast-ably, one top-k window per query — posting-list "
+        "sized work, linear in the corpus."
+    ),
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = spread(d, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(q, t) for q, qt in BM25_QUERIES for t in qt.split(" ")],
+        "query_id string, term string",
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf").cast("double") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("s").cast("double"), 6).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )

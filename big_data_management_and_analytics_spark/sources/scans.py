@@ -1221,3 +1221,39 @@ def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """
     )
+
+
+@register(
+    "sql_order_by_all",
+    "A",
+    oracle="""
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               CAST(MIN(n_nationkey) AS INT) AS first_nation
+        FROM nation
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    doc=(
+        "ORDER BY ALL (Spark 4 / DuckDB shared SQL surface): the "
+        "result orders by every select item left-to-right without "
+        "restating the list — the ergonomic completion of GROUP BY ALL "
+        "(sql_groupby_all). Catalyst resolves it to an ordinary Sort "
+        "during analysis; on the 25-row nation aggregate the sort is "
+        "trivially cheap, and the driver's order-insensitive hash "
+        "means correctness never depends on it — the operator exists "
+        "to pin the parser surface cross-engine."
+    ),
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, tables=("nation",))
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               CAST(MIN(n_nationkey) AS INT) AS first_nation
+        FROM nation
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

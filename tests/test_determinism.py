@@ -154,6 +154,7 @@ SENSITIVE = [
     "llm_keyword_rake",     # decimal word scores -> phrase sums + ranking
     "graph_hits",           # decimal-quantized half-steps + two-pass rank
     "ts_haar_energy",       # all-integer butterfly, zero float surface
+    "llm_bm25_search",      # decimal term scores -> per-doc sums + ranking
 ]
 
 

@@ -3886,3 +3886,34 @@ def test_haar_energy_two_level_step(spark, tmp_path):
     r = out["h"]
     assert (r["e1"], r["e2"], r["e3"]) == (0, 0, 640000)
     assert r["approx_sum"] == 1600
+
+
+def test_bm25_ranks_full_match_first(spark, tmp_path):
+    """For query 'spark join', the doc containing both terms outranks
+    the single-term doc; a doc with neither term never scores."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    rows = [(1, "spark join filter", "en", "s", 17),
+            (2, "spark scan scan scan", "en", "s", 20),
+            (3, "window agg sort", "en", "s", 15)]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "bm") + "/documents.parquet")
+    out = [(r["query_id"], r["rank"], r["doc_id"])
+           for r in llm_corpus.llm_bm25_search(spark, str(tmp_path / "bm")).collect()
+           if r["query_id"] == "q1"]
+    assert sorted(out) == [("q1", 1, 1), ("q1", 2, 2)]  # doc 3 absent
+
+
+def test_order_by_all_region_rollup(spark, tmp_path):
+    """GROUP BY ALL + ORDER BY ALL over a 3-nation fixture."""
+    from big_data_management_and_analytics_spark.sources import scans
+
+    spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 10), (3, "C", 20)],
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(str(tmp_path / "oba") + "/nation.parquet")
+    out = [(r["n_regionkey"], r["n_nations"], r["first_nation"])
+           for r in scans.sql_order_by_all(spark, str(tmp_path / "oba")).collect()]
+    assert out == [(10, 2, 1), (20, 1, 3)]
