@@ -48,6 +48,9 @@ HEADLINE = [
     "llm_dedup_ssjoin",       # exact prefix-filtered similarity join (output-bound)
     "agg_abc_analysis",       # two-pass global prefix sum + integer thresholds
     "mm_phash_neardup",       # image aHash + hamming-band LSH (multimodal dedup)
+    "llm_embed_pq",           # relational product-quantization trainer (r4)
+    "llm_bm25_search",        # BM25 lexical retrieval over posting lists (r4)
+    "mkt_item_similarity",    # item-item CF cosine top-5 (per-basket pairs) (r4)
 ]
 
 # Declared exact small-scale baselines — O(n²) pair space BY DESIGN (the

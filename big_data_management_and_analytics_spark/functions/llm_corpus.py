@@ -1910,3 +1910,262 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "llm_hybrid_rrf",
+    "K",
+    oracle=f"""
+        WITH queries(query_id, qtext) AS (VALUES {_BM25_Q_SQL}),
+        qterms AS (
+            SELECT query_id, UNNEST(string_split(qtext, ' ')) AS term
+            FROM queries
+        ),
+        words AS (
+            SELECT doc_id, UNNEST({SQL_TOKENS.format(col='text')}) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM words GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM dl
+        ),
+        bscored AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(ROUND(
+                       ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                       * (CAST(tf.tf AS DOUBLE) * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)),
+                       6) AS DECIMAL(18,6)) AS s
+            FROM qterms q
+            JOIN tf ON tf.term = q.term
+            JOIN df ON df.term = q.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+        ),
+        bm25 AS (
+            SELECT query_id, doc_id,
+                   ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+            FROM bscored GROUP BY query_id, doc_id
+        ),
+        brank AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id ASC) AS r
+            FROM bm25
+            QUALIFY r <= 20
+        ),
+        ddims AS (
+            SELECT vec_id AS doc_id, pos, emb[pos] AS val
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+            CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS pos)
+        ),
+        cent AS (
+            SELECT b.query_id, d.pos,
+                   CAST(SUM(CAST(ROUND(d.val, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) / COUNT(*) AS cval
+            FROM brank b JOIN ddims d ON d.doc_id = b.doc_id
+            WHERE b.r <= 3
+            GROUP BY 1, 2
+        ),
+        dotp AS (
+            SELECT c.query_id, d.doc_id,
+                   CAST(SUM(CAST(ROUND(c.cval * d.val, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS dp
+            FROM cent c JOIN ddims d ON d.pos = c.pos
+            GROUP BY 1, 2
+        ),
+        cnorm AS (
+            SELECT query_id,
+                   CAST(SUM(CAST(ROUND(cval * cval, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS cn
+            FROM cent GROUP BY query_id
+        ),
+        dnorm AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(ROUND(val * val, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS dn
+            FROM ddims GROUP BY doc_id
+        ),
+        drank AS (
+            SELECT dotp.query_id, dotp.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dotp.query_id
+                       ORDER BY ROUND(dotp.dp / (sqrt(cnorm.cn)
+                                                 * sqrt(dnorm.dn)), 6) DESC,
+                                dotp.doc_id ASC) AS r
+            FROM dotp
+            JOIN cnorm ON cnorm.query_id = dotp.query_id
+            JOIN dnorm ON dnorm.doc_id = dotp.doc_id
+            QUALIFY r <= 20
+        ),
+        fused AS (
+            SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+                   COALESCE(b.doc_id, d.doc_id) AS doc_id,
+                   ROUND(COALESCE(1.0 / (60 + b.r), 0.0)
+                         + COALESCE(1.0 / (60 + d.r), 0.0), 6) AS rrf
+            FROM brank b
+            FULL OUTER JOIN drank d
+              ON d.query_id = b.query_id AND d.doc_id = b.doc_id
+        )
+        SELECT query_id, doc_id, rrf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+        FROM fused
+        QUALIFY rank <= 5
+    """,
+    doc=(
+        "HYBRID RETRIEVAL with RECIPROCAL RANK FUSION (Cormack, "
+        "Clarke, Büttcher, SIGIR 2009): the BM25 lexical ranking "
+        "(llm_bm25_search's scorer, top-20) fuses with a dense ranking "
+        "built by PSEUDO-RELEVANCE FEEDBACK (Rocchio): the centroid of "
+        "the BM25 top-3 docs' embeddings re-scores the whole corpus by "
+        "cosine, and rrf = Σ 1/(60+rank) over both lists picks the "
+        "top-5 — the lexical+dense hybrid every production RAG stack "
+        "runs, expressed end-to-end in one plan. Determinism: centroid "
+        "dims, dot products, and norms all quantize ROUND(...,9)→"
+        "DECIMAL before their sums (order-invariant); rankings use "
+        "rounded scores + doc_id tiebreaks; the two 1/(60+r) terms are "
+        "exact-rational doubles whose 2-term sum is order-free. Plan: "
+        "the BM25 branch is posting-list work; the dense branch is one "
+        "dim-keyed join (64·|docs| rows — at scale the Arrow cosine "
+        "UDF replaces it, llm_sim's declared swap); fusion is a "
+        "full-outer join of two ≤20-row-per-query lists."
+    ),
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = spread(d, "doc_id").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = d.sparkSession.createDataFrame(
+        [(q, t) for q, qt in BM25_QUERIES for t in qt.split(" ")],
+        "query_id string, term string",
+    )
+    bscored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf").cast("double") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    bm25 = bscored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("s").cast("double"), 6).alias("bm25")
+    )
+    w_b = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    brank = (
+        bm25.withColumn("r", F.row_number().over(w_b))
+        .filter(F.col("r") <= 20)
+        .select("query_id", "doc_id", "r")
+        .localCheckpoint(eager=True)  # feeds centroid (top-3) + fusion
+    )
+    e = load(spark, sf_dir, "embeddings")
+    ddims = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "val"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "val")
+    cent = (
+        brank.filter(F.col("r") <= 3)
+        .join(ddims, "doc_id")
+        .groupBy("query_id", "pos")
+        .agg(
+            (
+                F.sum(F.round("val", 9).cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+    )
+    dotp = (
+        cent.join(ddims, "pos")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.round(F.col("cval") * F.col("val"), 9).cast("decimal(38,9)")
+            )
+            .cast("double")
+            .alias("dp")
+        )
+    )
+    cnorm = cent.groupBy("query_id").agg(
+        F.sum(F.round(F.col("cval") * F.col("cval"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("cn")
+    )
+    dnorm = ddims.groupBy("doc_id").agg(
+        F.sum(F.round(F.col("val") * F.col("val"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("dn")
+    )
+    w_d = Window.partitionBy("query_id").orderBy(
+        F.round(
+            F.col("dp") / (F.sqrt(F.col("cn")) * F.sqrt(F.col("dn"))), 6
+        ).desc(),
+        F.col("doc_id").asc(),
+    )
+    drank = (
+        dotp.join(F.broadcast(cnorm), "query_id")
+        .join(dnorm, "doc_id")
+        .withColumn("r", F.row_number().over(w_d))
+        .filter(F.col("r") <= 20)
+        .select("query_id", "doc_id", "r")
+    )
+    fused = (
+        brank.withColumnRenamed("r", "br")
+        .join(
+            drank.withColumnRenamed("r", "dr"),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("br")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("dr")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -1914,3 +1914,101 @@ def mkt_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("sim_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sim_rank") <= 5)
     )
+
+
+@register(
+    "mkt_basket_triples",
+    "L",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, p.p_brand AS item
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+        ic AS (SELECT item, COUNT(*) AS c1 FROM items GROUP BY item),
+        triples AS (
+            SELECT a.item AS x, b.item AS y, c.item AS z,
+                   COUNT(*) AS c3
+            FROM items a
+            JOIN items b ON b.l_orderkey = a.l_orderkey AND a.item < b.item
+            JOIN items c ON c.l_orderkey = a.l_orderkey AND b.item < c.item
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+        )
+        SELECT t.x, t.y, t.z, CAST(t.c3 AS BIGINT) AS support,
+               ROUND(
+                   (CAST(t.c3 AS DOUBLE) * n.n_orders * n.n_orders)
+                   / (CAST(cx.c1 AS DOUBLE) * cy.c1 * cz.c1), 6) AS lift3
+        FROM triples t
+        JOIN ic cx ON cx.item = t.x
+        JOIN ic cy ON cy.item = t.y
+        JOIN ic cz ON cz.item = t.z
+        CROSS JOIN n
+    """,
+    doc=(
+        "3-ITEMSET association mining (the Apriori depth-3 step — "
+        "Agrawal & Srikant, VLDB 1994) over brand baskets: ordered "
+        "x<y<z triples co-occurring in ≥3 orders, scored by the "
+        "3-way lift c_xyz·N²/(c_x·c_y·c_z) against full independence — "
+        "the step after mkt_basket_rules' pairs when pair lift alone "
+        "can't separate genuine triple affinity from two strong pairs. "
+        "Candidate space is per-basket (Σ|basket|³ with the a<b<c "
+        "orientation — the graph_triangle_count join shape applied to "
+        "baskets, never a global item³ cross join); brands (≤25) keep "
+        "basket width bounded. Lift is one fixed-order double "
+        "expression over exact BIGINTs."
+    ),
+)
+def mkt_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 join branches + marginals + N
+    )
+    n = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    ic = items.groupBy("item").agg(F.count(F.lit(1)).alias("c1"))
+    a = items.select("l_orderkey", F.col("item").alias("x"))
+    b = items.select("l_orderkey", F.col("item").alias("y"))
+    c = items.select("l_orderkey", F.col("item").alias("z"))
+    triples = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("x") < F.col("y"))
+        .join(c, "l_orderkey")
+        .filter(F.col("y") < F.col("z"))
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .filter(F.col("c3") >= 3)
+    )
+    return (
+        triples.join(
+            F.broadcast(ic.select(F.col("item").alias("x"), F.col("c1").alias("cx"))), "x"
+        )
+        .join(
+            F.broadcast(ic.select(F.col("item").alias("y"), F.col("c1").alias("cy"))), "y"
+        )
+        .join(
+            F.broadcast(ic.select(F.col("item").alias("z"), F.col("c1").alias("cz"))), "z"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "z",
+            F.col("c3").cast("bigint").alias("support"),
+            F.round(
+                (
+                    F.col("c3").cast("double")
+                    * F.col("n_orders")
+                    * F.col("n_orders")
+                )
+                / (
+                    F.col("cx").cast("double") * F.col("cy") * F.col("cz")
+                ),
+                6,
+            ).alias("lift3"),
+        )
+    )

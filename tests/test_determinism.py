@@ -155,6 +155,8 @@ SENSITIVE = [
     "graph_hits",           # decimal-quantized half-steps + two-pass rank
     "ts_haar_energy",       # all-integer butterfly, zero float surface
     "llm_bm25_search",      # decimal term scores -> per-doc sums + ranking
+    "mkt_basket_triples",   # exact BIGINT triple counts -> one lift double
+    "llm_hybrid_rrf",       # decimal-quantized centroid/cosine + RRF fusion
 ]
 
 

@@ -3917,3 +3917,60 @@ def test_order_by_all_region_rollup(spark, tmp_path):
     out = [(r["n_regionkey"], r["n_nations"], r["first_nation"])
            for r in scans.sql_order_by_all(spark, str(tmp_path / "oba")).collect()]
     assert out == [(10, 2, 1), (20, 1, 3)]
+
+
+def test_basket_triples_support_and_lift(spark, tmp_path):
+    """3 orders each holding brands {A,B,C} plus one {A,B} order: the
+    only surviving triple is (A,B,C) with support 3; lift =
+    3·4²/(4·4·3) = 1.0 exactly."""
+    from big_data_management_and_analytics_spark.operators import mining
+
+    li, parts = [], {}
+    brands = {1: ["BA", "BB", "BC"], 2: ["BA", "BB", "BC"],
+              3: ["BA", "BB", "BC"], 4: ["BA", "BB"]}
+    pk = 0
+    for ok, bs in brands.items():
+        for n, b in enumerate(bs, start=1):
+            pk += 1
+            parts[pk] = b
+            li.append((ok, pk, 1, n, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                       _ts("2024-01-01T00:00:00")))
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "tri") + "/lineitem.parquet")
+    spark.createDataFrame(
+        [(k, "n", b, "t", 1, 1.0) for k, b in parts.items()],
+        schema="p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "tri") + "/part.parquet")
+    out = mining.mkt_basket_triples(spark, str(tmp_path / "tri")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["x"], r["y"], r["z"], r["support"]) == ("BA", "BB", "BC", 3)
+    assert r["lift3"] == 1.0
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark, tmp_path):
+    """A doc ranked #1 by BM25 and #1 dense gets rrf = 2/61; a doc on
+    only one list gets 1/(60+r) — fusion rewards agreement."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    docs = [(1, "spark join spark join", "en", "s", 21),
+            (2, "spark scan", "en", "s", 10),
+            (3, "window agg", "en", "s", 10)]
+    spark.createDataFrame(
+        docs,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "rrf") + "/documents.parquet")
+    # embeddings: doc1/doc2 similar, doc3 orthogonal
+    embs = [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 0)]
+    spark.createDataFrame(
+        embs, schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "rrf") + "/embeddings.parquet")
+    out = {(r["query_id"], r["doc_id"]): r
+           for r in llm_corpus.llm_hybrid_rrf(spark, str(tmp_path / "rrf")).collect()
+           if r["query_id"] == "q1"}
+    r1 = out[("q1", 1)]
+    assert r1["rank"] == 1
+    assert r1["rrf"] == round(2 / 61, 6)  # #1 on both lists
+    assert ("q1", 3) in out and out[("q1", 3)]["rrf"] < r1["rrf"]
