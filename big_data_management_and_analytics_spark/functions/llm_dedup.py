@@ -1365,3 +1365,165 @@ def llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "llm_containment_join",
+    "K",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(list_distinct(string_split_regex(lower(text), '\\s+')))
+                       AS tok
+            FROM documents
+        ),
+        freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok
+        ),
+        sized AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY doc_id
+        ),
+        ranked AS (
+            SELECT t.doc_id, t.tok,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rn
+            FROM toks t JOIN freq f USING (tok)
+        ),
+        prefix AS (
+            SELECT r.doc_id, r.tok
+            FROM ranked r JOIN sized s USING (doc_id)
+            WHERE s.n >= 5
+              AND r.rn <= s.n - (8 * s.n + 9) // 10 + 1
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM prefix a
+            JOIN toks b ON b.tok = a.tok AND b.doc_id <> a.doc_id
+            JOIN sized sa ON sa.doc_id = a.doc_id
+            JOIN sized sb ON sb.doc_id = b.doc_id
+            WHERE 10 * sb.n >= 8 * sa.n
+        ),
+        inter AS (
+            SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS i
+            FROM cand c
+            JOIN toks ta ON ta.doc_id = c.da
+            JOIN toks tb ON tb.doc_id = c.db AND tb.tok = ta.tok
+            GROUP BY c.da, c.db
+        )
+        SELECT contained_id, container_id, n_contained, n_shared,
+               ROUND(CAST(n_shared AS DOUBLE) / n_contained, 6)
+                   AS containment
+        FROM (
+            SELECT i.da AS contained_id, i.db AS container_id,
+                   sa.n AS n_contained, i.i AS n_shared, sb.n AS nb
+            FROM inter i
+            JOIN sized sa ON sa.doc_id = i.da
+            JOIN sized sb ON sb.doc_id = i.db
+            WHERE 10 * i.i >= 8 * sa.n
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY contained_id
+            ORDER BY n_shared DESC, nb ASC, container_id ASC) = 1
+    """,
+    doc=(
+        "EXACT set-CONTAINMENT join (C(A,B) = |A∩B|/|A| ≥ 0.8, |A| ≥ 5 "
+        "tokens): finds documents mostly SWALLOWED by another — quote "
+        "farms, boilerplate wrappers, articles republished inside "
+        "aggregator pages — the asymmetric relation Jaccard-threshold "
+        "dedup (llm_dedup_ssjoin) structurally misses, because a small "
+        "doc inside a huge one has tiny Jaccard but containment 1.0. "
+        "Prefix filter adapts per Chaudhuri et al. (ICDE 2006): the "
+        "PROBE side indexes only its (1−t)·|A| rarest tokens (global "
+        "(df, tok) total order), but the candidate join hits the "
+        "container side's FULL inverted index — the t-free side of an "
+        "asymmetric threshold cannot be prefix-pruned; the size filter "
+        "10·nb ≥ 8·na prunes impossible containers before verification. "
+        "All threshold math integer (prefix len n − (8n+9) div 10 + 1, "
+        "acceptance 10·i ≥ 8·na); verification is the map-side "
+        "sorted-array intersect on candidates, like ssjoin. Output is "
+        "the BEST container per contained doc (overlap DESC, container "
+        "size ASC, id ASC — a per-doc window, so output is ≤ n rows "
+        "however dup-dense the corpus; the full pair set on a quote-"
+        "heavy corpus is quadratic, the exact trap ssjoin's bench "
+        "documents). "
+        "At 100 TB the probe-prefix × inverted-index join is keyed on "
+        "RARE tokens (work tracks real overlap), and the verify payload "
+        "joins are hash equi-joins — no pair-space scan anywhere."
+    ),
+)
+def llm_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # One token-side aggregate feeds the sorted verify payload AND the
+    # size column (exchange reuse, the ssjoin discipline).
+    tokarr = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    sized = tokarr.select("doc_id", "n")
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = toks.join(freq, "tok").withColumn("rn", F.row_number().over(w))
+    plen = F.col("n") - ((8 * F.col("n") + 9) / F.lit(10)).cast("long") + 1
+    prefix = (
+        ranked.join(sized, "doc_id")
+        .filter((F.col("n") >= 5) & (F.col("rn") <= plen))
+        .select(F.col("doc_id").alias("da"), "tok", F.col("n").alias("na"))
+    )
+    cand = (
+        prefix.join(
+            toks.select(F.col("doc_id").alias("db"), "tok"), "tok"
+        )
+        .join(sized.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter((F.col("da") != F.col("db")) & (10 * F.col("nb") >= 8 * F.col("na")))
+        .select("da", "db")
+        .distinct()
+    )
+    i = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("bigint")
+    return (
+        cand.join(
+            tokarr.select(
+                F.col("doc_id").alias("da"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("na"),
+            ),
+            "da",
+        )
+        .join(
+            tokarr.select(
+                F.col("doc_id").alias("db"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("nb"),
+            ),
+            "db",
+        )
+        .withColumn("_i", i)
+        .filter(10 * F.col("_i") >= 8 * F.col("na"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("da").orderBy(
+                    F.col("_i").desc(), F.col("nb").asc(), F.col("db").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("da").alias("contained_id"),
+            F.col("db").alias("container_id"),
+            F.col("na").alias("n_contained"),
+            F.col("_i").alias("n_shared"),
+            F.round(F.col("_i").cast("double") / F.col("na"), 6).alias(
+                "containment"
+            ),
+        )
+    )

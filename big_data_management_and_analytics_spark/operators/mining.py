@@ -2012,3 +2012,108 @@ def mkt_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift3"),
         )
     )
+
+
+@register(
+    "mkt_sequential_patterns",
+    "L",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT o.o_custkey AS c, p.p_brand AS item,
+                   o.o_orderdate AS d
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        seqs AS (
+            SELECT DISTINCT a.c, a.item AS antecedent, b.item AS consequent
+            FROM items a
+            JOIN items b ON b.c = a.c AND b.d > a.d
+                        AND b.item <> a.item
+        ),
+        sup AS (
+            SELECT antecedent, consequent,
+                   CAST(COUNT(*) AS BIGINT) AS seq_support
+            FROM seqs GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        ),
+        ic AS (
+            SELECT item, CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cust
+            FROM items GROUP BY item
+        )
+        SELECT s.antecedent, s.consequent, s.seq_support,
+               ia.n_cust AS n_antecedent,
+               ROUND(CAST(s.seq_support AS DOUBLE) / ia.n_cust, 6)
+                   AS confidence
+        FROM sup s JOIN ic ia ON ia.item = s.antecedent
+    """,
+    doc=(
+        "SEQUENTIAL PATTERN MINING, length-2 (AprioriAll — Agrawal & "
+        "Srikant, ICDE 1995): brand A → brand B where the same customer "
+        "orders A strictly BEFORE a later order containing B, with "
+        "support = customers exhibiting the sequence (≥5) and "
+        "confidence = support / customers-ever-buying-A. The temporal "
+        "sibling of mkt_basket_rules: baskets ask 'together', sequences "
+        "ask 'then', the shape behind next-purchase recommendation and "
+        "churn-precursor mining. Determinism: strict date inequality "
+        "needs no tiebreak (equal-date pairs are excluded BOTH ways, "
+        "symmetric in both engines); all counts exact BIGINTs; the one "
+        "double is the final round-6 ratio. Plan: the (customer, brand, "
+        "date) item set materializes once (localCheckpoint — both pair "
+        "branches and the antecedent marginal reuse it); the sequence "
+        "join is keyed on the CUSTOMER (Σ per-customer item-pairs, "
+        "linear in customers for bounded purchase history, never a "
+        "global brand² cross join); brands (≤25) bound the output. At "
+        "100 TB the same plan holds — the customer-keyed shuffle is the "
+        "partitioning, and skew = one customer's history, bounded."
+    ),
+)
+def mkt_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("p_brand").alias("item"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # 2 pair branches + marginal
+    )
+    a = items.select("c", F.col("item").alias("antecedent"), F.col("d").alias("da"))
+    b = items.select("c", F.col("item").alias("consequent"), F.col("d").alias("db"))
+    seqs = (
+        a.join(b, "c")
+        .filter((F.col("db") > F.col("da")) & (F.col("consequent") != F.col("antecedent")))
+        .select("c", "antecedent", "consequent")
+        .distinct()
+    )
+    sup = (
+        seqs.groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("seq_support"))
+        .filter(F.col("seq_support") >= 5)
+    )
+    ic = (
+        items.select("item", "c")
+        .distinct()
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    )
+    return (
+        sup.join(
+            F.broadcast(ic.select(F.col("item").alias("antecedent"),
+                                  F.col("n_cust").alias("n_antecedent"))),
+            "antecedent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "seq_support",
+            "n_antecedent",
+            F.round(
+                F.col("seq_support").cast("double") / F.col("n_antecedent"), 6
+            ).alias("confidence"),
+        )
+    )

@@ -157,6 +157,9 @@ SENSITIVE = [
     "llm_bm25_search",      # decimal term scores -> per-doc sums + ranking
     "mkt_basket_triples",   # exact BIGINT triple counts -> one lift double
     "llm_hybrid_rrf",       # decimal-quantized centroid/cosine + RRF fusion
+    "mkt_sequential_patterns",  # exact BIGINT sequence counts + one ratio
+    "graph_label_propagation",  # plurality counts, (cnt, label) total order
+    "llm_containment_join",     # integer overlap threshold + top-1 window
 ]
 
 

@@ -3974,3 +3974,111 @@ def test_hybrid_rrf_fuses_both_rankers(spark, tmp_path):
     assert r1["rank"] == 1
     assert r1["rrf"] == round(2 / 61, 6)  # #1 on both lists
     assert ("q1", 3) in out and out[("q1", 3)]["rrf"] < r1["rrf"]
+
+
+def test_sequential_patterns_direction_and_confidence(spark, tmp_path):
+    """5 customers buy brand A then B (A→B support 5); one buys B then
+    A (support 1, filtered). confidence(A→B) = 5/6 — all 6 bought A."""
+    from big_data_management_and_analytics_spark.operators import mining
+    import datetime as dt
+
+    d = str(tmp_path / "seq")
+    orders, li, parts = [], [], [(1, "n", "BA", "t", 1, 1.0), (2, "n", "BB", "t", 1, 1.0)]
+    ok = 0
+    for cust in range(1, 6):  # A on day 1, B on day 2
+        for day, pk in ((1, 1), (2, 2)):
+            ok += 1
+            orders.append((ok, cust, "O", 1.0, dt.datetime(1995, 1, day), "p"))
+            li.append((ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, day)))
+    for day, pk in ((1, 2), (2, 1)):  # cust 6: B first, then A
+        ok += 1
+        orders.append((ok, 6, "O", 1.0, dt.datetime(1995, 1, day), "p"))
+        li.append((ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, day)))
+    spark.createDataFrame(
+        orders,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string,"
+               " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+               " l_quantity double, l_extendedprice double, l_discount double,"
+               " l_tax double, l_returnflag string, l_linestatus string,"
+               " l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    spark.createDataFrame(
+        parts,
+        schema="p_partkey long, p_name string, p_brand string, p_type string,"
+               " p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    out = mining.mkt_sequential_patterns(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["antecedent"], r["consequent"]) == ("BA", "BB")
+    assert (r["seq_support"], r["n_antecedent"]) == (5, 6)
+    assert r["confidence"] == round(5 / 6, 6)
+
+
+def test_label_propagation_two_cliques(spark, tmp_path):
+    """Two disjoint bipartite cliques: custs {1,2}×supps {10,11} and
+    cust {3}×supp {20} — every node lands on its clique's min supplier
+    id (10 / 20) after the three half-steps."""
+    from big_data_management_and_analytics_spark.operators import graph
+    import datetime as dt
+
+    d = str(tmp_path / "lpa")
+    _od = dt.datetime(1995, 1, 1)
+    edges = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 20)]
+    orders, li = [], []
+    for ok, (c, s) in enumerate(edges, start=100):
+        orders.append((ok, c, "O", 1.0, _od, "p"))
+        li.append((ok, 1, s, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", _od))
+    spark.createDataFrame(
+        orders,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string,"
+               " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+               " l_quantity double, l_extendedprice double, l_discount double,"
+               " l_tax double, l_returnflag string, l_linestatus string,"
+               " l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    got = {(r["node_kind"], r["node_id"]): r["community"]
+           for r in graph.graph_label_propagation(spark, d).collect()}
+    assert got == {
+        ("supplier", 10): 10, ("supplier", 11): 10, ("supplier", 20): 20,
+        ("customer", 1): 10, ("customer", 2): 10, ("customer", 3): 20,
+    }
+
+
+def test_containment_join_picks_smallest_container(spark, tmp_path):
+    """Doc 1's tokens sit inside docs 2 and 3; the top-1 rule picks the
+    SMALLER container (doc 3). Jaccard(1,2) = 0.5 — ssjoin-style
+    symmetric dedup would miss this pair entirely."""
+    from big_data_management_and_analytics_spark.functions import llm_dedup
+
+    d = str(tmp_path / "cont")
+    docs = [
+        (1, "a b c d e", "en", "s", 9),
+        (2, "a b c d e f g h i j", "en", "s", 19),
+        (3, "a b c d e f", "en", "s", 11),
+        (4, "x y z w v", "en", "s", 9),
+    ]
+    spark.createDataFrame(
+        docs,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    rows = llm_dedup.llm_containment_join(spark, d).collect()
+    by_contained = {r["contained_id"]: r for r in rows}
+    assert 1 in by_contained
+    r = by_contained[1]
+    assert r["container_id"] == 3  # overlap ties at 5; 6-token container wins
+    assert (r["n_contained"], r["n_shared"]) == (5, 5)
+    assert r["containment"] == 1.0
+    assert 4 not in by_contained  # disjoint doc has no container
+    # doc 3 (a..f) is fully inside doc 2 (a..j)
+    assert by_contained[3]["container_id"] == 2
+    assert by_contained[3]["containment"] == 1.0
+    assert by_contained[3]["n_shared"] == 6
