@@ -1420,10 +1420,14 @@ def _pq_iter_sql(i: int, prev_cent: str) -> str:
         "carrying the previous centroid — so the DuckDB twin replays "
         "the IDENTICAL 2-iteration trace (the llm_bpe unrolled-oracle "
         "discipline; a float centroid chain would diverge in ulps). "
-        "Driver state: ZERO — centroids stay a 1024-row relation, "
-        "localCheckpointed per iteration like llm_dedup_components' "
-        "labels. At 100 TB the assignment join becomes the "
-        "_nearest_cell_udf Arrow closure over a broadcast codebook "
+        "Driver state: the 128-row codebook only (8 subspaces × 16 "
+        "cells — bounded model state, the same audited pattern as "
+        "llm_embed_kmeans' k×64 centroid collect), re-broadcast per "
+        "iteration; assignment is MAP-SIDE (each (vec, subspace) row "
+        "scans the broadcast codebook and takes the (d2, cell) "
+        "struct-min in exact long picounits — no shuffle, no window). "
+        "At 100 TB the assignment becomes the _nearest_cell_udf Arrow "
+        "closure over the same broadcast codebook "
         "(llm_sim_knn_ivf's pattern); the relational form is the "
         "oracle-parity trainer. Complements llm_embed_quantize "
         "(scalar) and llm_sim_knn_ivf (coarse cells): PQ is the "
@@ -1431,66 +1435,103 @@ def _pq_iter_sql(i: int, prev_cent: str) -> str:
     ),
 )
 def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Assignment is MAP-SIDE: each (vec, subspace) row scans all 16
+    # candidate centroids from the broadcast codebook and takes the
+    # (d2, cell) struct-min — no shuffle, no window (the exploded
+    # (s, pos, cell) relational form was n·1024 rows + a groupBy + a
+    # window PER ITERATION: 13.4 s at sf0.1; this form ~4 s). The
+    # decimal trace is IDENTICAL to the oracle's: per-term round(Δ²,12)
+    # accumulated as exact long picounits (round(Δ²,12) is an integer
+    # multiple of 1e-12 and ×1e12 stays within 0.5 ulp of that integer,
+    # so round-to-nearest recovers it exactly; positive scaling keeps
+    # the (d2, cell) total order), converted back through one exact
+    # decimal division at the output. The codebook lives on the driver
+    # between iterations — 128 rows of bounded model state (the
+    # llm_embed_kmeans collect pattern), never per-row data.
     v = _vecs(spark, sf_dir).select("vec_id", "emb")
-    vals = (
+    par = max(spark.sparkContext.defaultParallelism, 2)
+    subv = (
         v.select(
             "vec_id",
             F.explode(F.sequence(F.lit(0), F.lit(7))).alias("s"),
             "emb",
         )
-        .select(
-            "vec_id",
-            "s",
-            F.posexplode(F.expr("slice(emb, s * 8 + 1, 8)")).alias(
-                "pos0", "val"
-            ),
-        )
-        .select("vec_id", "s", (F.col("pos0") + 1).alias("pos"), "val")
-        # Feeds every iteration's terms + means + the final encode.
+        .select("vec_id", "s", F.expr("slice(emb, s * 8 + 1, 8)").alias("sub"))
+        # Explicit partition count: the fixture parquet scan yields 1-2
+        # partitions, which would run every interpreted assignment
+        # lambda near-serial (and AQE would coalesce a count-free
+        # repartition right back). Hashing by vec_id also pre-shuffles
+        # for the final per-vector groupBy.
+        .repartition(par, "vec_id")
         .localCheckpoint(eager=True)
     )
-    seeds = (
-        v.select("vec_id")
-        .orderBy("vec_id")
+    # Seed codebook: the 16 lowest vec_ids, each vector's 8 subspace
+    # slices rounded Spark-side (F.round half-up — python round() is
+    # banker's and would diverge on .5 boundaries).
+    seed_rows = (
+        v.orderBy("vec_id")
         .limit(16)
         .select(
             "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+            F.transform(F.col("emb"), lambda x: F.round(x, 6)).alias("emb6"),
         )
+        .collect()
     )
-    cent = (
-        seeds.join(vals, "vec_id")
-        .select("s", "cell", "pos", F.round("val", 6).alias("cval"))
-        .localCheckpoint(eager=True)
-    )
+    codebook = {}
+    for cell, row in enumerate(sorted(seed_rows, key=lambda r: r.vec_id)):
+        for s in range(8):
+            codebook[(s, cell)] = list(row.emb6[s * 8 : s * 8 + 8])
 
-    def assign(c: DataFrame) -> DataFrame:
-        terms = vals.join(c, ["s", "pos"]).select(
-            "vec_id",
-            "s",
-            "cell",
-            F.round(
-                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval")),
-                12,
-            )
-            .cast("decimal(38,12)")
-            .alias("t"),
+    _CELLS_SCHEMA = "s int, cells array<struct<cell:int,carr:array<double>>>"
+
+    def cells_df():
+        return spark.createDataFrame(
+            [
+                (s, [(c, codebook[(s, c)]) for c in range(16)])
+                for s in range(8)
+            ],
+            _CELLS_SCHEMA,
         )
-        d2 = terms.groupBy("vec_id", "s", "cell").agg(F.sum("t").alias("d2"))
-        w = Window.partitionBy("vec_id", "s").orderBy(
-            F.col("d2").asc(), F.col("cell").asc()
+
+    def assign() -> DataFrame:
+        best = F.array_min(
+            F.transform(
+                F.col("cells"),
+                lambda cc: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sub"),
+                            cc["carr"],
+                            lambda a, b: F.round(
+                                F.round((a - b) * (a - b), 12)
+                                * F.lit(1000000000000.0),
+                                0,
+                            ).cast("long"),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    cc["cell"].alias("cell"),
+                ),
+            )
         )
         return (
-            d2.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "cell", "d2")
+            subv.join(F.broadcast(cells_df()), "s")
+            .withColumn("_w", best)
+            .select(
+                "vec_id",
+                "s",
+                F.col("_w.cell").alias("cell"),
+                F.col("_w.d2").alias("d2"),
+                "sub",
+            )
         )
 
     for _ in range(2):
-        asg = assign(cent)
-        means = (
-            asg.join(vals, ["vec_id", "s"])
-            .groupBy("s", "cell", "pos")
+        mean_rows = (
+            assign()
+            .select("s", "cell", F.posexplode("sub").alias("pos0", "val"))
+            .groupBy("s", "cell", "pos0")
             .agg(
                 F.round(
                     F.sum(F.round("val", 9).cast("decimal(28,9)")).cast(
@@ -1500,18 +1541,16 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ).alias("mval")
             )
+            .collect()  # ≤1024 rows of codebook state
         )
-        cent = (
-            cent.join(means, ["s", "cell", "pos"], "left")
-            .select(
-                "s",
-                "cell",
-                "pos",
-                F.coalesce(F.col("mval"), F.col("cval")).alias("cval"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    final = assign(cent)
+        fresh = {}
+        for r in mean_rows:
+            fresh.setdefault((r.s, r.cell), {})[r.pos0] = r.mval
+        for key, by_pos in fresh.items():
+            # winners always carry all 8 positions; absent keys are
+            # empty cells, which keep the previous centroid.
+            codebook[key] = [by_pos[p] for p in range(8)]
+    final = assign()
     return final.groupBy("vec_id").agg(
         F.concat_ws(
             "-",
@@ -1520,5 +1559,13 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x.cell.cast("string"),
             ),
         ).alias("pq_code"),
-        F.round(F.sum("d2").cast("double"), 6).alias("recon_err"),
+        # Exact decimal division restores the 10^-12 scale before the one
+        # decimal→double conversion the oracle also performs.
+        F.round(
+            (
+                F.sum("d2").cast("decimal(26,0)")
+                / F.lit(1000000000000).cast("decimal(13,0)")
+            ).cast("double"),
+            6,
+        ).alias("recon_err"),
     )
