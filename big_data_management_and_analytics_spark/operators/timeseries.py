@@ -3535,3 +3535,185 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("app").cast("bigint").alias("approx_sum"),
         )
     )
+
+
+# Holt-Winters recurrence, shared between the Spark fold and the DuckDB
+# recursive CTE as ONE SQL text (inlined everywhere it recurs — neither
+# engine may bind an intermediate, so both replay the identical IEEE
+# expression tree; the ts_croston discipline with a seasonal array).
+_HW_L = (
+    "(0.2 * (CAST(xs_l[i] AS DOUBLE) - sarr[((i - 1) % 7) + 1])"
+    " + 0.8 * (l + b))"
+)
+_HW_L0 = "(CAST(list_sum(xs_l[1:7]) AS DOUBLE) / 7.0)"
+_HW_B0 = (
+    "((CAST(list_sum(xs_l[8:14]) AS DOUBLE) / 7.0"
+    f" - {_HW_L0}) / 7.0)"
+)
+
+
+@register(
+    "ts_holt_winters",
+    "E",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+            FROM daily GROUP BY event_type
+        ),
+        spine AS (
+            SELECT b.event_type, UNNEST(generate_series(b.d0, b.d1,
+                   INTERVAL 1 DAY)) AS d
+            FROM bounds b
+        ),
+        series AS (
+            SELECT s.event_type, s.d, COALESCE(dy.xc, 0) AS xc
+            FROM spine s
+            LEFT JOIN daily dy
+              ON dy.event_type = s.event_type AND dy.d = s.d
+        ),
+        h AS (
+            SELECT event_type,
+                   list(xc ORDER BY d) AS xs_l,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM series GROUP BY event_type HAVING COUNT(*) >= 14
+        ),
+        r AS (
+            SELECT event_type, xs_l, n, 8 AS i,
+                   {_HW_L0} AS l,
+                   {_HW_B0} AS b,
+                   [CAST(xs_l[j] AS DOUBLE) - {_HW_L0}
+                    FOR j IN [1, 2, 3, 4, 5, 6, 7]] AS sarr
+            FROM h
+            UNION ALL
+            SELECT event_type, xs_l, n, i + 1,
+                   {_HW_L} AS l,
+                   0.1 * ({_HW_L} - l) + 0.9 * b AS b,
+                   [CASE WHEN j = ((i - 1) % 7) + 1
+                         THEN 0.3 * (CAST(xs_l[i] AS DOUBLE) - {_HW_L})
+                              + 0.7 * sarr[((i - 1) % 7) + 1]
+                         ELSE sarr[j] END
+                    FOR j IN [1, 2, 3, 4, 5, 6, 7]] AS sarr
+            FROM r WHERE i <= n
+        )
+        SELECT event_type, n AS n_days,
+               ROUND(l, 6) AS level_cents,
+               ROUND(b, 6) AS trend_cents,
+               ROUND(l + 1.0 * b + sarr[(n % 7) + 1], 6) AS forecast_1,
+               ROUND(l + 7.0 * b + sarr[((n + 6) % 7) + 1], 6) AS forecast_7
+        FROM r WHERE i = n + 1
+    """,
+    doc=(
+        "HOLT-WINTERS additive triple exponential smoothing (Winters, "
+        "Mgmt. Sci. 1960; α=0.2 β=0.1 γ=0.3, season m=7): level, trend, "
+        "and a 7-slot day-of-week seasonal array folded over each "
+        "event_type's gap-filled daily cents series (zero-filled spine "
+        "so weekly phase is preserved — the seasonal sibling of "
+        "ts_holt_linear, and the classic next step when ts_ewma/holt "
+        "under-fit weekly periodicity). Init is the standard simple "
+        "scheme: l0 = mean of week 1, b0 = (mean week 2 − mean week 1)"
+        "/7, s_j = x_j − l0. Determinism: the recurrence is ONE shared "
+        "SQL text inlined at every recurrence site (module constant "
+        "_HW_L — neither engine binds intermediates, so both replay "
+        "bit-identical IEEE trees, the ts_croston fold discipline "
+        "extended with a seasonal-array member updated by indexed "
+        "transform). Inputs exact cents; outputs round-6. Plan: one "
+        "groupBy to daily cents, a per-type day spine (explode "
+        "sequence), then the per-entity O(n) sequential fold every "
+        "smoother costs — parallelism = series count, no global state, "
+        "the 100 TB posture identical to holt/croston."
+    ),
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("d"),
+    )
+    series = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce(F.col("xc"), F.lit(0)).alias("xc")
+    )
+    h = (
+        series.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "xc"))),
+                lambda s: s["xc"],
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 14)
+    )
+    xs = F.col("xs")
+    lsum = lambda lo, cnt: F.aggregate(  # noqa: E731 — exact long sum
+        F.slice(xs, lo, cnt), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    l0 = lsum(1, 7).cast("double") / F.lit(7.0)
+    b0 = (lsum(8, 7).cast("double") / F.lit(7.0) - l0) / F.lit(7.0)
+    s_init = F.transform(
+        F.slice(xs, 1, 7), lambda x: x.cast("double") - l0
+    )
+
+    def step(acc, x):
+        k = ((acc["i"] - 1) % 7) + 1
+        s_old = F.element_at(acc["sarr"], k)
+        xd = x.cast("double")
+        l_new = (
+            F.lit(0.2) * (xd - s_old)
+            + F.lit(0.8) * (acc["l"] + acc["b"])
+        )
+        b_new = F.lit(0.1) * (l_new - acc["l"]) + F.lit(0.9) * acc["b"]
+        s_new = F.lit(0.3) * (xd - l_new) + F.lit(0.7) * s_old
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            (acc["i"] + 1).alias("i"),
+            F.transform(
+                acc["sarr"],
+                lambda v, j0: F.when((j0 + 1) == k, s_new).otherwise(v),
+            ).alias("sarr"),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, 8, F.size(xs) - 7),
+        F.struct(
+            l0.alias("l"),
+            b0.alias("b"),
+            F.lit(8).alias("i"),
+            s_init.alias("sarr"),
+        ),
+        step,
+    )
+    return h.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(folded["l"], 6).alias("level_cents"),
+        F.round(folded["b"], 6).alias("trend_cents"),
+        F.round(
+            folded["l"]
+            + F.lit(1.0) * folded["b"]
+            + F.element_at(folded["sarr"], (F.col("n") % 7 + 1).cast("int")),
+            6,
+        ).alias("forecast_1"),
+        F.round(
+            folded["l"]
+            + F.lit(7.0) * folded["b"]
+            + F.element_at(
+                folded["sarr"], ((F.col("n") + 6) % 7 + 1).cast("int")
+            ),
+            6,
+        ).alias("forecast_7"),
+    )

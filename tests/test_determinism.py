@@ -160,6 +160,7 @@ SENSITIVE = [
     "mkt_sequential_patterns",  # exact BIGINT sequence counts + one ratio
     "graph_label_propagation",  # plurality counts, (cnt, label) total order
     "llm_containment_join",     # integer overlap threshold + top-1 window
+    "ts_holt_winters",          # shared-text IEEE fold, seasonal array
 ]
 
 

@@ -4082,3 +4082,31 @@ def test_containment_join_picks_smallest_container(spark, tmp_path):
     assert by_contained[3]["container_id"] == 2
     assert by_contained[3]["containment"] == 1.0
     assert by_contained[3]["n_shared"] == 6
+
+
+def test_holt_winters_constant_seasonal_series(spark, tmp_path):
+    """A perfectly periodic weekly series (value 1.00 on the 7th day of
+    each week, 0 otherwise, 4 full weeks): trend ~0, forecast_7 lands on
+    a spike slot, forecast_1 on a zero slot — forecast_7 > forecast_1."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in range(28):
+        val = 1.0 if day % 7 == 6 else 0.0
+        rows.append((day, base + dt.timedelta(days=day), day, "spike", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "hw") + "/events.parquet")
+    out = timeseries.ts_holt_winters(spark, str(tmp_path / "hw")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 28
+    # level stabilizes near the weekly mean of 100/7 cents
+    assert 5 < r["level_cents"] < 25
+    assert abs(r["trend_cents"]) < 1.0
+    # day 29 is a zero slot; day 35 (n+7) is the spike slot
+    assert r["forecast_7"] > r["forecast_1"]
+    assert r["forecast_7"] > 50  # spike seasonal lifts it near 100 cents
