@@ -1372,34 +1372,39 @@ def llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "K",
     oracle="""
         WITH toks AS (
-            SELECT DISTINCT doc_id,
-                   UNNEST(list_distinct(string_split_regex(lower(text), '\\s+')))
-                       AS tok
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tok
             FROM documents
         ),
+        sh AS (
+            SELECT doc_id, UNNEST(list_distinct(list_transform(
+                       generate_series(1, len(tok) - 2),
+                       i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                   ))) AS s
+            FROM toks WHERE len(tok) >= 3
+        ),
         freq AS (
-            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s
         ),
         sized AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-            FROM toks GROUP BY doc_id
+            FROM sh GROUP BY doc_id
         ),
         ranked AS (
-            SELECT t.doc_id, t.tok,
+            SELECT t.doc_id, t.s,
                    ROW_NUMBER() OVER (
-                       PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rn
-            FROM toks t JOIN freq f USING (tok)
+                       PARTITION BY t.doc_id ORDER BY f.df, t.s) AS rn
+            FROM sh t JOIN freq f USING (s)
         ),
         prefix AS (
-            SELECT r.doc_id, r.tok
-            FROM ranked r JOIN sized s USING (doc_id)
-            WHERE s.n >= 5
-              AND r.rn <= s.n - (8 * s.n + 9) // 10 + 1
+            SELECT r.doc_id, r.s
+            FROM ranked r JOIN sized sz USING (doc_id)
+            WHERE sz.n >= 5
+              AND r.rn <= sz.n - (8 * sz.n + 9) // 10 + 1
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
             FROM prefix a
-            JOIN toks b ON b.tok = a.tok AND b.doc_id <> a.doc_id
+            JOIN sh b ON b.s = a.s AND b.doc_id <> a.doc_id
             JOIN sized sa ON sa.doc_id = a.doc_id
             JOIN sized sb ON sb.doc_id = b.doc_id
             WHERE 10 * sb.n >= 8 * sa.n
@@ -1407,8 +1412,8 @@ def llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter AS (
             SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS i
             FROM cand c
-            JOIN toks ta ON ta.doc_id = c.da
-            JOIN toks tb ON tb.doc_id = c.db AND tb.tok = ta.tok
+            JOIN sh ta ON ta.doc_id = c.da
+            JOIN sh tb ON tb.doc_id = c.db AND tb.s = ta.s
             GROUP BY c.da, c.db
         )
         SELECT contained_id, container_id, n_contained, n_shared,
@@ -1427,71 +1432,90 @@ def llm_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY n_shared DESC, nb ASC, container_id ASC) = 1
     """,
     doc=(
-        "EXACT set-CONTAINMENT join (C(A,B) = |A∩B|/|A| ≥ 0.8, |A| ≥ 5 "
-        "tokens): finds documents mostly SWALLOWED by another — quote "
-        "farms, boilerplate wrappers, articles republished inside "
-        "aggregator pages — the asymmetric relation Jaccard-threshold "
-        "dedup (llm_dedup_ssjoin) structurally misses, because a small "
-        "doc inside a huge one has tiny Jaccard but containment 1.0. "
-        "Prefix filter adapts per Chaudhuri et al. (ICDE 2006): the "
-        "PROBE side indexes only its (1−t)·|A| rarest tokens (global "
-        "(df, tok) total order), but the candidate join hits the "
-        "container side's FULL inverted index — the t-free side of an "
-        "asymmetric threshold cannot be prefix-pruned; the size filter "
-        "10·nb ≥ 8·na prunes impossible containers before verification. "
-        "All threshold math integer (prefix len n − (8n+9) div 10 + 1, "
-        "acceptance 10·i ≥ 8·na); verification is the map-side "
-        "sorted-array intersect on candidates, like ssjoin. Output is "
-        "the BEST container per contained doc (overlap DESC, container "
-        "size ASC, id ASC — a per-doc window, so output is ≤ n rows "
-        "however dup-dense the corpus; the full pair set on a quote-"
-        "heavy corpus is quadratic, the exact trap ssjoin's bench "
-        "documents). "
-        "At 100 TB the probe-prefix × inverted-index join is keyed on "
-        "RARE tokens (work tracks real overlap), and the verify payload "
-        "joins are hash equi-joins — no pair-space scan anywhere."
+        "EXACT SHINGLE-CONTAINMENT join (C(A,B) = |SA∩SB|/|SA| ≥ 0.8 "
+        "over word 3-gram shingle sets, |SA| ≥ 5): finds documents "
+        "whose passages are mostly SWALLOWED by another — quote farms, "
+        "boilerplate wrappers, aggregator republication — the "
+        "asymmetric relation symmetric Jaccard dedup (llm_dedup_ssjoin) "
+        "structurally misses, since a short doc quoted inside a long "
+        "one has tiny Jaccard but containment ~1. Shingles, not "
+        "unigrams, are the unit: containment must be order-sensitive "
+        "(a quote is contiguous phrasing) and the fixture's 31-word "
+        "vocabulary makes token SETS degenerate (every unigram is hot "
+        "and the prefix×index join goes quadratic — measured OOM at "
+        "sf0.1; shingle df maxes at ~25 there). Prefix filter adapts "
+        "per Chaudhuri et al. (ICDE 2006): the probe side indexes its "
+        "(1−t)·n rarest shingles under the global (df, shingle) total "
+        "order, but the candidate join hits the container side's FULL "
+        "posting list — the t-free side of an asymmetric threshold "
+        "cannot be prefix-pruned; the 10·nb ≥ 8·na size filter prunes "
+        "impossible containers first. All threshold math integer "
+        "(prefix len n − (8n+9) div 10 + 1, acceptance 10·i ≥ 8·na); "
+        "verification is the map-side sorted-array intersect; output "
+        "is the BEST container per contained doc (overlap DESC, "
+        "container size ASC, id ASC), so output stays ≤ n rows however "
+        "dup-dense the corpus. The exploded shingle relation "
+        "materializes ONCE (eager localCheckpoint) — freq, sizes, "
+        "prefix, candidates, and verify all reuse it instead of "
+        "re-tokenizing the corpus five times."
     ),
 )
 def llm_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    toks = (
-        spread(load(spark, sf_dir, "documents"), "doc_id")
-        .select(
-            "doc_id",
-            F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
-        )
-        .filter(F.col("tok").isNotNull())
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    shingle = F.when(
+        F.size(tok) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tok, i + 1),
+                    F.element_at(tok, i + 2),
+                    F.element_at(tok, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode(shingle).alias("s"))
+        .localCheckpoint(eager=True)  # 5 consumers
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    # One token-side aggregate feeds the sorted verify payload AND the
-    # size column (exchange reuse, the ssjoin discipline).
-    tokarr = toks.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("tok")).alias("arr"),
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # One aggregate feeds both the sorted verify payload and the sizes.
+    sharr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    sized = tokarr.select("doc_id", "n")
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = toks.join(freq, "tok").withColumn("rn", F.row_number().over(w))
+    sized = sharr.select("doc_id", "n")
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = sh.join(freq, "s").withColumn("rn", F.row_number().over(w))
     plen = F.col("n") - ((8 * F.col("n") + 9) / F.lit(10)).cast("long") + 1
     prefix = (
         ranked.join(sized, "doc_id")
         .filter((F.col("n") >= 5) & (F.col("rn") <= plen))
-        .select(F.col("doc_id").alias("da"), "tok", F.col("n").alias("na"))
+        .select(F.col("doc_id").alias("da"), "s", F.col("n").alias("na"))
     )
     cand = (
-        prefix.join(
-            toks.select(F.col("doc_id").alias("db"), "tok"), "tok"
+        prefix.join(sh.select(F.col("doc_id").alias("db"), "s"), "s")
+        .join(
+            sized.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")),
+            "db",
         )
-        .join(sized.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
-        .filter((F.col("da") != F.col("db")) & (10 * F.col("nb") >= 8 * F.col("na")))
+        .filter(
+            (F.col("da") != F.col("db"))
+            & (10 * F.col("nb") >= 8 * F.col("na"))
+        )
         .select("da", "db")
         .distinct()
     )
     i = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("bigint")
     return (
         cand.join(
-            tokarr.select(
+            sharr.select(
                 F.col("doc_id").alias("da"),
                 F.col("arr").alias("arr_a"),
                 F.col("n").alias("na"),
@@ -1499,7 +1523,7 @@ def llm_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "da",
         )
         .join(
-            tokarr.select(
+            sharr.select(
                 F.col("doc_id").alias("db"),
                 F.col("arr").alias("arr_b"),
                 F.col("n").alias("nb"),

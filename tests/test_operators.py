@@ -4054,17 +4054,18 @@ def test_label_propagation_two_cliques(spark, tmp_path):
 
 
 def test_containment_join_picks_smallest_container(spark, tmp_path):
-    """Doc 1's tokens sit inside docs 2 and 3; the top-1 rule picks the
-    SMALLER container (doc 3). Jaccard(1,2) = 0.5 — ssjoin-style
-    symmetric dedup would miss this pair entirely."""
+    """Doc 1's shingles sit inside docs 2 and 3 (prefix-extended
+    copies); the top-1 rule picks the SMALLER container (doc 3).
+    Symmetric Jaccard would score (1,2) at only 7/10."""
     from big_data_management_and_analytics_spark.functions import llm_dedup
 
     d = str(tmp_path / "cont")
+    base = "q w e r t y u i o"  # 9 tokens -> 7 shingles
     docs = [
-        (1, "a b c d e", "en", "s", 9),
-        (2, "a b c d e f g h i j", "en", "s", 19),
-        (3, "a b c d e f", "en", "s", 11),
-        (4, "x y z w v", "en", "s", 9),
+        (1, base, "en", "s", 17),
+        (2, base + " p a s", "en", "s", 23),  # 10 shingles, superset
+        (3, base + " z", "en", "s", 19),      # 8 shingles, superset
+        (4, "m n b v c x l k j h", "en", "s", 19),  # disjoint
     ]
     spark.createDataFrame(
         docs,
@@ -4072,16 +4073,18 @@ def test_containment_join_picks_smallest_container(spark, tmp_path):
     ).write.parquet(d + "/documents.parquet")
     rows = llm_dedup.llm_containment_join(spark, d).collect()
     by_contained = {r["contained_id"]: r for r in rows}
-    assert 1 in by_contained
     r = by_contained[1]
-    assert r["container_id"] == 3  # overlap ties at 5; 6-token container wins
-    assert (r["n_contained"], r["n_shared"]) == (5, 5)
+    assert r["container_id"] == 3  # overlap ties at 7; 8-shingle container wins
+    assert (r["n_contained"], r["n_shared"]) == (7, 7)
     assert r["containment"] == 1.0
+    # doc 3 is 7/8-contained in docs 1 AND 2; the smaller container
+    # (doc 1, 7 shingles — containment is directional, so the pair
+    # 1<->3 appears both ways) wins the nb-asc tiebreak
+    assert by_contained[3]["container_id"] == 1
+    assert by_contained[3]["containment"] == 0.875
+    # doc 2's only size-eligible container is doc 3, which fails 10i>=8na
+    assert 2 not in by_contained
     assert 4 not in by_contained  # disjoint doc has no container
-    # doc 3 (a..f) is fully inside doc 2 (a..j)
-    assert by_contained[3]["container_id"] == 2
-    assert by_contained[3]["containment"] == 1.0
-    assert by_contained[3]["n_shared"] == 6
 
 
 def test_holt_winters_constant_seasonal_series(spark, tmp_path):
