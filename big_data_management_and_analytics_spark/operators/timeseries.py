@@ -3717,3 +3717,210 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("forecast_7"),
     )
+
+
+@register(
+    "ts_bollinger",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT event_type, d, xc,
+                   CAST(SUM(xc) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(xc * xc) OVER w AS BIGINT) AS sxx,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS cnt
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+               xc AS close_cents,
+               ROUND(CAST(sx AS DOUBLE) / 20.0, 6) AS sma,
+               ROUND(CAST(sx AS DOUBLE) / 20.0
+                     + 2.0 * sqrt((CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * sx / 20.0) / 20.0),
+                     6) AS upper_band,
+               ROUND(CAST(sx AS DOUBLE) / 20.0
+                     - 2.0 * sqrt((CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * sx / 20.0) / 20.0),
+                     6) AS lower_band,
+               CAST(CASE
+                   WHEN CAST(xc AS DOUBLE) > CAST(sx AS DOUBLE) / 20.0
+                        + 2.0 * sqrt((CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * sx / 20.0) / 20.0)
+                       THEN 1
+                   WHEN CAST(xc AS DOUBLE) < CAST(sx AS DOUBLE) / 20.0
+                        - 2.0 * sqrt((CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * sx / 20.0) / 20.0)
+                       THEN -1
+                   ELSE 0 END AS INT) AS breakout
+        FROM win WHERE cnt = 20
+    """,
+    doc=(
+        "BOLLINGER BANDS (Bollinger, 1980s; the running-σ band chart "
+        "every monitoring and trading stack draws): 20-day rolling "
+        "mean ± 2 population σ over each event_type's daily cents "
+        "close, with a breakout flag (+1 above, −1 below). σ derives "
+        "from EXACT integer window moments (Σx, Σx² over cents longs — "
+        "order-invariant under any partitioning; cents² × 20 is far "
+        "inside int64), so the only float work is the final fixed-"
+        "order mean/σ expression; sqrt is IEEE-754 correctly-rounded "
+        "(unlike sin/cos, which the repo freezes into literal tables), "
+        "so both engines produce bit-identical bands, and the breakout "
+        "comparison compares the SAME two bit-identical doubles in "
+        "both engines. Emitted only where the window is full "
+        "(cnt = 20) — partial-window edges are where engines disagree "
+        "on semantics. Plan: one daily aggregate, one partitioned "
+        "ROWS-frame window — parallelism = series count, the "
+        "win_sliding_avg cost shape with two extra moment columns."
+    ),
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "d",
+        "xc",
+        F.sum("xc").over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("xc") * F.col("xc")).over(w).cast("bigint").alias("sxx"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt"),
+    ).filter(F.col("cnt") == 20)
+    sma = F.col("sx").cast("double") / F.lit(20.0)
+    sigma = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.lit(20.0)
+        )
+        / F.lit(20.0)
+    )
+    upper = sma + F.lit(2.0) * sigma
+    lower = sma - F.lit(2.0) * sigma
+    return win.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("xc").alias("close_cents"),
+        F.round(sma, 6).alias("sma"),
+        F.round(upper, 6).alias("upper_band"),
+        F.round(lower, 6).alias("lower_band"),
+        F.when(F.col("xc").cast("double") > upper, 1)
+        .when(F.col("xc").cast("double") < lower, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breakout"),
+    )
+
+
+# Kalman local-level recurrence — ONE shared SQL text (the _HW_L
+# discipline): the gain k is inlined at both of its use sites so
+# neither engine binds an intermediate.
+_KF_PP = "(p + 100.0)"
+_KF_K = f"({_KF_PP} / ({_KF_PP} + 10000.0))"
+
+
+@register(
+    "ts_kalman_filter",
+    "E",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT event_type,
+                   list(xc ORDER BY d) AS xs_l,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type HAVING COUNT(*) >= 2
+        ),
+        r AS (
+            SELECT event_type, xs_l, n, 1 AS i,
+                   CAST(xs_l[1] AS DOUBLE) AS l,
+                   CAST(10000.0 AS DOUBLE) AS p
+            FROM h
+            UNION ALL
+            SELECT event_type, xs_l, n, i + 1,
+                   l + {_KF_K} * (CAST(xs_l[i + 1] AS DOUBLE) - l) AS l,
+                   (1.0 - {_KF_K}) * {_KF_PP} AS p
+            FROM r WHERE i < n
+        )
+        SELECT event_type, n AS n_days,
+               ROUND(l, 6) AS level_cents,
+               ROUND({_KF_K}, 6) AS steady_gain,
+               ROUND(p, 6) AS error_var
+        FROM r WHERE i = n
+    """,
+    doc=(
+        "1-D KALMAN FILTER, local-level model (Kalman 1960; the "
+        "recursive MMSE estimator behind every sensor-fusion and "
+        "metric-denoising pipeline): per event_type, fold the daily "
+        "cents series through predict/update with process variance "
+        "q = 100 cents² and observation variance r = 10000 cents² "
+        "(declared constants — gain converges to the golden-ratio-"
+        "like steady state of q/r = 0.01 regardless of init): "
+        "p⁺ = p + q; k = p⁺/(p⁺ + r); l ← l + k(x − l); "
+        "p ← (1 − k)p⁺. The statistically-weighted sibling of ts_ewma "
+        "(a Kalman filter IS an EWMA whose α adapts to uncertainty). "
+        "Determinism: the recurrence is ONE shared SQL text (_KF_K / "
+        "_KF_PP inlined at every use site — the ts_croston/_HW_L fold "
+        "discipline), inputs exact cents, outputs round-6. Plan: one "
+        "daily aggregate + the per-entity O(n) sequential fold; "
+        "parallelism = series count, no global state."
+    ),
+)
+def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    h = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "xc"))),
+                lambda s: s["xc"],
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    xs = F.col("xs")
+
+    def step(acc, x):
+        pp = acc["p"] + F.lit(100.0)
+        k = pp / (pp + F.lit(10000.0))
+        return F.struct(
+            (acc["l"] + k * (x.cast("double") - acc["l"])).alias("l"),
+            ((F.lit(1.0) - k) * pp).alias("p"),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.struct(
+            F.element_at(xs, 1).cast("double").alias("l"),
+            F.lit(10000.0).alias("p"),
+        ),
+        step,
+    )
+    pp_f = folded["p"] + F.lit(100.0)
+    return h.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(folded["l"], 6).alias("level_cents"),
+        F.round(pp_f / (pp_f + F.lit(10000.0)), 6).alias("steady_gain"),
+        F.round(folded["p"], 6).alias("error_var"),
+    )

@@ -161,6 +161,8 @@ SENSITIVE = [
     "graph_label_propagation",  # plurality counts, (cnt, label) total order
     "llm_containment_join",     # integer overlap threshold + top-1 window
     "ts_holt_winters",          # shared-text IEEE fold, seasonal array
+    "ts_bollinger",             # exact integer window moments + IEEE sqrt
+    "ts_kalman_filter",         # shared-text gain recurrence fold
 ]
 
 

@@ -4113,3 +4113,52 @@ def test_holt_winters_constant_seasonal_series(spark, tmp_path):
     # day 29 is a zero slot; day 35 (n+7) is the spike slot
     assert r["forecast_7"] > r["forecast_1"]
     assert r["forecast_7"] > 50  # spike seasonal lifts it near 100 cents
+
+
+def test_bollinger_spike_breaks_upper_band(spark, tmp_path):
+    """24 constant days then a 50x spike: constant windows have sigma=0
+    (bands collapse onto the SMA, breakout 0); the spike day clears
+    mean + 2*sigma and flags +1."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    for day in range(25):
+        val = 50.0 if day == 24 else 1.0
+        rows.append((day, base + dt.timedelta(days=day), day, "m", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "bb") + "/events.parquet")
+    out = {r["day"]: r
+           for r in timeseries.ts_bollinger(spark, str(tmp_path / "bb")).collect()}
+    assert len(out) == 6  # days 20..25 have full windows
+    flat = out["2024-03-24"]
+    assert (flat["close_cents"], flat["sma"], flat["breakout"]) == (100, 100.0, 0)
+    assert flat["upper_band"] == flat["lower_band"] == 100.0
+    spike = out["2024-03-25"]
+    assert spike["close_cents"] == 5000
+    assert spike["breakout"] == 1
+    assert spike["upper_band"] < 5000
+
+
+def test_kalman_constant_series_converges(spark, tmp_path):
+    """A constant series leaves the level untouched (x == l every step)
+    while the error variance contracts from its diffuse init toward the
+    steady state."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows = [(d, dt.datetime(2024, 5, 1) + dt.timedelta(days=d), d, "m", 1.0, "{}")
+            for d in range(10)]
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "kf") + "/events.parquet")
+    out = timeseries.ts_kalman_filter(spark, str(tmp_path / "kf")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_days"], r["level_cents"]) == (10, 100.0)
+    assert 0.0 < r["steady_gain"] < 0.51
+    assert r["error_var"] < 10000.0
