@@ -677,3 +677,39 @@ def test_scalers_broadcast_moments_not_window(spark, registry):
         plan = _plan(registry[name].fn(spark, SF_T2))
         assert "BroadcastHashJoin" in plan, name
         assert "Window" not in plan, name
+
+
+def test_basket_mining_broadcasts_marginals(spark, registry):
+    """Triple mining joins its item-count marginals back via broadcast
+    (25 brands) — a shuffled marginal join would add three exchanges
+    to the lift projection for a dimension that never outgrows memory."""
+    for name in ("mkt_basket_triples", "mkt_sequential_patterns"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_pq_assignment_no_shuffle_no_window(spark, registry):
+    """PQ cell assignment scans the broadcast codebook map-side: the
+    plan must carry no Window (the old argmin form) and no shuffle
+    between the checkpointed subvectors and the final per-vector
+    aggregate beyond that aggregate's own exchange."""
+    plan = _plan(registry["llm_embed_pq"].fn(spark, SF_T2))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bollinger_single_partitioned_window(spark, registry):
+    """Bands come from ONE partitioned ROWS-frame window over the daily
+    aggregate — no unpartitioned window, no self-join for the moments."""
+    plan = _plan(registry["ts_bollinger"].fn(spark, SF_T2))
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequential_folds_have_no_window_or_join_tail(spark, registry):
+    """The smoother folds (kalman, holt-winters) are groupBy + higher-
+    order aggregate — windows appear nowhere (the per-entity recurrence
+    is an array fold, not a window scan)."""
+    for name in ("ts_kalman_filter", "ts_holt_winters"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "Window" not in plan, name
