@@ -3924,3 +3924,150 @@ def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pp_f / (pp_f + F.lit(10000.0)), 6).alias("steady_gain"),
         F.round(folded["p"], 6).alias("error_var"),
     )
+
+
+@register(
+    "ts_dtw",
+    "E",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT event_type, list(xc ORDER BY d) AS xs,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type HAVING COUNT(*) >= 2
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.xs AS xs, b.xs AS ys, a.n AS n, b.n AS m
+            FROM h a JOIN h b ON a.event_type < b.event_type
+        ),
+        r AS (
+            SELECT type_a, type_b, xs, ys, n, m, CAST(0 AS BIGINT) AS d,
+                   [CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(4000000000000000 AS BIGINT) END
+                    FOR i IN generate_series(0, CAST(n AS INT))] AS p1,
+                   [CAST(4000000000000000 AS BIGINT)
+                    FOR i IN generate_series(0, CAST(n AS INT))] AS p2
+            FROM pairs
+            UNION ALL
+            SELECT type_a, type_b, xs, ys, n, m, d + 1,
+                   [CASE WHEN i >= 1 AND i <= n
+                              AND d + 1 - i >= 1 AND d + 1 - i <= m
+                         THEN abs(xs[CAST(i AS INT)]
+                                  - ys[CAST(d + 1 - i AS INT)])
+                              + least(p1[CAST(i AS INT)],
+                                      p1[CAST(i + 1 AS INT)],
+                                      p2[CAST(i AS INT)])
+                         ELSE CAST(4000000000000000 AS BIGINT) END
+                    FOR i IN generate_series(0, CAST(n AS INT))] AS p1,
+                   p1 AS p2
+            FROM r WHERE d < n + m
+        )
+        SELECT type_a, type_b, n AS len_a, m AS len_b,
+               p1[CAST(n + 1 AS INT)] AS dtw_cents,
+               ROUND(CAST(p1[CAST(n + 1 AS INT)] AS DOUBLE) / (n + m), 6)
+                   AS dtw_per_step
+        FROM r WHERE d = n + m
+    """,
+    doc=(
+        "DYNAMIC TIME WARPING distance (Sakoe & Chiba, IEEE TASSP "
+        "1978) between every pair of event_type daily-demand curves: "
+        "the elastic alignment measure that ranks series similarity "
+        "when phases shift (a promo that fires Tuesday in one region "
+        "and Thursday in another — Euclidean distance punishes the "
+        "shift, DTW absorbs it). The DP runs over ANTI-DIAGONAL "
+        "wavefronts — diag d depends only on diags d−1 and d−2, so "
+        "each step is one pure array comprehension (this is also the "
+        "parallel-DTW formulation; a row-major DP has a sequential "
+        "in-row dependency no comprehension can express). Determinism "
+        "is structural: L1 local cost over EXACT CENTS keeps every DP "
+        "cell an int64 (max path ≈ 2n·maxΔ ≪ the 4e15 pad sentinel, "
+        "which itself stays overflow-safe under one more add) — there "
+        "is NO float in the recursion at all, so the engines cannot "
+        "diverge; the only double is the final per-step ratio. Plan: "
+        "pair rows = type pairs (bounded), each folding its own "
+        "O((n+m)·n) DP map-side — parallelism = pair count; at long "
+        "horizons the Sakoe-Chiba band (w-limited comprehension "
+        "range) bounds the per-pair cost, the declared scale path."
+    ),
+)
+def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    INF = 4_000_000_000_000_000
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    h = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "xc"))),
+                lambda s: s["xc"],
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    a = h.select(
+        F.col("event_type").alias("type_a"), F.col("xs").alias("xs"),
+        F.col("n").alias("n"),
+    )
+    b = h.select(
+        F.col("event_type").alias("type_b"), F.col("xs").alias("ys"),
+        F.col("n").alias("m"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    n, m = F.col("n"), F.col("m")
+    inf = F.lit(INF).cast("long")
+    p1_0 = F.transform(
+        F.sequence(F.lit(0), n.cast("int")),
+        lambda i: F.when(i == 0, F.lit(0).cast("long")).otherwise(inf),
+    )
+    p2_0 = F.transform(F.sequence(F.lit(0), n.cast("int")), lambda i: inf)
+
+    def step(acc, d):
+        def cell(i):
+            j = d - i
+            return (
+                F.when(
+                    (i >= 1) & (i.cast("long") <= n)
+                    & (j >= 1) & (j.cast("long") <= m),
+                    F.abs(
+                        F.element_at(F.col("xs"), i)
+                        - F.element_at(F.col("ys"), j)
+                    )
+                    + F.least(
+                        F.element_at(acc["p1"], i),
+                        F.element_at(acc["p1"], i + 1),
+                        F.element_at(acc["p2"], i),
+                    ),
+                )
+                .otherwise(inf)
+            )
+
+        return F.struct(
+            F.transform(
+                F.sequence(F.lit(0), n.cast("int")), cell
+            ).alias("p1"),
+            acc["p1"].alias("p2"),
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), (n + m).cast("int")),
+        F.struct(p1_0.alias("p1"), p2_0.alias("p2")),
+        step,
+    )
+    dtw = F.element_at(folded["p1"], (n + 1).cast("int"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        n.alias("len_a"),
+        m.alias("len_b"),
+        dtw.alias("dtw_cents"),
+        F.round(dtw.cast("double") / (n + m), 6).alias("dtw_per_step"),
+    )

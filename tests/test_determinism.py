@@ -163,6 +163,7 @@ SENSITIVE = [
     "ts_holt_winters",          # shared-text IEEE fold, seasonal array
     "ts_bollinger",             # exact integer window moments + IEEE sqrt
     "ts_kalman_filter",         # shared-text gain recurrence fold
+    "ts_dtw",                   # all-integer wavefront DP, one ratio
 ]
 
 

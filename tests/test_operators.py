@@ -4162,3 +4162,30 @@ def test_kalman_constant_series_converges(spark, tmp_path):
     assert (r["n_days"], r["level_cents"]) == (10, 100.0)
     assert 0.0 < r["steady_gain"] < 0.51
     assert r["error_var"] < 10000.0
+
+
+def test_dtw_absorbs_phase_shift(spark, tmp_path):
+    """Series b repeats a's first sample (a pure phase stretch): DTW
+    cost 0 where Euclidean would pay. Series c is a constant offset —
+    the diagonal path is optimal and costs the L1 sum of 9 cents."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows, eid = [], 0
+    series = {"a": [0.01, 0.02, 0.03], "b": [0.01, 0.01, 0.02, 0.03],
+              "c": [0.05, 0.05, 0.05]}
+    for et, vals in series.items():
+        for day, v in enumerate(vals):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 7, 1) + dt.timedelta(days=day),
+                         eid, et, v, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "dtw") + "/events.parquet")
+    out = {(r["type_a"], r["type_b"]): r
+           for r in timeseries.ts_dtw(spark, str(tmp_path / "dtw")).collect()}
+    assert len(out) == 3
+    assert out[("a", "b")]["dtw_cents"] == 0
+    assert out[("a", "c")]["dtw_cents"] == 9
+    assert out[("a", "c")]["dtw_per_step"] == 1.5  # 9 / (3 + 3)
