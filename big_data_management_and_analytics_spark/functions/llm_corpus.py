@@ -2169,3 +2169,98 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(w_f).cast("int"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "llm_watermark_greenlist",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS tok
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(len(tok) - 1 AS BIGINT) AS n_pairs,
+                   CAST(len(list_filter(
+                       list_transform(
+                           generate_series(2, len(tok)),
+                           i -> ('0x' || substr(
+                                     md5(tok[i - 1] || ' ' || tok[i]),
+                                     1, 15))::BIGINT % 2),
+                       b -> b = 0)) AS BIGINT) AS n_green
+            FROM toks WHERE len(tok) >= 2
+        )
+        SELECT doc_id, n_pairs, n_green,
+               ROUND(CAST(n_green AS DOUBLE) / n_pairs, 6) AS green_frac,
+               ROUND((2.0 * n_green - n_pairs) / sqrt(CAST(n_pairs AS DOUBLE)),
+                     6) AS z_score,
+               CAST(CASE WHEN (2.0 * n_green - n_pairs)
+                              / sqrt(CAST(n_pairs AS DOUBLE)) > 4.0
+                         THEN 1 ELSE 0 END AS INT) AS watermarked
+        FROM scored
+    """,
+    doc=(
+        "LLM WATERMARK DETECTION (Kirchenbauer et al., ICML 2023, "
+        "γ = 1/2): each token's membership in the previous token's "
+        "'green list' is decided by the repo's portable 60-bit md5 "
+        "hash (parity of H0(prev ∥ ' ' ∥ tok) — the generator-side "
+        "seeding rule replayed by the detector), and a document is "
+        "flagged when its one-proportion z-score (2g − n)/√n clears "
+        "4σ — the published detection statistic. Human text hashes to "
+        "green ≈ half the time (z ≈ 0); watermarked generations "
+        "oversample green and push z to tens. Determinism: the "
+        "green/red partition is the portable md5 family (bit-identical "
+        "cross-engine, like every LSH operator here), counts are exact "
+        "integers, √ is IEEE-correctly-rounded, and the 4.0 threshold "
+        "compares bit-identical doubles in both engines. Plan: "
+        "MAP-ONLY — the pair list, hashes, and counts all evaluate "
+        "inside one projection per document (no explode, no shuffle); "
+        "at 100 TB this is an embarrassingly-parallel scan, the "
+        "cheapest possible shape (the llm_text_fingerprint cost "
+        "profile)."
+    ),
+)
+def llm_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    scored = (
+        spread(d, "doc_id")
+        .select("doc_id", tok.alias("tok"))
+        .filter(F.size("tok") >= 2)
+        .select(
+            "doc_id",
+            (F.size("tok") - 1).cast("bigint").alias("n_pairs"),
+            F.size(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(2), F.size("tok")),
+                        lambda i: ph0(
+                            F.concat_ws(
+                                " ",
+                                F.element_at(F.col("tok"), i - 1),
+                                F.element_at(F.col("tok"), i),
+                            )
+                        )
+                        % 2,
+                    ),
+                    lambda b: b == 0,
+                )
+            )
+            .cast("bigint")
+            .alias("n_green"),
+        )
+    )
+    z = (F.lit(2.0) * F.col("n_green") - F.col("n_pairs")) / F.sqrt(
+        F.col("n_pairs").cast("double")
+    )
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        "n_green",
+        F.round(F.col("n_green").cast("double") / F.col("n_pairs"), 6).alias(
+            "green_frac"
+        ),
+        F.round(z, 6).alias("z_score"),
+        F.when(z > 4.0, 1).otherwise(0).cast("int").alias("watermarked"),
+    )

@@ -164,6 +164,7 @@ SENSITIVE = [
     "ts_bollinger",             # exact integer window moments + IEEE sqrt
     "ts_kalman_filter",         # shared-text gain recurrence fold
     "ts_dtw",                   # all-integer wavefront DP, one ratio
+    "llm_watermark_greenlist",  # portable-md5 parity counts + z ratio
 ]
 
 

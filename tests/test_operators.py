@@ -4189,3 +4189,31 @@ def test_dtw_absorbs_phase_shift(spark, tmp_path):
     assert out[("a", "b")]["dtw_cents"] == 0
     assert out[("a", "c")]["dtw_cents"] == 9
     assert out[("a", "c")]["dtw_per_step"] == 1.5  # 9 / (3 + 3)
+
+
+def test_watermark_zscore_and_flag(spark, tmp_path):
+    """green_frac + z follow the exact hash partition; a 2-token doc
+    has n_pairs 1 and can never clear the 4-sigma flag."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+    import hashlib
+
+    docs = [(1, "alpha beta gamma alpha beta", "en", "s", 27),
+            (2, "solo pair", "en", "s", 9)]
+    spark.createDataFrame(
+        docs,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "wm") + "/documents.parquet")
+    out = {r["doc_id"]: r
+           for r in llm_corpus.llm_watermark_greenlist(spark, str(tmp_path / "wm")).collect()}
+
+    def green(prev, tok):
+        return int(hashlib.md5(f"{prev} {tok}".encode()).hexdigest()[:15], 16) % 2 == 0
+
+    toks = "alpha beta gamma alpha beta".split()
+    expect_green = sum(green(a, b) for a, b in zip(toks, toks[1:]))
+    r1 = out[1]
+    assert (r1["n_pairs"], r1["n_green"]) == (4, expect_green)
+    assert r1["green_frac"] == round(expect_green / 4, 6)
+    assert r1["watermarked"] == 0  # |z| <= 2 with n=4
+    r2 = out[2]
+    assert r2["n_pairs"] == 1 and r2["watermarked"] == 0
