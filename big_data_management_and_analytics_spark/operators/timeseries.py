@@ -4071,3 +4071,128 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtw.alias("dtw_cents"),
         F.round(dtw.cast("double") / (n + m), 6).alias("dtw_per_step"),
     )
+
+
+# Kleinberg burst recurrence — shared SQL text inlined at every use
+# site (the _HW_L discipline). With burst rate 2·λ0 the per-gap cost
+# DIFFERENCE between states collapses to λ0·g − ln2, so the only
+# transcendental on the data path is the frozen ln2 literal; everything
+# else is +, *, /, least — IEEE-deterministic cross-engine.
+_BK_D = (
+    "((CAST(n - 1 AS DOUBLE) * CAST(gs[i] AS DOUBLE))"
+    " / CAST(tspan AS DOUBLE) - 0.6931471805599453)"
+)
+_BK_C0 = "least(c0, c1)"
+_BK_C1 = f"(least(c0 + 1.0, c1) + {_BK_D})"
+
+
+@register(
+    "events_burst_kleinberg",
+    "E",
+    oracle=f"""
+        WITH RECURSIVE ordered AS (
+            SELECT event_type, epoch_us(ts) AS tu
+            FROM events
+        ),
+        h0 AS (
+            SELECT event_type,
+                   list(tu ORDER BY tu) AS ts_l,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MAX(tu) - MIN(tu) AS BIGINT) AS tspan
+            FROM ordered GROUP BY event_type
+            HAVING COUNT(*) >= 3 AND MAX(tu) > MIN(tu)
+        ),
+        h AS (
+            SELECT event_type, n, tspan,
+                   list_transform(generate_series(2, CAST(n AS INT)),
+                                  i -> ts_l[i] - ts_l[i - 1]) AS gs
+            FROM h0
+        ),
+        r AS (
+            SELECT event_type, n, tspan, gs, 1 AS i,
+                   CAST(0.0 AS DOUBLE) AS c0,
+                   CAST(1.0e18 AS DOUBLE) AS c1,
+                   CAST(0 AS BIGINT) AS nb
+            FROM h
+            UNION ALL
+            SELECT event_type, n, tspan, gs, i + 1,
+                   {_BK_C0} AS c0,
+                   {_BK_C1} AS c1,
+                   nb + CASE WHEN {_BK_C1} < {_BK_C0}
+                             THEN 1 ELSE 0 END AS nb
+            FROM r WHERE i < n
+        )
+        SELECT event_type, n AS n_events, n - 1 AS n_gaps,
+               nb AS n_burst_steps,
+               ROUND(least(c0, c1), 6) AS viterbi_cost
+        FROM r WHERE i = n
+    """,
+    doc=(
+        "KLEINBERG BURST DETECTION (Kleinberg, KDD 2002), 2-state "
+        "infinite-automaton Viterbi over each event_type's inter-"
+        "arrival gaps: state 0 emits at the empirical base rate "
+        "λ0 = (n−1)/span, state 1 at 2λ0, entering a burst costs γ=1 "
+        "and exiting is free — the standard machinery behind 'is this "
+        "stream bursting right now' alerting and trending-topic "
+        "detection. Determinism is by REFORMULATION: Viterbi decisions "
+        "depend only on cost DIFFERENCES, and with λ1 = 2λ0 the "
+        "per-gap difference is exactly λ0·g − ln2 — so the exponential "
+        "densities' ln λ terms cancel into one frozen ln2 literal "
+        "(0.6931471805599453, the ts_periodogram frozen-literal rule) "
+        "and the fold is pure +/*//least IEEE arithmetic, ONE shared "
+        "SQL text at every use site (_BK_C0/_BK_C1, the _HW_L "
+        "discipline). n_burst_steps counts gaps where the burst state "
+        "is strictly cheaper after the update — the burst-occupancy "
+        "statistic. Plan: one per-type sort-aggregate + the O(n) "
+        "sequential fold; parallelism = type count, no global state."
+    ),
+)
+def events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("tu")
+    )
+    h0 = (
+        e.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list("tu")).alias("ts_l"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.max("tu") - F.min("tu")).cast("bigint").alias("tspan"),
+        )
+        .filter((F.col("n") >= 3) & (F.col("tspan") > 0))
+    )
+    gs = F.transform(
+        F.sequence(F.lit(2), F.col("n").cast("int")),
+        lambda i: F.element_at(F.col("ts_l"), i)
+        - F.element_at(F.col("ts_l"), i - 1),
+    )
+    h = h0.select("event_type", "n", "tspan", gs.alias("gs"))
+    ln2 = F.lit(0.6931471805599453)
+
+    def step(acc, g):
+        d = (
+            (F.col("n") - 1).cast("double") * g.cast("double")
+        ) / F.col("tspan").cast("double") - ln2
+        c0n = F.least(acc["c0"], acc["c1"])
+        c1n = F.least(acc["c0"] + F.lit(1.0), acc["c1"]) + d
+        return F.struct(
+            c0n.alias("c0"),
+            c1n.alias("c1"),
+            (acc["nb"] + F.when(c1n < c0n, 1).otherwise(0)).alias("nb"),
+        )
+
+    folded = F.aggregate(
+        F.col("gs"),
+        F.struct(
+            F.lit(0.0).alias("c0"),
+            F.lit(1.0e18).alias("c1"),
+            F.lit(0).cast("bigint").alias("nb"),
+        ),
+        step,
+    )
+    return h.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        (F.col("n") - 1).alias("n_gaps"),
+        folded["nb"].alias("n_burst_steps"),
+        F.round(F.least(folded["c0"], folded["c1"]), 6).alias("viterbi_cost"),
+    )

@@ -165,6 +165,7 @@ SENSITIVE = [
     "ts_kalman_filter",         # shared-text gain recurrence fold
     "ts_dtw",                   # all-integer wavefront DP, one ratio
     "llm_watermark_greenlist",  # portable-md5 parity counts + z ratio
+    "events_burst_kleinberg",   # ln2-literal Viterbi fold, shared text
 ]
 
 

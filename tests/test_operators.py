@@ -4217,3 +4217,36 @@ def test_watermark_zscore_and_flag(spark, tmp_path):
     assert r1["watermarked"] == 0  # |z| <= 2 with n=4
     r2 = out[2]
     assert r2["n_pairs"] == 1 and r2["watermarked"] == 0
+
+
+def test_burst_detection_flags_dense_cluster(spark, tmp_path):
+    """Events at a steady hourly cadence, then a 1-second machine-gun
+    cluster: the dense gaps are far below 1/lambda0, the Viterbi path
+    enters the burst state there, and n_burst_steps lands near the
+    cluster size. A perfectly regular control series never bursts."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 9, 1)
+    # bursty: 20 hourly events, then 20 events 1s apart
+    for i in range(20):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=i), eid, "bursty", 1.0, "{}"))
+    for i in range(20):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=19, seconds=i + 1), eid,
+                     "bursty", 1.0, "{}"))
+    # steady control: 30 hourly events
+    for i in range(30):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(hours=i), eid, "steady", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "bk") + "/events.parquet")
+    out = {r["event_type"]: r
+           for r in timeseries.events_burst_kleinberg(spark, str(tmp_path / "bk")).collect()}
+    assert out["bursty"]["n_burst_steps"] >= 18
+    assert out["steady"]["n_burst_steps"] == 0
+    assert out["steady"]["n_gaps"] == 29
