@@ -655,3 +655,111 @@ def llm_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cand_lang") == F.col("true_lang")).alias("correct"),
         )
     )
+
+
+# FROZEN trig literal tables (the ts_periodogram rule: sin/cos are not
+# IEEE-correctly-rounded, so libm may differ per engine by an ulp —
+# tables are generated once and injected as identical decimal literals
+# into both plans). sin/cos(2π·h/24) for h ∈ 0..23, 2π·d/7 for d ∈ 0..6.
+_HOUR_SIN = [
+    0.0, 0.25881904510252074, 0.49999999999999994,
+    0.7071067811865475, 0.8660254037844386, 0.9659258262890683,
+    1.0, 0.9659258262890683, 0.8660254037844387,
+    0.7071067811865476, 0.49999999999999994, 0.258819045102521,
+    1.2246467991473532e-16, -0.2588190451025208, -0.4999999999999997,
+    -0.7071067811865471, -0.8660254037844384, -0.9659258262890683,
+    -1.0, -0.9659258262890684, -0.8660254037844386,
+    -0.7071067811865477, -0.5000000000000004, -0.25881904510252157,
+]
+_HOUR_COS = [
+    1.0, 0.9659258262890683, 0.8660254037844387,
+    0.7071067811865476, 0.5000000000000001, 0.25881904510252074,
+    6.123233995736766e-17, -0.25881904510252063, -0.4999999999999998,
+    -0.7071067811865475, -0.8660254037844387, -0.9659258262890682,
+    -1.0, -0.9659258262890683, -0.8660254037844388,
+    -0.7071067811865479, -0.5000000000000004, -0.25881904510252063,
+    -1.8369701987210297e-16, 0.2588190451025203, 0.5000000000000001,
+    0.7071067811865474, 0.8660254037844384, 0.9659258262890681,
+]
+_DOW_SIN = [
+    0.0, 0.7818314824680298, 0.9749279121818236,
+    0.43388373911755823, -0.433883739117558, -0.9749279121818236,
+    -0.7818314824680299,
+]
+_DOW_COS = [
+    1.0, 0.6234898018587336, -0.22252093395631434,
+    -0.900968867902419, -0.9009688679024191, -0.2225209339563146,
+    0.6234898018587334,
+]
+
+
+def _sql_list(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+@register(
+    "feat_cyclic_encode",
+    "L",
+    oracle=f"""
+        WITH enc AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS INT) AS hr,
+                   CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dw
+            FROM events
+        )
+        SELECT event_type, hr, dw,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(({_sql_list(_HOUR_SIN)})[hr + 1], 6) + 0.0 AS hour_sin,
+               ROUND(({_sql_list(_HOUR_COS)})[hr + 1], 6) + 0.0 AS hour_cos,
+               ROUND(({_sql_list(_DOW_SIN)})[dw + 1], 6) + 0.0 AS dow_sin,
+               ROUND(({_sql_list(_DOW_COS)})[dw + 1], 6) + 0.0 AS dow_cos
+        FROM enc GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "CYCLIC FEATURE ENCODING (sin/cos of hour-of-day and "
+        "day-of-week): the standard fix for feeding periodic time "
+        "features to models — hour 23 and hour 0 become neighbors on "
+        "the unit circle instead of distance-23 integers; every "
+        "tabular-ML pipeline over event data carries these columns. "
+        "Determinism: the 24+7 sin/cos values are FROZEN literal "
+        "tables (the ts_periodogram rule — sin/cos are not IEEE-"
+        "correctly-rounded, so runtime libm may differ by an ulp "
+        "between engines; identical decimal literals cannot), indexed "
+        "by integer hour and by the engine-agnostic Monday-0 weekday "
+        "(epoch_days + 3) mod 7 — neither engine's dayofweek "
+        "convention (Spark Sunday=1, DuckDB Sunday=0) touches the "
+        "plan. Grouped to the (type, hour, dow) grid (≤ 5·24·7 rows) "
+        "so the feature table is broadcast-sized; ungrouped, the same "
+        "two projections bolt onto any per-event plan map-only."
+    ),
+)
+def feat_cyclic_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        ((F.floor(F.unix_micros("ts") / F.lit(86400000000)) + 3) % 7)
+        .cast("int")
+        .alias("dw"),
+    )
+    hs = F.array(*[F.lit(v) for v in _HOUR_SIN])
+    hc = F.array(*[F.lit(v) for v in _HOUR_COS])
+    ds = F.array(*[F.lit(v) for v in _DOW_SIN])
+    dc = F.array(*[F.lit(v) for v in _DOW_COS])
+    return (
+        e.groupBy("event_type", "hr", "dw")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "event_type",
+            "hr",
+            "dw",
+            "n_events",
+            (F.round(F.element_at(hs, F.col("hr") + 1), 6) + F.lit(0.0))
+            .alias("hour_sin"),
+            (F.round(F.element_at(hc, F.col("hr") + 1), 6) + F.lit(0.0))
+            .alias("hour_cos"),
+            (F.round(F.element_at(ds, F.col("dw") + 1), 6) + F.lit(0.0))
+            .alias("dow_sin"),
+            (F.round(F.element_at(dc, F.col("dw") + 1), 6) + F.lit(0.0))
+            .alias("dow_cos"),
+        )
+    )

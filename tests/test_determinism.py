@@ -166,6 +166,7 @@ SENSITIVE = [
     "ts_dtw",                   # all-integer wavefront DP, one ratio
     "llm_watermark_greenlist",  # portable-md5 parity counts + z ratio
     "events_burst_kleinberg",   # ln2-literal Viterbi fold, shared text
+    "feat_cyclic_encode",       # frozen trig tables, zero-normalized
 ]
 
 

@@ -4250,3 +4250,30 @@ def test_burst_detection_flags_dense_cluster(spark, tmp_path):
     assert out["bursty"]["n_burst_steps"] >= 18
     assert out["steady"]["n_burst_steps"] == 0
     assert out["steady"]["n_gaps"] == 29
+
+
+def test_cyclic_encode_unit_circle_and_wraparound(spark, tmp_path):
+    """Hour 23 and hour 0 are circle neighbors: their encodings are
+    close where raw integers are 23 apart; every encoding satisfies
+    sin^2 + cos^2 = 1 to rounding."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+    import datetime as dt
+
+    rows = [(1, dt.datetime(2024, 1, 1, 23, 30), 1, "m", 1.0, "{}"),   # Mon 23h
+            (2, dt.datetime(2024, 1, 2, 0, 30), 2, "m", 1.0, "{}"),    # Tue 0h
+            (3, dt.datetime(2024, 1, 2, 12, 0), 3, "m", 1.0, "{}")]    # Tue 12h
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "cy") + "/events.parquet")
+    out = {(r["hr"], r["dw"]): r
+           for r in ml_features.feat_cyclic_encode(spark, str(tmp_path / "cy")).collect()}
+    assert set(out) == {(23, 0), (0, 1), (12, 1)}  # Monday-0 weekday
+    h23, h0, h12 = out[(23, 0)], out[(0, 1)], out[(12, 1)]
+    # wraparound: 23h-0h euclidean gap far below 0h-12h (antipodal)
+    d_wrap = (h23["hour_sin"] - h0["hour_sin"]) ** 2 + (h23["hour_cos"] - h0["hour_cos"]) ** 2
+    d_anti = (h12["hour_sin"] - h0["hour_sin"]) ** 2 + (h12["hour_cos"] - h0["hour_cos"]) ** 2
+    assert d_wrap < 0.1 < d_anti
+    for r in out.values():
+        assert abs(r["hour_sin"] ** 2 + r["hour_cos"] ** 2 - 1.0) < 1e-5
+        assert abs(r["dow_sin"] ** 2 + r["dow_cos"] ** 2 - 1.0) < 1e-5
