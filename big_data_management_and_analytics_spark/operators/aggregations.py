@@ -1377,3 +1377,128 @@ def dq_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("salt_factor"),
         )
     )
+
+
+# Candidate FD pairs for dq_fd_mine: (table, determinant, dependent).
+# A fixed audit list, like dq_constraint_audit's rule table — FD mining
+# over ALL column pairs is quadratic in schema width and is run on a
+# declared candidate set in practice (TANE prunes lattice levels the
+# same way).
+_FD_CANDIDATES = [
+    ("customer", "c_custkey", "c_name"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_name", "c_custkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+]
+
+
+@register(
+    "dq_fd_mine",
+    "D",
+    oracle="""
+        WITH pairs AS (
+            SELECT 'customer' AS tbl, 'c_custkey' AS det, 'c_name' AS dep,
+                   CAST(c_custkey AS VARCHAR) AS a, CAST(c_name AS VARCHAR) AS b
+            FROM customer
+            UNION ALL
+            SELECT 'customer', 'c_custkey', 'c_nationkey',
+                   CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'customer', 'c_name', 'c_custkey',
+                   CAST(c_name AS VARCHAR), CAST(c_custkey AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+                   CAST(c_nationkey AS VARCHAR), CAST(c_mktsegment AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'customer', 'c_mktsegment', 'c_nationkey',
+                   CAST(c_mktsegment AS VARCHAR), CAST(c_nationkey AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'orders', 'o_orderkey', 'o_custkey',
+                   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'orders', 'o_custkey', 'o_orderpriority',
+                   CAST(o_custkey AS VARCHAR), CAST(o_orderpriority AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'orders', 'o_orderpriority', 'o_orderstatus',
+                   CAST(o_orderpriority AS VARCHAR), CAST(o_orderstatus AS VARCHAR)
+            FROM orders
+        ),
+        grp AS (
+            SELECT tbl, det, dep, a,
+                   CAST(COUNT(DISTINCT b) AS BIGINT) AS nb
+            FROM pairs GROUP BY 1, 2, 3, 4
+        )
+        SELECT tbl, det, dep,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(MAX(nb) AS BIGINT) AS max_branch,
+               CAST(CASE WHEN MAX(nb) = 1 THEN 1 ELSE 0 END AS INT)
+                   AS fd_holds,
+               ROUND(1.0 - CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END)
+                                AS DOUBLE) / COUNT(*), 6) AS fd_strength
+        FROM grp GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "FUNCTIONAL-DEPENDENCY MINING (TANE — Huhtala et al., Comput. "
+        "J. 1999; the g3-style approximate-FD measure): for each "
+        "candidate determinant→dependent pair, count determinant "
+        "groups whose dependent branches (>1 distinct value), report "
+        "whether the FD holds exactly and its violation-free group "
+        "fraction — the profiling step schema-inference, key "
+        "discovery, and normalization audits run before trusting a "
+        "join key. Complements dq_profile (per-column stats) and "
+        "dq_constraint_audit (asserted rules) with DISCOVERED rules. "
+        "The candidate set is a declared lattice level (_FD_CANDIDATES "
+        "— TANE prunes the same way; all-pairs is quadratic in schema "
+        "width, not in rows). Determinism: counts only; the single "
+        "double is the final round-6 fraction. Plan: one union of "
+        "narrow projections, two hash-aggregate levels — group space "
+        "is the determinant's distinct values per pair, work linear in "
+        "rows, the classic two-level distinct-count shape that "
+        "partial-aggregates map-side at any scale."
+    ),
+)
+def dq_fd_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        t = load(spark, sf_dir, tbl)
+        parts.append(
+            t.select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(det).alias("det"),
+                F.lit(dep).alias("dep"),
+                F.col(det).cast("string").alias("a"),
+                F.col(dep).cast("string").alias("b"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionAll(p)
+    grp = pairs.groupBy("tbl", "det", "dep", "a").agg(
+        F.countDistinct("b").cast("bigint").alias("nb")
+    )
+    return grp.groupBy("tbl", "det", "dep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("nb") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating"),
+        F.max("nb").cast("bigint").alias("max_branch"),
+        F.when(F.max("nb") == 1, 1).otherwise(0).cast("int").alias("fd_holds"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.when(F.col("nb") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("fd_strength"),
+    )

@@ -167,6 +167,7 @@ SENSITIVE = [
     "llm_watermark_greenlist",  # portable-md5 parity counts + z ratio
     "events_burst_kleinberg",   # ln2-literal Viterbi fold, shared text
     "feat_cyclic_encode",       # frozen trig tables, zero-normalized
+    "dq_fd_mine",               # exact group counts + one fraction
 ]
 
 

@@ -4277,3 +4277,30 @@ def test_cyclic_encode_unit_circle_and_wraparound(spark, tmp_path):
     for r in out.values():
         assert abs(r["hour_sin"] ** 2 + r["hour_cos"] ** 2 - 1.0) < 1e-5
         assert abs(r["dow_sin"] ** 2 + r["dow_cos"] ** 2 - 1.0) < 1e-5
+
+
+def test_fd_mine_detects_key_and_violation(spark, tmp_path):
+    """c_custkey -> c_name holds (key); c_mktsegment -> c_nationkey is
+    violated by one segment spanning two nations, strength 1/2."""
+    from big_data_management_and_analytics_spark.operators import aggregations
+
+    d = str(tmp_path / "fd")
+    spark.createDataFrame(
+        [(1, "alice", 10, 0.0, "AUTO"), (2, "bob", 10, 0.0, "AUTO"),
+         (3, "carol", 20, 0.0, "AUTO"), (4, "dave", 30, 0.0, "STEEL")],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(d + "/customer.parquet")
+    import datetime as dt
+    spark.createDataFrame(
+        [(100, 1, "O", 1.0, dt.datetime(1995, 1, 1), "1-URGENT")],
+        schema="o_orderkey long, o_custkey long, o_orderstatus string,"
+               " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    out = {(r["det"], r["dep"]): r
+           for r in aggregations.dq_fd_mine(spark, d).collect()}
+    key = out[("c_custkey", "c_name")]
+    assert (key["fd_holds"], key["n_violating"], key["fd_strength"]) == (1, 0, 1.0)
+    seg = out[("c_mktsegment", "c_nationkey")]
+    # AUTO covers nations {10, 20} -> violating; STEEL is clean
+    assert (seg["fd_holds"], seg["n_groups"], seg["n_violating"]) == (0, 2, 1)
+    assert seg["max_branch"] == 2 and seg["fd_strength"] == 0.5
