@@ -51,6 +51,9 @@ HEADLINE = [
     "llm_embed_pq",           # relational product-quantization trainer (r4)
     "llm_bm25_search",        # BM25 lexical retrieval over posting lists (r4)
     "mkt_item_similarity",    # item-item CF cosine top-5 (per-basket pairs) (r4)
+    "llm_hybrid_rrf",         # BM25 + PRF-dense reciprocal-rank fusion (r4)
+    "graph_label_propagation",# bipartite LPA communities, 3 half-steps (r4)
+    "ts_holt_winters",        # seasonal triple-EWMA fold, gap-filled spine (r4)
 ]
 
 # Declared exact small-scale baselines — O(n²) pair space BY DESIGN (the
