@@ -4196,3 +4196,182 @@ def events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded["nb"].alias("n_burst_steps"),
         F.round(F.least(folded["c0"], folded["c1"]), 6).alias("viterbi_cost"),
     )
+
+
+@register(
+    "ts_ordinal_patterns",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT event_type, list(xc ORDER BY d) AS xs,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type HAVING COUNT(*) >= 3
+        ),
+        pats AS (
+            SELECT event_type, n, UNNEST(list_transform(
+                generate_series(1, CAST(n - 2 AS INT)),
+                i -> 4 * CASE WHEN xs[i] < xs[i + 1]
+                              OR (xs[i] = xs[i + 1]) THEN 1 ELSE 0 END
+                   + 2 * CASE WHEN xs[i] < xs[i + 2]
+                              OR (xs[i] = xs[i + 2]) THEN 1 ELSE 0 END
+                   + CASE WHEN xs[i + 1] < xs[i + 2]
+                          OR (xs[i + 1] = xs[i + 2]) THEN 1 ELSE 0 END
+            )) AS pattern_id
+            FROM h
+        )
+        SELECT event_type, CAST(pattern_id AS INT) AS pattern_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / (MAX(n) - 2), 6) AS share
+        FROM pats GROUP BY 1, 2
+    """,
+    doc=(
+        "ORDINAL PATTERN histogram (Bandt & Pompe, Phys. Rev. Lett. "
+        "2002 — the combinatorial footing of permutation entropy): "
+        "each 3-day window of the daily cents series maps to its "
+        "order pattern, encoded by the three pairwise comparisons "
+        "4·[k1≤k2] + 2·[k1≤k3] + [k2≤k3] with ties broken toward the "
+        "EARLIER index (the published convention; with it the three "
+        "bits are never contradictory, so exactly 6 of 8 ids occur). "
+        "A white-noise series spreads mass evenly; trends pile onto "
+        "7 (up-up) and 0 (down-down) — the nonparametric regime "
+        "detector that needs no distributional assumptions. The "
+        "histogram is emitted rather than the entropy scalar because "
+        "ln is not IEEE-correctly-rounded (the repo's libm rule) — "
+        "Σ p·ln p over these exact shares is one post-hoc expression "
+        "away for a consumer who accepts ulp noise. All-integer "
+        "comparisons over exact cents; the one double is the round-6 "
+        "share. Plan: per-type fold + explode + hash agg, linear."
+    ),
+)
+def ts_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    h = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "xc"))),
+                lambda s: s["xc"],
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    xs = F.col("xs")
+
+    def pid(i):
+        a = F.element_at(xs, i)
+        b = F.element_at(xs, i + 1)
+        c = F.element_at(xs, i + 2)
+        return (
+            4 * F.when(a <= b, 1).otherwise(0)
+            + 2 * F.when(a <= c, 1).otherwise(0)
+            + F.when(b <= c, 1).otherwise(0)
+        )
+
+    pats = h.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n") - 2).cast("int")), pid
+            )
+        ).alias("pattern_id"),
+    )
+    return pats.groupBy("event_type", F.col("pattern_id").cast("int").alias("pattern_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / (F.max("n") - 2), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "events_forecast_backtest",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, d, xc,
+                   LAG(xc, 1) OVER w AS f_naive,
+                   LAG(xc, 7) OVER w AS f_snaive,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY d DESC) AS rev
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_folds,
+               CAST(SUM(abs(xc - f_naive)) AS BIGINT) AS ae_naive_cents,
+               CAST(SUM(abs(xc - f_snaive)) AS BIGINT) AS ae_snaive_cents,
+               ROUND(CAST(SUM(abs(xc - f_naive)) AS DOUBLE) / COUNT(*), 6)
+                   AS mae_naive,
+               ROUND(CAST(SUM(abs(xc - f_snaive)) AS DOUBLE) / COUNT(*), 6)
+                   AS mae_snaive,
+               CAST(CASE WHEN SUM(abs(xc - f_snaive))
+                              < SUM(abs(xc - f_naive))
+                         THEN 1 ELSE 0 END AS INT) AS seasonal_wins
+        FROM lagged
+        WHERE rev <= 14 AND f_naive IS NOT NULL AND f_snaive IS NOT NULL
+        GROUP BY event_type
+    """,
+    doc=(
+        "ROLLING-ORIGIN FORECAST BACKTEST (the Hyndman & Athanasopoulos "
+        "evaluation protocol): over each event_type's last 14 days, "
+        "score the naive (yesterday) and seasonal-naive (same weekday "
+        "last week) forecasters by MAE and declare the winner — the "
+        "eval harness every forecasting deployment runs BEFORE "
+        "trusting ts_ewma/holt/holt_winters output, here as one query. "
+        "Folds where either forecast's lag is unavailable are excluded "
+        "in both engines identically (NULL lag). Determinism: absolute "
+        "errors are exact cents BIGINTs summed order-free; the winner "
+        "flag compares two exact integers; the only doubles are the "
+        "two final round-6 MAEs. Plan: one daily aggregate + one "
+        "partitioned window (lags + reverse rank in a single pass), "
+        "then a hash agg — parallelism = series count."
+    ),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(
+        F.sum("_vc").cast("bigint").alias("xc")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    wrev = Window.partitionBy("event_type").orderBy(F.col("d").desc())
+    lagged = daily.select(
+        "event_type",
+        "xc",
+        F.lag("xc", 1).over(w).alias("f_naive"),
+        F.lag("xc", 7).over(w).alias("f_snaive"),
+        F.row_number().over(wrev).alias("rev"),
+    ).filter(
+        (F.col("rev") <= 14)
+        & F.col("f_naive").isNotNull()
+        & F.col("f_snaive").isNotNull()
+    )
+    ae_n = F.sum(F.abs(F.col("xc") - F.col("f_naive")))
+    ae_s = F.sum(F.abs(F.col("xc") - F.col("f_snaive")))
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+        ae_n.cast("bigint").alias("ae_naive_cents"),
+        ae_s.cast("bigint").alias("ae_snaive_cents"),
+        F.round(ae_n.cast("double") / F.count(F.lit(1)), 6).alias("mae_naive"),
+        F.round(ae_s.cast("double") / F.count(F.lit(1)), 6).alias("mae_snaive"),
+        F.when(ae_s < ae_n, 1).otherwise(0).cast("int").alias("seasonal_wins"),
+    )

@@ -168,6 +168,8 @@ SENSITIVE = [
     "events_burst_kleinberg",   # ln2-literal Viterbi fold, shared text
     "feat_cyclic_encode",       # frozen trig tables, zero-normalized
     "dq_fd_mine",               # exact group counts + one fraction
+    "ts_ordinal_patterns",      # all-integer pattern ids + one share
+    "events_forecast_backtest", # exact cents AEs + two round-6 MAEs
 ]
 
 

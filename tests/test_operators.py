@@ -4304,3 +4304,43 @@ def test_fd_mine_detects_key_and_violation(spark, tmp_path):
     # AUTO covers nations {10, 20} -> violating; STEEL is clean
     assert (seg["fd_holds"], seg["n_groups"], seg["n_violating"]) == (0, 2, 1)
     assert seg["max_branch"] == 2 and seg["fd_strength"] == 0.5
+
+
+def test_ordinal_patterns_monotone_series(spark, tmp_path):
+    """A strictly increasing series emits only the all-ascending
+    pattern 4+2+1=7, with share 1.0 over n-2 windows."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 2, 1) + dt.timedelta(days=i), i, "up",
+             float(i + 1), "{}") for i in range(6)]
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "op") + "/events.parquet")
+    out = timeseries.ts_ordinal_patterns(spark, str(tmp_path / "op")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["pattern_id"], r["n_windows"], r["share"]) == (7, 4, 1.0)
+
+
+def test_forecast_backtest_weekly_series_favors_snaive(spark, tmp_path):
+    """A pure weekly cycle: seasonal-naive is exact (AE 0) while naive
+    pays the day-to-day swing — seasonal_wins flags 1."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows = []
+    for day in range(28):
+        val = [1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0][day % 7]
+        rows.append((day, dt.datetime(2024, 4, 1) + dt.timedelta(days=day),
+                     day, "wk", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "bt") + "/events.parquet")
+    out = timeseries.events_forecast_backtest(spark, str(tmp_path / "bt")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_folds"], r["ae_snaive_cents"], r["seasonal_wins"]) == (14, 0, 1)
+    assert r["ae_naive_cents"] > 0 and r["mae_snaive"] == 0.0
