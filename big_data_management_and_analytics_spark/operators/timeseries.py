@@ -4375,3 +4375,184 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ae_s.cast("double") / F.count(F.lit(1)), 6).alias("mae_snaive"),
         F.when(ae_s < ae_n, 1).otherwise(0).cast("int").alias("seasonal_wins"),
     )
+
+
+# Factorials 0!..6! as a shared literal table (channel count is bounded
+# by the event-type dimension; the subset lattice is 2^c ≤ 64 rows).
+_FACT_SQL = "[1, 1, 2, 6, 24, 120, 720]"
+# popcount over 6 literal bit terms — identical text in both engines'
+# dialects modulo operator spelling, all exact integers.
+_POP_SQL = (
+    "((vs.s >> 0) & 1) + ((vs.s >> 1) & 1) + ((vs.s >> 2) & 1)"
+    " + ((vs.s >> 3) & 1) + ((vs.s >> 4) & 1) + ((vs.s >> 5) & 1)"
+)
+
+
+@register(
+    "events_shapley_attribution",
+    "E",
+    oracle=f"""
+        WITH chan AS (
+            SELECT DISTINCT event_type AS t FROM events
+            WHERE event_type <> 'purchase'
+        ),
+        bits AS (
+            SELECT a.t, CAST(COUNT(b.t) AS INT) AS bit
+            FROM chan a LEFT JOIN chan b ON b.t < a.t
+            GROUP BY a.t
+        ),
+        c AS (SELECT CAST(COUNT(*) AS INT) AS c FROM chan),
+        conv AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase'
+        ),
+        umask AS (
+            SELECT cv.user_id,
+                   CAST(COALESCE(SUM(DISTINCT (1 << b.bit)), 0) AS INT)
+                       AS m
+            FROM conv cv
+            LEFT JOIN events e ON e.user_id = cv.user_id
+                              AND e.event_type <> 'purchase'
+            LEFT JOIN bits b ON b.t = e.event_type
+            GROUP BY cv.user_id
+        ),
+        mcnt AS (
+            SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM umask GROUP BY m
+        ),
+        subsets AS (
+            SELECT UNNEST(generate_series(0, (1 << c.c) - 1)) AS s
+            FROM c
+        ),
+        v AS (
+            SELECT s.s, CAST(COALESCE(SUM(mc.cnt), 0) AS BIGINT) AS v
+            FROM subsets s
+            LEFT JOIN mcnt mc ON (mc.m & s.s) = mc.m
+            GROUP BY s.s
+        ),
+        contrib AS (
+            SELECT b.t AS channel,
+                   SUM(({_FACT_SQL})[{_POP_SQL} + 1]
+                       * ({_FACT_SQL})[c.c - ({_POP_SQL}) - 1 + 1]
+                       * (vi.v - vs.v)) AS numer
+            FROM bits b
+            CROSS JOIN c
+            JOIN v vs ON (vs.s & (1 << b.bit)) = 0
+            JOIN v vi ON vi.s = (vs.s | (1 << b.bit))
+            GROUP BY b.t
+        )
+        SELECT ct.channel, CAST(ct.numer AS BIGINT) AS phi_x_cfact,
+               ROUND(CAST(ct.numer AS DOUBLE) / ({_FACT_SQL})[c.c + 1], 6)
+                   AS shapley
+        FROM contrib ct CROSS JOIN c
+    """,
+    doc=(
+        "EXACT SHAPLEY-VALUE marketing attribution (Shapley 1953; the "
+        "coalition-game credit split behind data-driven attribution in "
+        "every major ads platform): channels are the non-purchase "
+        "event types, a converting user's coalition value v(S) counts "
+        "conversions whose touched-channel set fits inside S, and each "
+        "channel's credit is φ_i = Σ_S |S|!(c−|S|−1)!/c!·(v(S∪i)−v(S)) "
+        "— the unique split satisfying efficiency/symmetry/dummy, "
+        "which the heuristic rules (first/last/linear touch, "
+        "events_attribution) all violate. Exactness trick: multiply "
+        "through by c! so every weight is an integer from a frozen "
+        "factorial table — φ·c! is an exact BIGINT and the single "
+        "double is the final round-6 division. The subset lattice is "
+        "tiny by construction (2^c ≤ 64 for the bounded channel "
+        "dimension): v(S) is one subset-containment join over the "
+        "per-mask conversion counts ((m & S) = m — the zeta "
+        "transform, relationally), channel bit-assignment is a "
+        "triangular self-join rank (6 rows — no global window), and "
+        "the only row-scale work is the per-user mask aggregate, one "
+        "shuffle over events. At 100 TB: identical — lattice size "
+        "depends on channels, not rows."
+    ),
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_type")
+    chan = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("t"))
+        .distinct()
+    )
+    bits = (
+        chan.alias("a")
+        .join(chan.alias("b"), F.col("b.t") < F.col("a.t"), "left")
+        .groupBy(F.col("a.t").alias("t"))
+        .agg(F.count(F.col("b.t")).cast("int").alias("bit"))
+        .localCheckpoint(eager=True)  # reused by umask + contrib
+    )
+    c_row = chan.agg(F.count(F.lit(1)).cast("int").alias("c"))
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    umask = (
+        conv.join(
+            e.filter(F.col("event_type") != "purchase"), "user_id", "left"
+        )
+        .join(F.broadcast(bits), F.col("event_type") == F.col("t"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum_distinct(F.expr("shiftleft(1, bit)")), F.lit(0)
+            )
+            .cast("int")
+            .alias("m")
+        )
+    )
+    mcnt = umask.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    subsets = c_row.select(
+        F.explode(
+            F.sequence(F.lit(0), F.expr("shiftleft(1, c)") - 1)
+        ).alias("s")
+    )
+    v = (
+        subsets.join(
+            F.broadcast(mcnt),
+            (F.col("m").bitwiseAND(F.col("s"))) == F.col("m"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)  # joined twice below
+    )
+    fact = F.array(*[F.lit(x) for x in [1, 1, 2, 6, 24, 120, 720]])
+    pop = sum(
+        [F.shiftright(F.col("s"), k).bitwiseAND(F.lit(1)) for k in range(1, 6)],
+        F.shiftright(F.col("s"), 0).bitwiseAND(F.lit(1)),
+    )
+    vs = v.select(F.col("s"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("s").alias("si"), F.col("v").alias("v_i"))
+    contrib = (
+        F.broadcast(bits)
+        .crossJoin(F.broadcast(c_row))
+        .join(vs, (F.col("s").bitwiseAND(F.expr("shiftleft(1, bit)"))) == 0)
+        .join(
+            vi,
+            F.col("si")
+            == (F.col("s").bitwiseOR(F.expr("shiftleft(1, bit)"))),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.element_at(fact, pop + 1)
+                * F.element_at(fact, F.col("c") - pop - 1 + 1)
+                * (F.col("v_i") - F.col("v_s"))
+            )
+            .cast("bigint")
+            .alias("numer"),
+            F.max("c").alias("c"),
+        )
+    )
+    return contrib.select(
+        F.col("t").alias("channel"),
+        F.col("numer").alias("phi_x_cfact"),
+        F.round(
+            F.col("numer").cast("double")
+            / F.element_at(fact, F.col("c") + 1),
+            6,
+        ).alias("shapley"),
+    )

@@ -170,6 +170,7 @@ SENSITIVE = [
     "dq_fd_mine",               # exact group counts + one fraction
     "ts_ordinal_patterns",      # all-integer pattern ids + one share
     "events_forecast_backtest", # exact cents AEs + two round-6 MAEs
+    "events_shapley_attribution",  # integer phi*c! lattice, one division
 ]
 
 

@@ -4344,3 +4344,35 @@ def test_forecast_backtest_weekly_series_favors_snaive(spark, tmp_path):
     r = out[0]
     assert (r["n_folds"], r["ae_snaive_cents"], r["seasonal_wins"]) == (14, 0, 1)
     assert r["ae_naive_cents"] > 0 and r["mae_snaive"] == 0.0
+
+
+def test_shapley_attribution_hand_game(spark, tmp_path):
+    """2 channels: u1 converts touching only A, u2 converts touching
+    A and B, u3 converts untouched. v(empty)=1, v({A})=2, v(full)=3;
+    phi_A*2! = 0!1!(v(A)-v(0)) + 1!0!(v(AB)-v(B)) = 1+2 = 3, phi_B = 1.
+    Efficiency: (phi_A + phi_B)/2! = v(full) - v(empty) = 2."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    ts0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, ts0, 1, "click", 1.0, "{}"),      # u1 touches A=click
+        (2, ts0, 1, "purchase", 1.0, "{}"),
+        (3, ts0, 2, "click", 1.0, "{}"),      # u2 touches A and B
+        (4, ts0, 2, "signup", 1.0, "{}"),
+        (5, ts0, 2, "purchase", 1.0, "{}"),
+        (6, ts0, 3, "purchase", 1.0, "{}"),   # u3 untouched
+        (7, ts0, 4, "signup", 1.0, "{}"),     # u4 no conversion
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "shap") + "/events.parquet")
+    out = {r["channel"]: r
+           for r in timeseries.events_shapley_attribution(spark, str(tmp_path / "shap")).collect()}
+    assert set(out) == {"click", "signup"}
+    # v(0)=1 (u3), v(click)=2 (u3,u1), v(signup)=1, v(both)=3
+    assert out["click"]["phi_x_cfact"] == 3    # 1*(2-1) + 1*(3-1)... = 1+2
+    assert out["signup"]["phi_x_cfact"] == 1   # 1*(1-1) + 1*(3-2)
+    assert out["click"]["shapley"] == 1.5
+    assert out["signup"]["shapley"] == 0.5
