@@ -4556,3 +4556,151 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shapley"),
     )
+
+
+@register(
+    "ts_matrix_profile",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT event_type, list(xc ORDER BY d) AS xs,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type HAVING COUNT(*) >= 21
+        ),
+        win AS (
+            SELECT event_type, n,
+                   UNNEST(generate_series(1, CAST(n - 6 AS INT))) AS i,
+                   xs
+            FROM h
+        ),
+        dist AS (
+            SELECT a.event_type, a.i, b.i AS j,
+                   CAST(list_sum(list_transform(
+                       generate_series(0, 6),
+                       k -> abs(a.xs[a.i + k] - b.xs[b.i + k])
+                   )) AS BIGINT) AS d
+            FROM win a JOIN win b
+              ON b.event_type = a.event_type
+             AND abs(b.i - a.i) >= 7
+        ),
+        profile AS (
+            SELECT event_type, i, j AS nn_pos, d
+            FROM dist
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY event_type, i ORDER BY d ASC, j ASC) = 1
+        )
+        SELECT event_type,
+               CAST(i AS BIGINT) AS discord_pos,
+               CAST(nn_pos AS BIGINT) AS discord_nn,
+               d AS discord_dist_cents,
+               CAST((SELECT COUNT(*) FROM profile p2
+                     WHERE p2.event_type = profile.event_type) AS BIGINT)
+                   AS n_windows
+        FROM profile
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY d DESC, i ASC) = 1
+    """,
+    doc=(
+        "MATRIX PROFILE discord detection (Yeh, Keogh et al., ICDM "
+        "2016): each 7-day window's profile value is its L1 distance "
+        "to the NEAREST other window outside a one-window exclusion "
+        "zone, and the DISCORD — the window whose closest match is "
+        "farthest — is the series' most anomalous week, the "
+        "shape-based anomaly primitive that z-score detectors "
+        "(ts_anomaly_zscore) miss when level is normal but the "
+        "within-week SHAPE is wrong. All-integer: L1 over exact cents "
+        "keeps every distance a BIGINT (the ts_dtw discipline — no "
+        "float anywhere, engines cannot diverge); nearest-neighbor "
+        "and discord picks use (d ASC, j ASC)/(d DESC, i ASC) total "
+        "orders. Plan: windows stay ZERO-COPY (each row carries the "
+        "checkpoint-free series array + an index; distances slice "
+        "lazily), the pair join is per-type (Σ w² with w = n−6 "
+        "windows — the exact profile is quadratic per series BY "
+        "DEFINITION; at long horizons the scale path is STOMP's O(n²)"
+        "-total-ops streaming recurrence or window sampling, and "
+        "parallelism = series count either way), then two per-type "
+        "window top-1s."
+    ),
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    h = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "xc"))),
+                lambda s: s["xc"],
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 21)
+        .localCheckpoint(eager=True)  # both sides of the pair join
+    )
+    win = h.select(
+        "event_type",
+        "xs",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("n") - 6).cast("int"))
+        ).alias("i"),
+    )
+    a = win.select(
+        "event_type", F.col("xs").alias("xa"), F.col("i").alias("i")
+    )
+    b = win.select(
+        F.col("event_type").alias("et_b"), F.col("xs").alias("xb"),
+        F.col("i").alias("j"),
+    )
+    l1 = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(6)),
+            lambda k: F.abs(
+                F.element_at(F.col("xa"), F.col("i") + k)
+                - F.element_at(F.col("xb"), F.col("j") + k)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dist = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.abs(F.col("j") - F.col("i")) >= 7),
+        )
+        .select("event_type", "i", "j", l1.alias("d"))
+    )
+    w_nn = Window.partitionBy("event_type", "i").orderBy(
+        F.col("d").asc(), F.col("j").asc()
+    )
+    profile = (
+        dist.withColumn("_rk", F.row_number().over(w_nn))
+        .filter(F.col("_rk") == 1)
+        .select("event_type", "i", F.col("j").alias("nn_pos"), "d")
+    )
+    w_disc = Window.partitionBy("event_type").orderBy(
+        F.col("d").desc(), F.col("i").asc()
+    )
+    counts = profile.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
+    return (
+        profile.withColumn("_rk", F.row_number().over(w_disc))
+        .filter(F.col("_rk") == 1)
+        .join(F.broadcast(counts), "event_type")
+        .select(
+            "event_type",
+            F.col("i").cast("bigint").alias("discord_pos"),
+            F.col("nn_pos").cast("bigint").alias("discord_nn"),
+            F.col("d").alias("discord_dist_cents"),
+            "n_windows",
+        )
+    )

@@ -171,6 +171,7 @@ SENSITIVE = [
     "ts_ordinal_patterns",      # all-integer pattern ids + one share
     "events_forecast_backtest", # exact cents AEs + two round-6 MAEs
     "events_shapley_attribution",  # integer phi*c! lattice, one division
+    "ts_matrix_profile",        # all-integer L1 profile, total-order picks
 ]
 
 

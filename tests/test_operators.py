@@ -4376,3 +4376,28 @@ def test_shapley_attribution_hand_game(spark, tmp_path):
     assert out["signup"]["phi_x_cfact"] == 1   # 1*(1-1) + 1*(3-2)
     assert out["click"]["shapley"] == 1.5
     assert out["signup"]["shapley"] == 0.5
+
+
+def test_matrix_profile_finds_planted_discord(spark, tmp_path):
+    """35 flat days with one anomalous week (days 15-21 spike): the
+    discord window must cover the spike, and its nearest neighbor is
+    still a flat window far away in L1."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows = []
+    for day in range(35):
+        val = 10.0 if 14 <= day <= 20 else 1.0
+        rows.append((day, dt.datetime(2024, 8, 1) + dt.timedelta(days=day),
+                     day, "m", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "mp") + "/events.parquet")
+    out = timeseries.ts_matrix_profile(spark, str(tmp_path / "mp")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_windows"] == 29
+    # the full-spike window is days 15..21 -> position 15 (1-based)
+    assert r["discord_pos"] == 15
+    assert r["discord_dist_cents"] == 7 * 900  # all-spike vs all-flat
