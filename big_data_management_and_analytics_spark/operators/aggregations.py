@@ -1502,3 +1502,129 @@ def dq_fd_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fd_strength"),
     )
+
+
+@register(
+    "dq_simpson_audit",
+    "D",
+    oracle="""
+        WITH base AS (
+            SELECT p.p_brand AS stratum,
+                   CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT) AS x,
+                   CAST(l.l_quantity AS BIGINT) AS y
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        strat AS (
+            SELECT stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+            FROM base GROUP BY stratum
+        ),
+        signs AS (
+            SELECT stratum, n,
+                   CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                        WHEN n * sxy - sx * sy < 0 THEN -1
+                        ELSE 0 END AS s
+            FROM strat
+        ),
+        overall AS (
+            SELECT CASE WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) > 0
+                            THEN 1
+                        WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) < 0
+                            THEN -1
+                        ELSE 0 END AS overall_sign
+            FROM strat
+        )
+        SELECT 'l_discount~l_quantity/p_brand' AS relationship,
+               o.overall_sign,
+               CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(CASE WHEN s.s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_positive,
+               CAST(SUM(CASE WHEN s.s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative,
+               CAST(CASE WHEN (o.overall_sign = 1
+                               AND SUM(CASE WHEN s.s = 1 THEN 1 ELSE 0 END) = 0
+                               AND SUM(CASE WHEN s.s = -1 THEN 1 ELSE 0 END) > 0)
+                          OR (o.overall_sign = -1
+                               AND SUM(CASE WHEN s.s = -1 THEN 1 ELSE 0 END) = 0
+                               AND SUM(CASE WHEN s.s = 1 THEN 1 ELSE 0 END) > 0)
+                         THEN 1 ELSE 0 END AS INT) AS paradox_flag
+        FROM signs s CROSS JOIN overall o
+        GROUP BY o.overall_sign
+    """,
+    doc=(
+        "SIMPSON'S PARADOX audit (Simpson, JRSS-B 1951; the aggregation "
+        "trap every metrics review gets burned by): compare the SIGN of "
+        "the discount→quantity association overall against its sign "
+        "inside every brand stratum, and flag when the overall trend "
+        "points one way while NO stratum agrees — the canonical "
+        "confounded-aggregate smell that says 'never trust the pooled "
+        "slope'. Signs come from the numerator n·Σxy − Σx·Σy alone "
+        "(the denominator of the regression slope is positive), "
+        "computed in exact integers with the moment sums pre-cast to "
+        "DECIMAL(38,0) before the cross-products (the events_bot_score "
+        "overflow rule — cents·quantity moments at 100 TB exceed "
+        "int64); there is NO float anywhere in the operator, not even "
+        "a rounded one. Plan: one broadcast-dim join, one hash "
+        "aggregate per stratum, then a 25-row fold — the dq_profile "
+        "cost shape, linear and partial-aggregable at any scale."
+    ),
+)
+def dq_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        cents("l_discount").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("stratum"), "x", "y"
+    )
+    strat = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    signs = strat.select(
+        "stratum",
+        F.when(num > 0, 1).when(num < 0, -1).otherwise(0).alias("s"),
+    )
+    onum = (
+        F.sum("n") * F.sum("sxy") - F.sum("sx") * F.sum("sy")
+    )
+    overall = strat.agg(
+        F.when(onum > 0, 1).when(onum < 0, -1).otherwise(0).alias(
+            "overall_sign"
+        )
+    )
+    n_pos = F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+    n_neg = F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+    return (
+        signs.crossJoin(F.broadcast(overall))
+        .groupBy("overall_sign")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+            n_pos.cast("bigint").alias("n_positive"),
+            n_neg.cast("bigint").alias("n_negative"),
+            F.when(
+                ((F.max("overall_sign") == 1) & (n_pos == 0) & (n_neg > 0))
+                | ((F.max("overall_sign") == -1) & (n_neg == 0) & (n_pos > 0)),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("paradox_flag"),
+        )
+        .select(
+            F.lit("l_discount~l_quantity/p_brand").alias("relationship"),
+            "overall_sign",
+            "n_strata",
+            "n_positive",
+            "n_negative",
+            "paradox_flag",
+        )
+    )

@@ -172,6 +172,7 @@ SENSITIVE = [
     "events_forecast_backtest", # exact cents AEs + two round-6 MAEs
     "events_shapley_attribution",  # integer phi*c! lattice, one division
     "ts_matrix_profile",        # all-integer L1 profile, total-order picks
+    "dq_simpson_audit",         # decimal moment signs, zero floats
 ]
 
 

@@ -4401,3 +4401,40 @@ def test_matrix_profile_finds_planted_discord(spark, tmp_path):
     # the full-spike window is days 15..21 -> position 15 (1-based)
     assert r["discord_pos"] == 15
     assert r["discord_dist_cents"] == 7 * 900  # all-spike vs all-flat
+
+
+def test_simpson_audit_detects_reversal(spark, tmp_path):
+    """Planted Simpson reversal: within each brand, higher discount ->
+    LOWER quantity; but the big-discount brand sells big quantities, so
+    the pooled slope is positive while every stratum is negative."""
+    from big_data_management_and_analytics_spark.operators import aggregations
+
+    d = str(tmp_path / "simp")
+    import datetime as dt
+    sd = dt.datetime(1995, 1, 1)
+    li, parts = [], [(1, "n", "B_LOW", "t", 1, 1.0), (2, "n", "B_HIGH", "t", 1, 1.0)]
+    rows = [
+        # brand LOW: discounts 0.00/0.01 with qty 3/1 (negative slope)
+        (1, 0.00, 3.0), (1, 0.01, 1.0),
+        # brand HIGH: discounts 0.05/0.06 with qty 30/10 (negative slope)
+        (2, 0.05, 30.0), (2, 0.06, 10.0),
+    ]
+    for i, (pk, disc, qty) in enumerate(rows, start=1):
+        li.append((i, pk, 1, 1, qty, 1.0, disc, 0.0, "N", "O", sd))
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+               " l_quantity double, l_extendedprice double, l_discount double,"
+               " l_tax double, l_returnflag string, l_linestatus string,"
+               " l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    spark.createDataFrame(
+        parts,
+        schema="p_partkey long, p_name string, p_brand string, p_type string,"
+               " p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    out = aggregations.dq_simpson_audit(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["overall_sign"], r["n_strata"]) == (1, 2)
+    assert (r["n_positive"], r["n_negative"], r["paradox_flag"]) == (0, 2, 1)
