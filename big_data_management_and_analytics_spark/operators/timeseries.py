@@ -4704,3 +4704,161 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_windows",
         )
     )
+
+
+@register(
+    "ts_mann_kendall",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN b.xc > a.xc THEN 1
+                        WHEN b.xc < a.xc THEN -1 ELSE 0 END AS sg
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND b.d > a.d
+        ),
+        s AS (
+            SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat
+            FROM pairs GROUP BY event_type
+        ),
+        ties AS (
+            SELECT event_type,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS corr
+            FROM (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+                FROM daily GROUP BY event_type, xc
+            ) GROUP BY event_type
+        ),
+        nn AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type HAVING COUNT(*) >= 8
+        )
+        SELECT nn.event_type, nn.n AS n_days, s.s_stat,
+               CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.corr
+                    AS BIGINT) AS var_x18,
+               ROUND(CASE
+                   WHEN s.s_stat > 0 THEN
+                       (CAST(s.s_stat AS DOUBLE) - 1.0)
+                       / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                   - ties.corr AS DOUBLE) / 18.0)
+                   WHEN s.s_stat < 0 THEN
+                       (CAST(s.s_stat AS DOUBLE) + 1.0)
+                       / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                   - ties.corr AS DOUBLE) / 18.0)
+                   ELSE 0.0 END, 6) AS z_score,
+               CAST(CASE
+                   WHEN s.s_stat > 0 AND
+                        (CAST(s.s_stat AS DOUBLE) - 1.0)
+                        / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                    - ties.corr AS DOUBLE) / 18.0) > 1.96
+                       THEN 1
+                   WHEN s.s_stat < 0 AND
+                        (CAST(s.s_stat AS DOUBLE) + 1.0)
+                        / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                    - ties.corr AS DOUBLE) / 18.0) < -1.96
+                       THEN -1
+                   ELSE 0 END AS INT) AS trend
+        FROM nn
+        JOIN s ON s.event_type = nn.event_type
+        JOIN ties ON ties.event_type = nn.event_type
+    """,
+    doc=(
+        "MANN-KENDALL TREND TEST (Mann 1945, Kendall 1975; the "
+        "nonparametric monotone-trend detector metric-monitoring and "
+        "environmental statistics default to because it assumes no "
+        "distribution and shrugs at outliers): S = Σ_{i<j} "
+        "sign(x_j − x_i) over each event_type's daily cents series, "
+        "tie-corrected variance 18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5), "
+        "continuity-corrected z, and a ±1.96 two-sided trend verdict — "
+        "the hypothesis-test companion to ts_theil_sen's slope "
+        "estimate. Determinism: S, the tie correction, and 18·Var are "
+        "EXACT BIGINTs (pairwise signs over integer cents); the only "
+        "float work is one fixed-order z expression whose sqrt is "
+        "IEEE-correctly-rounded, and the ±1.96 verdict compares "
+        "bit-identical doubles in both engines. Plan: the sign-pair "
+        "join is per-type (Σ n² with n = days per series — bounded by "
+        "horizon, not rows; the O(n log n) merge-sort inversion count "
+        "is the declared long-horizon path), everything else is hash "
+        "aggregates; parallelism = series count."
+    ),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = (
+        e.groupBy("event_type", "d")
+        .agg(F.sum("_vc").alias("xc"))
+        .localCheckpoint(eager=True)  # pair join both sides + ties + n
+    )
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("xc").alias("xa"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("d").alias("db"),
+        F.col("xc").alias("xb"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("db") > F.col("da"))
+    ).select(
+        "event_type",
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sg").cast("bigint").alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("event_type", "xc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("corr")
+        )
+    )
+    nn = (
+        daily.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 8)
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("corr")
+    )
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0)) / sd,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + F.lit(1.0)) / sd,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nn.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.cast("bigint").alias("var_x18"),
+            F.round(z, 6).alias("z_score"),
+            F.when((F.col("s_stat") > 0) & (z > 1.96), 1)
+            .when((F.col("s_stat") < 0) & (z < -1.96), -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("trend"),
+        )
+    )

@@ -173,6 +173,7 @@ SENSITIVE = [
     "events_shapley_attribution",  # integer phi*c! lattice, one division
     "ts_matrix_profile",        # all-integer L1 profile, total-order picks
     "dq_simpson_audit",         # decimal moment signs, zero floats
+    "ts_mann_kendall",          # exact S + tie-corrected var, one z expr
 ]
 
 

@@ -4438,3 +4438,29 @@ def test_simpson_audit_detects_reversal(spark, tmp_path):
     r = out[0]
     assert (r["overall_sign"], r["n_strata"]) == (1, 2)
     assert (r["n_positive"], r["n_negative"], r["paradox_flag"]) == (0, 2, 1)
+
+
+def test_mann_kendall_monotone_and_flat(spark, tmp_path):
+    """A strictly increasing 10-day series has S = C(10,2) = 45 and a
+    significant +1 trend; a constant series has S = 0, all pairs tied
+    (variance fully eaten by the correction), trend 0."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows = []
+    for day in range(10):
+        rows.append((day, dt.datetime(2024, 10, 1) + dt.timedelta(days=day),
+                     day, "up", float(day + 1), "{}"))
+        rows.append((100 + day, dt.datetime(2024, 10, 1) + dt.timedelta(days=day),
+                     day, "flat", 5.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "mk") + "/events.parquet")
+    out = {r["event_type"]: r
+           for r in timeseries.ts_mann_kendall(spark, str(tmp_path / "mk")).collect()}
+    up = out["up"]
+    assert (up["s_stat"], up["trend"]) == (45, 1)
+    assert up["var_x18"] == 10 * 9 * 25  # no ties
+    flat = out["flat"]
+    assert (flat["s_stat"], flat["var_x18"], flat["z_score"], flat["trend"]) == (0, 0, 0.0, 0)
