@@ -4862,3 +4862,161 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+@register(
+    "events_nelson_aalen",
+    "E",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(epoch(date_trunc('hour', MIN(ts))) // 3600 AS BIGINT)
+                       AS h0,
+                   CAST(epoch(date_trunc('hour', MIN(CASE WHEN event_type =
+                       'purchase' THEN ts END))) // 3600 AS BIGINT) AS hp,
+                   CAST(epoch(date_trunc('hour', MAX(ts))) // 3600 AS BIGINT)
+                       AS hl
+            FROM events GROUP BY user_id
+        ),
+        obs AS (
+            SELECT CASE WHEN hp IS NOT NULL THEN hp - h0 ELSE hl - h0 END AS t,
+                   CASE WHEN hp IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user
+        ),
+        grid AS (
+            SELECT t,
+                   CAST(SUM(ev) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS leaving
+            FROM obs GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d,
+                   SUM(leaving) OVER (
+                       ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS r
+            FROM grid
+        ),
+        arr AS (
+            SELECT list(CASE WHEN d > 0
+                             THEN CAST(ROUND(CAST(d AS DOUBLE) / r, 9)
+                                       AS DECIMAL(28,9))
+                             ELSE CAST(0 AS DECIMAL(28,9)) END
+                        ORDER BY t) AS hs,
+                   list(t ORDER BY t) AS ts_,
+                   list(d ORDER BY t) AS ds,
+                   list(r ORDER BY t) AS rs
+            FROM risk
+        )
+        SELECT CAST(ts_[i] AS BIGINT) AS t_hours,
+               CAST(ds[i] AS BIGINT) AS d_events,
+               CAST(rs[i] AS BIGINT) AS n_at_risk,
+               ROUND(CAST(list_sum(hs[1:i]) AS DOUBLE), 6) AS cum_hazard
+        FROM arr, LATERAL (
+            SELECT UNNEST(generate_series(1, len(hs))) AS i
+        ) gs
+        WHERE ds[i] > 0
+    """,
+    doc=(
+        "NELSON-AALEN cumulative hazard (Nelson 1972, Aalen 1978): "
+        "Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the same hour-grid risk sets as "
+        "agg_survival_km — the estimator survival analysis reaches for "
+        "when the HAZARD (instantaneous conversion intensity) is the "
+        "quantity of interest rather than S(t), and the better-behaved "
+        "one under small risk sets (a sum, not a product that sticks "
+        "at zero). KM and NA on the same grid also cross-check each "
+        "other: S ≈ exp(−Ĥ). Determinism: each dᵢ/nᵢ term quantizes "
+        "ROUND(...,9)→DECIMAL(28,9) BEFORE the prefix sum, so the "
+        "cumulative hazard is an exact decimal sum (order-invariant — "
+        "the float-sum-ordering rule §2.0) cast to double only at the "
+        "final round-6. Plan: identical to KM — per-user aggregate, "
+        "bounded hour grid in ONE array row (no unpartitioned window "
+        "on the data path), risk sets and prefix sums as array folds."
+    ),
+)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    xh = lambda c: (F.unix_timestamp(F.date_trunc("hour", c)) / 3600).cast(
+        "bigint"
+    )
+    per_user = e.groupBy("user_id").agg(
+        xh(F.min("ts")).alias("h0"),
+        xh(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("hp"),
+        xh(F.max("ts")).alias("hl"),
+    )
+    obs = per_user.select(
+        F.when(F.col("hp").isNotNull(), F.col("hp") - F.col("h0"))
+        .otherwise(F.col("hl") - F.col("h0"))
+        .alias("t"),
+        F.when(F.col("hp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grid = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    one = grid.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "leaving"))).alias("g")
+    )
+    n = F.size(F.col("g"))
+    one = one.withColumn(
+        "rs",
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.aggregate(
+                F.slice(F.col("g"), i, F.size(F.col("g")) - i + 1),
+                F.lit(0).cast("bigint"),
+                lambda a, s: a + s["leaving"],
+            ),
+        ),
+    )
+    one = one.withColumn(
+        "hs",
+        F.zip_with(
+            F.col("g"),
+            F.col("rs"),
+            lambda s, r: F.when(
+                s["d"] > 0,
+                F.round(s["d"].cast("double") / r, 9).cast("decimal(28,9)"),
+            ).otherwise(F.lit(0).cast("decimal(28,9)")),
+        ),
+    )
+    one = one.withColumn(
+        "cums",
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.round(
+                F.aggregate(
+                    F.slice(F.col("hs"), 1, i),
+                    F.lit(0).cast("decimal(28,9)"),
+                    lambda a, x: (a + x).cast("decimal(28,9)"),
+                ).cast("double"),
+                6,
+            ),
+        ),
+    )
+    exploded = one.select(
+        F.posexplode(
+            F.zip_with(
+                F.col("g"),
+                F.zip_with(
+                    F.col("rs"),
+                    F.col("cums"),
+                    lambda r, h: F.struct(r.alias("r"), h.alias("h")),
+                ),
+                lambda g_, rh: F.struct(
+                    g_["t"].alias("t"),
+                    g_["d"].alias("d"),
+                    rh["r"].alias("r"),
+                    rh["h"].alias("h"),
+                ),
+            )
+        ).alias("pos", "row")
+    )
+    return exploded.filter(F.col("row.d") > 0).select(
+        F.col("row.t").cast("bigint").alias("t_hours"),
+        F.col("row.d").cast("bigint").alias("d_events"),
+        F.col("row.r").cast("bigint").alias("n_at_risk"),
+        F.col("row.h").alias("cum_hazard"),
+    )

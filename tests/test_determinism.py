@@ -174,6 +174,7 @@ SENSITIVE = [
     "ts_matrix_profile",        # all-integer L1 profile, total-order picks
     "dq_simpson_audit",         # decimal moment signs, zero floats
     "ts_mann_kendall",          # exact S + tie-corrected var, one z expr
+    "events_nelson_aalen",      # decimal-quantized hazard prefix sums
 ]
 
 

@@ -4464,3 +4464,30 @@ def test_mann_kendall_monotone_and_flat(spark, tmp_path):
     assert up["var_x18"] == 10 * 9 * 25  # no ties
     flat = out["flat"]
     assert (flat["s_stat"], flat["var_x18"], flat["z_score"], flat["trend"]) == (0, 0, 0.0, 0)
+
+
+def test_nelson_aalen_hand_risk_sets(spark, tmp_path):
+    """3 users: u1 converts at hour 1, u2 at hour 2, u3 censored at
+    hour 2. H(1) = 1/3; H(2) = 1/3 + 1/2 (u2 converts among the 2
+    still at risk)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    b = dt.datetime(2024, 11, 1)
+    H = dt.timedelta(hours=1)
+    rows = [
+        (1, b, 1, "click", 1.0, "{}"), (2, b + H, 1, "purchase", 1.0, "{}"),
+        (3, b, 2, "click", 1.0, "{}"), (4, b + 2 * H, 2, "purchase", 1.0, "{}"),
+        (5, b, 3, "click", 1.0, "{}"), (6, b + 2 * H, 3, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "na") + "/events.parquet")
+    out = {r["t_hours"]: r
+           for r in timeseries.events_nelson_aalen(spark, str(tmp_path / "na")).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["d_events"], out[1]["n_at_risk"]) == (1, 3)
+    assert out[1]["cum_hazard"] == round(1 / 3, 6)
+    assert (out[2]["d_events"], out[2]["n_at_risk"]) == (1, 2)
+    assert out[2]["cum_hazard"] == round(round(1 / 3, 9) + 0.5, 6)
