@@ -1170,3 +1170,156 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         c3.select(F.lit("customer"), F.col("c"), F.col("lbl"))
     )
+
+
+@register(
+    "graph_mst_prim",
+    "G",
+    oracle="""
+        WITH RECURSIVE coords AS (
+            SELECT n_nationkey AS k, n_name,
+                   (('0x' || substr(md5('geo:n:' ||
+                        CAST(n_nationkey AS VARCHAR)), 1, 15))::BIGINT
+                    % 160000001) - 80000000 AS lat_u,
+                   (('0x' || substr(md5('geo:n:' ||
+                        CAST(n_nationkey AS VARCHAR)), 17, 15))::BIGINT
+                    % 360000001) - 180000000 AS lon_u
+            FROM nation
+        ),
+        edges AS (
+            SELECT CAST(a.k AS INT) AS na, CAST(b.k AS INT) AS nb,
+                   CAST(abs(a.lat_u - b.lat_u) + abs(a.lon_u - b.lon_u)
+                        AS BIGINT) AS w
+            FROM coords a JOIN coords b ON a.k < b.k
+        ),
+        base AS (
+            SELECT list_sort(list({'w': w, 'na': na, 'nb': nb})) AS es,
+                   CAST((SELECT COUNT(*) FROM coords) AS INT) AS n,
+                   CAST(pow(2, (SELECT MIN(k) FROM coords)) AS BIGINT)
+                       AS mask0
+            FROM edges
+        ),
+        r AS (
+            SELECT 0 AS i, mask0 AS mask, es, n,
+                   CAST([] AS STRUCT(w BIGINT, na INT, nb INT)[]) AS chosen
+            FROM base
+            UNION ALL
+            SELECT i + 1,
+                   mask + CAST(pow(2, CASE WHEN
+                       floor(mask / pow(2, pick.na)) % 2 = 1
+                       THEN pick.nb ELSE pick.na END) AS BIGINT),
+                   es, n,
+                   list_append(chosen, pick)
+            FROM (
+                SELECT i, mask, es, n, chosen,
+                       list_sort(list_filter(es, e ->
+                           floor(mask / pow(2, e.na)) % 2
+                           <> floor(mask / pow(2, e.nb)) % 2))[1] AS pick
+                FROM r WHERE i < n - 1
+            )
+        )
+        SELECT CAST(gs.s AS INT) AS step,
+               chosen[gs.s].na AS nation_a,
+               chosen[gs.s].nb AS nation_b,
+               chosen[gs.s].w AS dist_u
+        FROM r, LATERAL (
+            SELECT UNNEST(generate_series(1, len(chosen))) AS s
+        ) gs
+        WHERE i = n - 1
+    """,
+    doc=(
+        "MINIMUM SPANNING TREE via Prim's algorithm (Prim 1957; the "
+        "backbone-extraction primitive behind network design, "
+        "single-linkage clustering, and redundancy audits): the "
+        "complete nation graph under L1 micro-degree distances (the "
+        "join_geo_haversine md5 coordinate convention, but Manhattan "
+        "instead of haversine so EVERY weight is an exact BIGINT — "
+        "zero float anywhere, the ts_dtw discipline) yields the "
+        "unique-under-total-order spanning tree by repeatedly taking "
+        "the (w, na, nb)-minimal frontier-crossing edge. The visited "
+        "set is an int64 BITMASK folded through n−1 steps; bit tests "
+        "spell floor(mask/2^k) mod 2 — dyadic-exact in doubles — so "
+        "the identical text runs in both engines' lambdas. Borůvka is "
+        "the bulk-parallel variant; with the vertex set bounded by "
+        "the nation dimension (the edges live in ONE array row), the "
+        "sequential fold IS the right plan, and the distributed story "
+        "is the edge materialization (a broadcast-sized dim self-join) "
+        "not the fold. Output: the n−1 tree edges in pick order."
+    ),
+)
+def graph_mst_prim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.portable_hash import (
+        ph0_hex,
+        ph1_hex,
+    )
+
+    n_ = load(spark, sf_dir, "nation").select("n_nationkey")
+    hx = F.md5(F.concat(F.lit("geo:n:"), F.col("n_nationkey").cast("string")))
+    coords = n_.select(
+        F.col("n_nationkey").cast("int").alias("k"),
+        (ph0_hex(hx) % 160000001 - 80000000).alias("lat_u"),
+        (ph1_hex(hx) % 360000001 - 180000000).alias("lon_u"),
+    )
+    a = coords.select(
+        F.col("k").alias("na"), F.col("lat_u").alias("la"),
+        F.col("lon_u").alias("lo"),
+    )
+    b = coords.select(
+        F.col("k").alias("nb"), F.col("lat_u").alias("lb"),
+        F.col("lon_u").alias("lb2"),
+    )
+    edges = a.join(b, F.col("na") < F.col("nb")).select(
+        "na",
+        "nb",
+        (
+            F.abs(F.col("la") - F.col("lb"))
+            + F.abs(F.col("lo") - F.col("lb2"))
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    base = edges.agg(
+        F.sort_array(F.collect_list(F.struct("w", "na", "nb"))).alias("es"),
+    ).crossJoin(
+        F.broadcast(
+            coords.agg(
+                F.count(F.lit(1)).cast("int").alias("n"),
+                F.pow(F.lit(2.0), F.min("k")).cast("bigint").alias("mask0"),
+            )
+        )
+    )
+
+    def bit(mask, k):
+        return F.floor(mask / F.pow(F.lit(2.0), k)) % 2
+
+    def step(acc, _i):
+        crossing = F.filter(
+            F.col("es"),
+            lambda e: bit(acc["mask"], e["na"]) != bit(acc["mask"], e["nb"]),
+        )
+        pick = F.array_min(crossing)
+        other = F.when(
+            bit(acc["mask"], pick["na"]) == 1, pick["nb"]
+        ).otherwise(pick["na"])
+        return F.struct(
+            (acc["mask"] + F.pow(F.lit(2.0), other).cast("bigint")).alias(
+                "mask"
+            ),
+            F.concat(acc["chosen"], F.array(pick)).alias("chosen"),
+        )
+
+    empty = F.array().cast("array<struct<w:bigint,na:int,nb:int>>")
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        F.struct(F.col("mask0").alias("mask"), empty.alias("chosen")),
+        step,
+    )
+    return (
+        base.select(F.posexplode(folded["chosen"]).alias("pos", "e"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("step"),
+            F.col("e.na").alias("nation_a"),
+            F.col("e.nb").alias("nation_b"),
+            F.col("e.w").alias("dist_u"),
+        )
+    )

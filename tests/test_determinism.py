@@ -175,6 +175,7 @@ SENSITIVE = [
     "dq_simpson_audit",         # decimal moment signs, zero floats
     "ts_mann_kendall",          # exact S + tie-corrected var, one z expr
     "events_nelson_aalen",      # decimal-quantized hazard prefix sums
+    "graph_mst_prim",           # all-integer bitmask Prim fold
 ]
 
 

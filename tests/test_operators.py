@@ -4491,3 +4491,47 @@ def test_nelson_aalen_hand_risk_sets(spark, tmp_path):
     assert out[1]["cum_hazard"] == round(1 / 3, 6)
     assert (out[2]["d_events"], out[2]["n_at_risk"]) == (1, 2)
     assert out[2]["cum_hazard"] == round(round(1 / 3, 9) + 0.5, 6)
+
+
+def test_mst_prim_tree_properties(spark, tmp_path):
+    """Against a brute-force Kruskal on the same md5 coordinates: the
+    picked edge set must form a spanning tree (n-1 edges, all nodes)
+    with the SAME total weight (MST weight is unique even when the
+    tree is not)."""
+    from big_data_management_and_analytics_spark.operators import graph
+    import hashlib, itertools
+
+    d = str(tmp_path / "mst")
+    keys = list(range(6))
+    spark.createDataFrame(
+        [(k, f"N{k}", 0) for k in keys],
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(d + "/nation.parquet")
+    out = graph.graph_mst_prim(spark, d).collect()
+    assert len(out) == 5
+    # reproduce coordinates + weights
+    def coord(k):
+        hx = hashlib.md5(f"geo:n:{k}".encode()).hexdigest()
+        lat = int(hx[:15], 16) % 160000001 - 80000000
+        lon = int(hx[16:31], 16) % 360000001 - 180000000
+        return lat, lon
+    pts = {k: coord(k) for k in keys}
+    def w(i, j):
+        return abs(pts[i][0] - pts[j][0]) + abs(pts[i][1] - pts[j][1])
+    # brute-force Kruskal
+    parent = {k: k for k in keys}
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+    total = 0
+    for wt, i, j in sorted((w(i, j), i, j) for i, j in itertools.combinations(keys, 2)):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+            total += wt
+    got_nodes = {r["nation_a"] for r in out} | {r["nation_b"] for r in out}
+    assert got_nodes == set(keys)
+    assert sum(r["dist_u"] for r in out) == total
+    for r in out:  # every emitted weight is the true pair distance
+        assert r["dist_u"] == w(r["nation_a"], r["nation_b"])
