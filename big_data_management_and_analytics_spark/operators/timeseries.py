@@ -5020,3 +5020,221 @@ def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row.r").cast("bigint").alias("n_at_risk"),
         F.col("row.h").alias("cum_hazard"),
     )
+
+
+@register(
+    "events_cohort_ltv",
+    "E",
+    oracle="""
+        WITH days AS (
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS dy,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+            FROM events
+        ),
+        first_day AS (
+            SELECT user_id, MIN(dy) AS d0 FROM days GROUP BY user_id
+        ),
+        cohorts AS (
+            SELECT CAST(d0 // 7 AS BIGINT) AS cohort_week,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM first_day GROUP BY 1
+        ),
+        rev AS (
+            SELECT CAST(f.d0 // 7 AS BIGINT) AS cohort_week,
+                   CAST((d.dy - f.d0) // 7 AS BIGINT) AS age_weeks,
+                   CAST(SUM(d.vc) AS BIGINT) AS rev_cents
+            FROM days d JOIN first_day f ON f.user_id = d.user_id
+            WHERE d.event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort_week, age_weeks, rev_cents,
+                   CAST(SUM(rev_cents) OVER (
+                       PARTITION BY cohort_week ORDER BY age_weeks
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_cents
+            FROM rev
+        )
+        SELECT c.cohort_week, c.age_weeks, co.n_users,
+               c.rev_cents, c.cum_cents,
+               ROUND(CAST(c.cum_cents AS DOUBLE) / co.n_users / 100.0, 6)
+                   AS cum_ltv
+        FROM cum c JOIN cohorts co ON co.cohort_week = c.cohort_week
+    """,
+    doc=(
+        "COHORT LTV CURVE (the cumulative-ARPU-by-age matrix every "
+        "growth team projects payback from): users cohort by FIRST-"
+        "touch week, purchase revenue accumulates per (cohort, weeks-"
+        "since-first-touch), and cumulative LTV divides by the "
+        "cohort's full user count (not just week-active users — the "
+        "standard definition, so curves are monotone). Weeks are "
+        "epoch-day integer arithmetic (dy div 7 — no calendar-week "
+        "function, so neither engine's week-start convention is on "
+        "the plan; the feat_cyclic_encode rule). Complements "
+        "events_cohort_retention (activity rates) with the REVENUE "
+        "curve. Determinism: revenue exact cents BIGINTs, the "
+        "cumulative window an exact integer sum (order-free), one "
+        "final round-6 division. Plan: two hash aggregates + one "
+        "cohort-partitioned window — parallelism = cohort count."
+    ),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000))
+        .cast("bigint")
+        .alias("dy"),
+        cents("value").alias("vc"),
+    )
+    first_day = e.groupBy("user_id").agg(F.min("dy").alias("d0"))
+    cohorts = first_day.groupBy(
+        F.floor(F.col("d0") / 7).cast("bigint").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_day, "user_id")
+        .groupBy(
+            F.floor(F.col("d0") / 7).cast("bigint").alias("cohort_week"),
+            F.floor((F.col("dy") - F.col("d0")) / 7)
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .agg(F.sum("vc").cast("bigint").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn(
+        "cum_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return cum.join(F.broadcast(cohorts), "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        "n_users",
+        "rev_cents",
+        "cum_cents",
+        F.round(
+            F.col("cum_cents").cast("double") / F.col("n_users") / F.lit(100.0),
+            6,
+        ).alias("cum_ltv"),
+    )
+
+
+@register(
+    "events_did_estimator",
+    "E",
+    oracle="""
+        WITH span AS (
+            SELECT CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT) AS d0,
+                   CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS d1
+            FROM events
+        ),
+        cells AS (
+            SELECT CAST(('0x' || substr(md5('did:' ||
+                       CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+                   AS INT) AS treated,
+                   CAST(CASE WHEN epoch_us(ts) // 86400000000
+                                  >= (s.d0 + s.d1 + 1) // 2
+                             THEN 1 ELSE 0 END AS INT) AS post,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+            FROM events CROSS JOIN span s
+            WHERE event_type = 'purchase'
+        ),
+        m AS (
+            SELECT treated, post,
+                   CAST(SUM(vc) AS BIGINT) AS sc,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM cells GROUP BY treated, post
+        )
+        SELECT
+            ROUND(CAST(m00.sc AS DOUBLE) / m00.n, 6) AS mean_ctrl_pre,
+            ROUND(CAST(m01.sc AS DOUBLE) / m01.n, 6) AS mean_ctrl_post,
+            ROUND(CAST(m10.sc AS DOUBLE) / m10.n, 6) AS mean_treat_pre,
+            ROUND(CAST(m11.sc AS DOUBLE) / m11.n, 6) AS mean_treat_post,
+            ROUND((CAST(m11.sc AS DOUBLE) / m11.n
+                   - CAST(m10.sc AS DOUBLE) / m10.n)
+                  - (CAST(m01.sc AS DOUBLE) / m01.n
+                     - CAST(m00.sc AS DOUBLE) / m00.n), 6) AS did_cents
+        FROM (SELECT sc, n FROM m WHERE treated = 0 AND post = 0) m00,
+             (SELECT sc, n FROM m WHERE treated = 0 AND post = 1) m01,
+             (SELECT sc, n FROM m WHERE treated = 1 AND post = 0) m10,
+             (SELECT sc, n FROM m WHERE treated = 1 AND post = 1) m11
+    """,
+    doc=(
+        "DIFFERENCE-IN-DIFFERENCES estimator (the workhorse quasi-"
+        "experimental design — Card & Krueger 1994 made it canon): "
+        "treatment assignment is the portable-md5 parity of the user "
+        "id (a deterministic stand-in for the rollout flag a real "
+        "pipeline would carry), the post period starts at the "
+        "integer midpoint of the observed day span, and the estimand "
+        "is (T,post − T,pre) − (C,post − C,pre) over purchase cents — "
+        "the parallel-trends-adjusted lift that a naive post-vs-pre "
+        "comparison overstates. Determinism: four cells of exact "
+        "cents sums and counts; the five outputs are fixed-order "
+        "round-6 expressions over those integers; day math is "
+        "epoch-integer (no calendar functions). Plan: one scan, one "
+        "4-group aggregate, a 4-row pivot-join — the cheapest "
+        "possible causal readout, linear and partial-aggregable."
+    ),
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_management_and_analytics_spark.functions.portable_hash import (
+        ph0_hex,
+    )
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    dy = F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("bigint")
+    span = e.agg(
+        F.min(dy).alias("d0"), F.max(dy).alias("d1")
+    )
+    hx = F.md5(F.concat(F.lit("did:"), F.col("user_id").cast("string")))
+    cells = (
+        e.crossJoin(F.broadcast(span))
+        .select(
+            (ph0_hex(hx) % 2).cast("int").alias("treated"),
+            F.when(
+                dy >= F.floor((F.col("d0") + F.col("d1") + 1) / 2), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("post"),
+            cents("value").alias("vc"),
+        )
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.sum("vc").cast("bigint").alias("sc"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def cell(t, p, name):
+        return (
+            m.filter((F.col("treated") == t) & (F.col("post") == p))
+            .select(
+                F.col("sc").alias(f"sc{name}"), F.col("n").alias(f"n{name}")
+            )
+        )
+
+    j = (
+        cell(0, 0, "00")
+        .crossJoin(F.broadcast(cell(0, 1, "01")))
+        .crossJoin(F.broadcast(cell(1, 0, "10")))
+        .crossJoin(F.broadcast(cell(1, 1, "11")))
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)
+    return j.select(
+        F.round(mean("sc00", "n00"), 6).alias("mean_ctrl_pre"),
+        F.round(mean("sc01", "n01"), 6).alias("mean_ctrl_post"),
+        F.round(mean("sc10", "n10"), 6).alias("mean_treat_pre"),
+        F.round(mean("sc11", "n11"), 6).alias("mean_treat_post"),
+        F.round(
+            (mean("sc11", "n11") - mean("sc10", "n10"))
+            - (mean("sc01", "n01") - mean("sc00", "n00")),
+            6,
+        ).alias("did_cents"),
+    )

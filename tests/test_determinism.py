@@ -176,6 +176,8 @@ SENSITIVE = [
     "ts_mann_kendall",          # exact S + tie-corrected var, one z expr
     "events_nelson_aalen",      # decimal-quantized hazard prefix sums
     "graph_mst_prim",           # all-integer bitmask Prim fold
+    "events_cohort_ltv",        # exact cents cumulative + one division
+    "events_did_estimator",     # four exact cells, fixed-order readout
 ]
 
 

@@ -4535,3 +4535,63 @@ def test_mst_prim_tree_properties(spark, tmp_path):
     assert sum(r["dist_u"] for r in out) == total
     for r in out:  # every emitted weight is the true pair distance
         assert r["dist_u"] == w(r["nation_a"], r["nation_b"])
+
+
+def test_cohort_ltv_monotone_and_full_base(spark, tmp_path):
+    """2 users cohort together; only one buys in week 1 — cum LTV
+    still divides by BOTH users (full-base definition) and is
+    monotone across ages."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    D = dt.timedelta(days=1)
+    rows = [
+        (1, b, 1, "purchase", 2.0, "{}"),          # u1 week0: 200c
+        (2, b + 8 * D, 1, "purchase", 1.0, "{}"),  # u1 week1: 100c
+        (3, b, 2, "click", 1.0, "{}"),             # u2 joins, never buys
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "ltv") + "/events.parquet")
+    out = {r["age_weeks"]: r
+           for r in timeseries.events_cohort_ltv(spark, str(tmp_path / "ltv")).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_users"] == 2
+    assert out[0]["cum_ltv"] == 1.0   # 200c / 2 users / 100
+    assert out[1]["cum_ltv"] == 1.5   # 300c / 2 users / 100
+
+
+def test_did_estimator_planted_lift(spark, tmp_path):
+    """Control stays flat pre->post; treated jumps by +5.00. The DiD
+    must recover ~500 cents regardless of level differences. Users
+    are chosen by their md5 parity so cells are non-empty."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt, hashlib
+
+    def treated(u):
+        return int(hashlib.md5(f"did:{u}".encode()).hexdigest()[:15], 16) % 2
+
+    ctrl = [u for u in range(1, 50) if treated(u) == 0][:2]
+    trt = [u for u in range(1, 50) if treated(u) == 1][:2]
+    b = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for day, post in ((0, 0), (10, 1)):  # span 0..10, midpoint day 5
+        for u in ctrl:
+            eid += 1
+            rows.append((eid, b + dt.timedelta(days=day), u, "purchase", 2.0, "{}"))
+        for u in trt:
+            eid += 1
+            val = 3.0 if post == 0 else 8.0
+            rows.append((eid, b + dt.timedelta(days=day), u, "purchase", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "did") + "/events.parquet")
+    out = timeseries.events_did_estimator(spark, str(tmp_path / "did")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["mean_ctrl_pre"] == r["mean_ctrl_post"] == 200.0
+    assert (r["mean_treat_pre"], r["mean_treat_post"]) == (300.0, 800.0)
+    assert r["did_cents"] == 500.0
