@@ -737,7 +737,9 @@ def feat_cyclic_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_type",
         F.hour("ts").cast("int").alias("hr"),
-        ((F.floor(F.unix_micros("ts") / F.lit(86400000000)) + 3) % 7)
+        # Integer `div`, not floor(double /): double rounding near
+        # midnight could disagree with the oracle's exact // division.
+        ((F.expr("unix_micros(ts) div 86400000000") + 3) % 7)
         .cast("int")
         .alias("dw"),
     )

@@ -5083,7 +5083,11 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        F.floor(F.unix_micros("ts") / F.lit(86400000000))
+        # Integer `div`, not floor(double /): a double quotient within
+        # half an ulp of an integer (an event ~3 ms before midnight)
+        # rounds UP before floor and disagrees with the oracle's exact
+        # epoch_us // 86400000000.
+        F.expr("unix_micros(ts) div 86400000000")
         .cast("bigint")
         .alias("dy"),
         cents("value").alias("vc"),
@@ -5189,7 +5193,8 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    dy = F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("bigint")
+    # Integer `div` — see events_cohort_ltv's midnight-boundary note.
+    dy = F.expr("unix_micros(ts) div 86400000000").cast("bigint")
     span = e.agg(
         F.min(dy).alias("d0"), F.max(dy).alias("d1")
     )
