@@ -1628,3 +1628,163 @@ def dq_simpson_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "paradox_flag",
         )
     )
+
+
+@register(
+    "agg_bayes_shrinkage",
+    "D",
+    oracle="""
+        WITH base AS (
+            SELECT p.p_brand AS brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
+        )
+        SELECT brand, n, r,
+               ROUND(CAST(r AS DOUBLE) / n, 6) AS raw_rate,
+               ROUND((CAST(r AS DOUBLE) + 2.0) / (n + 20.0), 6)
+                   AS posterior_rate,
+               ROUND((CAST(r AS DOUBLE) + 2.0) / (n + 20.0)
+                     - CAST(r AS DOUBLE) / n, 6) AS shrinkage
+        FROM base
+    """,
+    doc=(
+        "EMPIRICAL-BAYES RATE SHRINKAGE (Beta-Binomial conjugacy; the "
+        "James-Stein lesson applied to every small-sample rate "
+        "leaderboard): each brand's return rate is smoothed toward a "
+        "declared Beta(2, 18) prior (mean 0.1) via the exact "
+        "posterior mean (r+α)/(n+α+β) — the standard fix for "
+        "low-volume groups topping raw-rate rankings on noise "
+        "(CTR smoothing, review scores, defect rates all use this "
+        "identical formula). Determinism: r and n are exact BIGINTs; "
+        "the three outputs are fixed-order round-6 rationals — no "
+        "iteration, no libm. Plan: one broadcast-dim join + one hash "
+        "aggregate; linear, partial-aggregable, the cheapest shape."
+    ),
+)
+def agg_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    raw = F.col("r").cast("double") / F.col("n")
+    post = (F.col("r").cast("double") + F.lit(2.0)) / (
+        F.col("n") + F.lit(20.0)
+    )
+    return base.select(
+        "brand",
+        "n",
+        "r",
+        F.round(raw, 6).alias("raw_rate"),
+        F.round(post, 6).alias("posterior_rate"),
+        F.round(post - raw, 6).alias("shrinkage"),
+    )
+
+
+@register(
+    "mkt_price_elasticity",
+    "L",
+    oracle="""
+        WITH base AS (
+            SELECT p.p_brand AS brand,
+                   CASE WHEN CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)
+                             <= 5 THEN 0 ELSE 1 END AS band,
+                   CAST(l.l_quantity AS BIGINT) AS q,
+                   CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT) AS dc
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        g AS (
+            SELECT brand, band,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS sq,
+                   CAST(SUM(dc) AS BIGINT) AS sd
+            FROM base GROUP BY 1, 2
+        )
+        SELECT lo.brand,
+               lo.n AS n_lo, hi.n AS n_hi,
+               ROUND(CAST(lo.sq AS DOUBLE) / lo.n, 6) AS q_lo,
+               ROUND(CAST(hi.sq AS DOUBLE) / hi.n, 6) AS q_hi,
+               ROUND(CAST(lo.sd AS DOUBLE) / lo.n, 6) AS d_lo,
+               ROUND(CAST(hi.sd AS DOUBLE) / hi.n, 6) AS d_hi,
+               ROUND(((CAST(hi.sq AS DOUBLE) / hi.n
+                       - CAST(lo.sq AS DOUBLE) / lo.n)
+                      * (CAST(hi.sd AS DOUBLE) / hi.n
+                         + CAST(lo.sd AS DOUBLE) / lo.n))
+                     / ((CAST(hi.sq AS DOUBLE) / hi.n
+                         + CAST(lo.sq AS DOUBLE) / lo.n)
+                        * (CAST(hi.sd AS DOUBLE) / hi.n
+                           - CAST(lo.sd AS DOUBLE) / lo.n)), 6)
+                   AS arc_elasticity
+        FROM g lo JOIN g hi ON hi.brand = lo.brand
+        WHERE lo.band = 0 AND hi.band = 1
+    """,
+    doc=(
+        "ARC ELASTICITY of demand to discount (the midpoint-formula "
+        "elasticity every pricing team computes before touching a "
+        "price): per brand, mean order quantity in the low-discount "
+        "band (≤5 cents of discount) vs the high band, with "
+        "e = (Δq/q̄)/(Δd/d̄) on band means — the symmetric arc form, "
+        "immune to which band you call 'before'. A positive e here "
+        "reads 'deeper discounts move more units'. Determinism: band "
+        "assignment is an exact integer-cents threshold; all sums and "
+        "counts exact BIGINTs; the elasticity is ONE fixed-order "
+        "double expression over those integers, round-6 (brands whose "
+        "bands tie on mean discount would divide by zero — impossible "
+        "here by construction: the bands partition on the discount "
+        "value itself). Plan: broadcast-dim join + one two-level hash "
+        "aggregate + a 25-row self-join; linear in rows."
+    ),
+)
+def mkt_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        cents("l_discount").alias("dc"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(F.col("dc") <= 5, 0).otherwise(1).alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("sq"),
+            F.sum("dc").cast("bigint").alias("sd"),
+        )
+    )
+    lo = g.filter(F.col("band") == 0).select(
+        "brand", F.col("n").alias("n_lo"), F.col("sq").alias("sq_lo"),
+        F.col("sd").alias("sd_lo"),
+    )
+    hi = g.filter(F.col("band") == 1).select(
+        "brand", F.col("n").alias("n_hi"), F.col("sq").alias("sq_hi"),
+        F.col("sd").alias("sd_hi"),
+    )
+    ql = F.col("sq_lo").cast("double") / F.col("n_lo")
+    qh = F.col("sq_hi").cast("double") / F.col("n_hi")
+    dl = F.col("sd_lo").cast("double") / F.col("n_lo")
+    dh = F.col("sd_hi").cast("double") / F.col("n_hi")
+    return lo.join(hi, "brand").select(
+        "brand",
+        "n_lo",
+        "n_hi",
+        F.round(ql, 6).alias("q_lo"),
+        F.round(qh, 6).alias("q_hi"),
+        F.round(dl, 6).alias("d_lo"),
+        F.round(dh, 6).alias("d_hi"),
+        F.round(((qh - ql) * (dh + dl)) / ((qh + ql) * (dh - dl)), 6).alias(
+            "arc_elasticity"
+        ),
+    )

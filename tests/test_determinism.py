@@ -178,6 +178,8 @@ SENSITIVE = [
     "graph_mst_prim",           # all-integer bitmask Prim fold
     "events_cohort_ltv",        # exact cents cumulative + one division
     "events_did_estimator",     # four exact cells, fixed-order readout
+    "agg_bayes_shrinkage",      # exact counts, rational posterior means
+    "mkt_price_elasticity",     # exact band sums, one arc expression
 ]
 
 

@@ -4595,3 +4595,69 @@ def test_did_estimator_planted_lift(spark, tmp_path):
     assert r["mean_ctrl_pre"] == r["mean_ctrl_post"] == 200.0
     assert (r["mean_treat_pre"], r["mean_treat_post"]) == (300.0, 800.0)
     assert r["did_cents"] == 500.0
+
+
+def test_bayes_shrinkage_pulls_small_samples_harder(spark, tmp_path):
+    """A 2-row brand at raw rate 1.0 shrinks hard toward the 0.1 prior;
+    a 200-row brand at the same raw rate barely moves."""
+    from big_data_management_and_analytics_spark.operators import aggregations
+    import datetime as dt
+
+    d = str(tmp_path / "eb")
+    sd = dt.datetime(1995, 1, 1)
+    li = []
+    for i in range(2):
+        li.append((i + 1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "O", sd))
+    for i in range(200):
+        li.append((100 + i, 2, 1, 1, 1.0, 1.0, 0.0, 0.0, "R", "O", sd))
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+               " l_quantity double, l_extendedprice double, l_discount double,"
+               " l_tax double, l_returnflag string, l_linestatus string,"
+               " l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "n", "SMALL", "t", 1, 1.0), (2, "n", "BIG", "t", 1, 1.0)],
+        schema="p_partkey long, p_name string, p_brand string, p_type string,"
+               " p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    out = {r["brand"]: r
+           for r in aggregations.agg_bayes_shrinkage(spark, d).collect()}
+    assert out["SMALL"]["raw_rate"] == out["BIG"]["raw_rate"] == 1.0
+    assert out["SMALL"]["posterior_rate"] == round(4 / 22, 6)
+    assert out["BIG"]["posterior_rate"] == round(202 / 220, 6)
+    assert abs(out["SMALL"]["shrinkage"]) > abs(out["BIG"]["shrinkage"])
+
+
+def test_price_elasticity_planted_response(spark, tmp_path):
+    """Low band: discount 2c, qty 10. High band: discount 8c, qty 20.
+    Arc e = ((20-10)*(8+2)) / ((20+10)*(8-2)) = 100/180."""
+    from big_data_management_and_analytics_spark.operators import mining  # noqa: F401
+    from big_data_management_and_analytics_spark.operators import aggregations as agg_mod
+    from big_data_management_and_analytics_spark.operators.aggregations import mkt_price_elasticity
+    import datetime as dt
+
+    d = str(tmp_path / "el")
+    sd = dt.datetime(1995, 1, 1)
+    li = [
+        (1, 1, 1, 1, 10.0, 1.0, 0.02, 0.0, "N", "O", sd),
+        (2, 1, 1, 1, 20.0, 1.0, 0.08, 0.0, "N", "O", sd),
+    ]
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+               " l_quantity double, l_extendedprice double, l_discount double,"
+               " l_tax double, l_returnflag string, l_linestatus string,"
+               " l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "n", "B1", "t", 1, 1.0)],
+        schema="p_partkey long, p_name string, p_brand string, p_type string,"
+               " p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+    out = mkt_price_elasticity(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["q_lo"], r["q_hi"], r["d_lo"], r["d_hi"]) == (10.0, 20.0, 2.0, 8.0)
+    assert r["arc_elasticity"] == round(100 / 180, 6)
