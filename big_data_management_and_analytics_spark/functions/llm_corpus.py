@@ -2264,3 +2264,149 @@ def llm_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         F.when(z > 4.0, 1).otherwise(0).cast("int").alias("watermarked"),
     )
+
+
+@register(
+    "llm_prefix_cache_sim",
+    "K",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS tok
+            FROM documents
+        ),
+        eligible AS (
+            SELECT doc_id, tok, len(tok) AS n
+            FROM toks WHERE len(tok) >= 4
+        ),
+        keyed AS (
+            SELECT doc_id, tok, n,
+                   tok[1] || ' ' || tok[2] || ' ' || tok[3] || ' ' || tok[4]
+                       AS bucket
+            FROM eligible
+        ),
+        g AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens
+            FROM keyed GROUP BY bucket HAVING COUNT(*) >= 2
+        ),
+        pos AS (
+            SELECT k.bucket, p.pos, k.tok[p.pos] AS t
+            FROM keyed k
+            JOIN g USING (bucket)
+            CROSS JOIN LATERAL (
+                SELECT UNNEST(generate_series(1, CAST(k.n AS INT))) AS pos
+            ) p
+        ),
+        agree AS (
+            SELECT bucket, pos,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(COUNT(DISTINCT t) AS BIGINT) AS dst
+            FROM pos GROUP BY bucket, pos
+        ),
+        pref AS (
+            SELECT a.bucket,
+                   CAST(COALESCE(
+                       MIN(CASE WHEN a.cnt <> g.n_docs OR a.dst <> 1
+                                THEN a.pos END) - 1,
+                       MAX(a.pos)) AS BIGINT) AS prefix_len
+            FROM agree a JOIN g USING (bucket)
+            GROUP BY a.bucket, g.n_docs
+        )
+        SELECT g.bucket, g.n_docs, g.total_tokens, p.prefix_len,
+               CAST((g.n_docs - 1) * p.prefix_len AS BIGINT)
+                   AS cached_tokens,
+               ROUND(CAST((g.n_docs - 1) * p.prefix_len AS DOUBLE)
+                     / g.total_tokens, 6) AS hit_rate
+        FROM g JOIN pref p USING (bucket)
+    """,
+    doc=(
+        "KV PREFIX-CACHE HIT-RATE simulation (the serving-economics "
+        "audit behind RadixAttention/vLLM prefix caching): documents "
+        "bucket by their first-4-token key (the radix-trie fanout "
+        "level), each bucket's SHARED PREFIX is the longest run of "
+        "positions where every member is both present and identical, "
+        "and under perfect prefix reuse the first request pays the "
+        "full prefill while the other g−1 skip prefix_len tokens each "
+        "— cached/total is the ceiling on prefill savings for this "
+        "corpus, the number a platform team wants BEFORE enabling the "
+        "cache. The prefix length needs no sequential scan: it is "
+        "COALESCE(first violating position − 1, max position) over "
+        "per-(bucket, position) agree counts — one aggregate, exactly "
+        "mirrored in SQL. Determinism: counts and lengths are exact "
+        "BIGINTs; the one double is the final round-6 rate. Plan: "
+        "tokenize → position explode (bounded by doc length) → two "
+        "hash aggregates; linear, no window, no join wider than the "
+        "bucket dimension."
+    ),
+)
+def llm_prefix_cache_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    keyed = (
+        spread(d, "doc_id")
+        .select("doc_id", tok.alias("tok"))
+        .filter(F.size("tok") >= 4)
+        .select(
+            "doc_id",
+            "tok",
+            F.size("tok").cast("bigint").alias("n"),
+            F.concat_ws(
+                " ",
+                F.element_at("tok", 1),
+                F.element_at("tok", 2),
+                F.element_at("tok", 3),
+                F.element_at("tok", 4),
+            ).alias("bucket"),
+        )
+        .localCheckpoint(eager=True)  # sizes + position explode reuse
+    )
+    g = (
+        keyed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    pos = (
+        keyed.join(F.broadcast(g.select("bucket")), "bucket")
+        .select("bucket", F.posexplode("tok").alias("pos0", "t"))
+        .select("bucket", (F.col("pos0") + 1).alias("pos"), "t")
+    )
+    agree = pos.groupBy("bucket", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.countDistinct("t").cast("bigint").alias("dst"),
+    )
+    pref = (
+        agree.join(F.broadcast(g.select("bucket", "n_docs")), "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        (F.col("cnt") != F.col("n_docs"))
+                        | (F.col("dst") != 1),
+                        F.col("pos"),
+                    )
+                )
+                - 1,
+                F.max("pos"),
+            )
+            .cast("bigint")
+            .alias("prefix_len")
+        )
+    )
+    return g.join(pref, "bucket").select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        "prefix_len",
+        ((F.col("n_docs") - 1) * F.col("prefix_len"))
+        .cast("bigint")
+        .alias("cached_tokens"),
+        F.round(
+            ((F.col("n_docs") - 1) * F.col("prefix_len")).cast("double")
+            / F.col("total_tokens"),
+            6,
+        ).alias("hit_rate"),
+    )

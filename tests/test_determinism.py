@@ -180,6 +180,7 @@ SENSITIVE = [
     "events_did_estimator",     # four exact cells, fixed-order readout
     "agg_bayes_shrinkage",      # exact counts, rational posterior means
     "mkt_price_elasticity",     # exact band sums, one arc expression
+    "llm_prefix_cache_sim",     # exact prefix-agreement counts + rate
 ]
 
 

@@ -4661,3 +4661,30 @@ def test_price_elasticity_planted_response(spark, tmp_path):
     r = out[0]
     assert (r["q_lo"], r["q_hi"], r["d_lo"], r["d_hi"]) == (10.0, 20.0, 2.0, 8.0)
     assert r["arc_elasticity"] == round(100 / 180, 6)
+
+
+def test_prefix_cache_common_prefix_and_rate(spark, tmp_path):
+    """Two docs share a 6-token prefix then diverge; a third shares
+    only the 4-token bucket key. Common prefix = 4 for the trio?
+    No — all three share the bucket; the common prefix stops at the
+    first position where ANY member diverges (position 5)."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    docs = [
+        (1, "a b c d e f x1 y1", "en", "s", 1),
+        (2, "a b c d e f x2 y2", "en", "s", 1),
+        (3, "a b c d q r", "en", "s", 1),
+        (4, "z z z z z", "en", "s", 1),  # lone bucket -> excluded
+    ]
+    spark.createDataFrame(
+        docs,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "pc") + "/documents.parquet")
+    out = llm_corpus.llm_prefix_cache_sim(spark, str(tmp_path / "pc")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bucket"] == "a b c d"
+    assert (r["n_docs"], r["total_tokens"]) == (3, 22)
+    assert r["prefix_len"] == 4  # doc 3 diverges at position 5
+    assert r["cached_tokens"] == 8  # (3-1) * 4
+    assert r["hit_rate"] == round(8 / 22, 6)
