@@ -2410,3 +2410,125 @@ def llm_prefix_cache_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hit_rate"),
     )
+
+
+@register(
+    "llm_rouge_l",
+    "K",
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS tok
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.tok AS xs, b.tok AS ys,
+                   CAST(len(a.tok) AS BIGINT) AS n,
+                   CAST(len(b.tok) AS BIGINT) AS m
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 2 = 1 AND len(a.tok) >= 1 AND len(b.tok) >= 1
+        ),
+        r AS (
+            SELECT doc_a, doc_b, xs, ys, n, m, CAST(0 AS BIGINT) AS d,
+                   [CAST(0 AS BIGINT)
+                    FOR i IN generate_series(0, CAST(n AS INT))] AS p1,
+                   [CAST(0 AS BIGINT)
+                    FOR i IN generate_series(0, CAST(n AS INT))] AS p2
+            FROM pairs
+            UNION ALL
+            SELECT doc_a, doc_b, xs, ys, n, m, d + 1,
+                   [CASE WHEN i >= 1 AND i <= n
+                              AND d + 1 - i >= 1 AND d + 1 - i <= m
+                         THEN CASE WHEN xs[CAST(i AS INT)]
+                                        = ys[CAST(d + 1 - i AS INT)]
+                                   THEN p2[CAST(i AS INT)] + 1
+                                   ELSE greatest(p1[CAST(i AS INT)],
+                                                 p1[CAST(i + 1 AS INT)])
+                              END
+                         ELSE CAST(0 AS BIGINT) END
+                    FOR i IN generate_series(0, CAST(n AS INT))] AS p1,
+                   p1 AS p2
+            FROM r WHERE d < n + m
+        )
+        SELECT doc_a, doc_b, n AS len_a, m AS len_b,
+               p1[CAST(n + 1 AS INT)] AS lcs_len,
+               ROUND(2.0 * p1[CAST(n + 1 AS INT)] / (n + m), 6)
+                   AS rouge_l_f1
+        FROM r WHERE d = n + m
+    """,
+    doc=(
+        "ROUGE-L (Lin, ACL 2004 — the LCS-based summarization/"
+        "generation eval metric): token-level longest common "
+        "subsequence between each adjacent-id document pair (the "
+        "declared reference↔candidate eval pairing, the BM25_QUERIES "
+        "fixed-fixture convention) with F1 = 2·LCS/(n+m) — which is "
+        "exactly the harmonic mean of the LCS precision and recall, "
+        "so one exact rational covers all three. Completes the "
+        "in-engine evaluation family (llm_ann_recall, llm_rag_mrr: "
+        "retrieval; this: generation overlap). The DP runs over "
+        "ANTI-DIAGONAL wavefronts exactly like ts_dtw — diag d "
+        "depends only on d−1/d−2, each step one pure comprehension — "
+        "and every cell is an exact BIGINT (match extends the "
+        "diagonal, mismatch takes a max), so the two engines cannot "
+        "diverge; the single double is the final round-6 F1. Plan: "
+        "pair rows fold their own O((n+m)·n) DP map-side; parallelism "
+        "= pair count, no shuffle after the id-join."
+    ),
+)
+def llm_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d_ = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    t = spread(d_, "doc_id").select("doc_id", tok.alias("tok"))
+    a = t.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("doc_a"), F.col("tok").alias("xs")
+    )
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("ys"))
+    pairs = (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .withColumn("n", F.size("xs").cast("bigint"))
+        .withColumn("m", F.size("ys").cast("bigint"))
+        .filter((F.col("n") >= 1) & (F.col("m") >= 1))
+    )
+    n, m = F.col("n"), F.col("m")
+    zero = F.lit(0).cast("long")
+    zeros = F.transform(F.sequence(F.lit(0), n.cast("int")), lambda i: zero)
+
+    def step(acc, d):
+        def cell(i):
+            j = d - i
+            return F.when(
+                (i >= 1) & (i.cast("long") <= n)
+                & (j >= 1) & (j.cast("long") <= m),
+                F.when(
+                    F.element_at(F.col("xs"), i)
+                    == F.element_at(F.col("ys"), j),
+                    F.element_at(acc["p2"], i) + 1,
+                ).otherwise(
+                    F.greatest(
+                        F.element_at(acc["p1"], i),
+                        F.element_at(acc["p1"], i + 1),
+                    )
+                ),
+            ).otherwise(zero)
+
+        return F.struct(
+            F.transform(
+                F.sequence(F.lit(0), n.cast("int")), cell
+            ).alias("p1"),
+            acc["p1"].alias("p2"),
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), (n + m).cast("int")),
+        F.struct(zeros.alias("p1"), zeros.alias("p2")),
+        step,
+    )
+    lcs = F.element_at(folded["p1"], (n + 1).cast("int"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        n.alias("len_a"),
+        m.alias("len_b"),
+        lcs.alias("lcs_len"),
+        F.round(F.lit(2.0) * lcs / (n + m), 6).alias("rouge_l_f1"),
+    )

@@ -1788,3 +1788,71 @@ def mkt_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arc_elasticity"
         ),
     )
+
+
+@register(
+    "agg_power_twoprop",
+    "D",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderpriority AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        )
+        SELECT segment, n, x,
+               ROUND(CAST(x AS DOUBLE) / n, 6) AS baseline_rate,
+               ROUND(CAST(x AS DOUBLE) / n + 0.02, 6) AS target_rate,
+               CAST(ceil(
+                   (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                   * ((CAST(x AS DOUBLE) / n) * (1.0 - CAST(x AS DOUBLE) / n)
+                      + (CAST(x AS DOUBLE) / n + 0.02)
+                        * (1.0 - (CAST(x AS DOUBLE) / n + 0.02)))
+                   / (0.02 * 0.02)) AS BIGINT) AS n_per_arm
+        FROM base
+    """,
+    doc=(
+        "TWO-PROPORTION POWER ANALYSIS (the pre-experiment sample-size "
+        "calculator; Fleiss' normal-approximation formula): for each "
+        "order-priority segment's observed completion rate p1, the "
+        "rows-per-arm needed to detect a +2pp absolute lift at "
+        "α = 0.05 two-sided, power 0.80 — "
+        "n = (z_{α/2}+z_β)²(p1q1+p2q2)/Δ². Completes the "
+        "experimentation toolkit: agg_prop_ztest ANALYZES a finished "
+        "test, this SIZES the next one, events_did_estimator handles "
+        "the quasi-experimental case. Determinism: the two z quantiles "
+        "are FROZEN literals (1.959964, 0.841621 — inverse-normal is "
+        "libm territory, the ts_periodogram rule), rates are exact "
+        "rationals, and the ceiling of the one fixed-order expression "
+        "is integral-stable because its inputs are bit-identical in "
+        "both engines. Plan: one hash aggregate over orders; the "
+        "calculator is per-group O(1)."
+    ),
+)
+def agg_power_twoprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    base = o.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    p1 = F.col("x").cast("double") / F.col("n")
+    p2 = p1 + F.lit(0.02)
+    zsum = F.lit(1.959964) + F.lit(0.841621)
+    n_arm = F.ceil(
+        zsum * zsum
+        * (p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+        / (F.lit(0.02) * F.lit(0.02))
+    )
+    return base.select(
+        "segment",
+        "n",
+        "x",
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+    )

@@ -181,6 +181,8 @@ SENSITIVE = [
     "agg_bayes_shrinkage",      # exact counts, rational posterior means
     "mkt_price_elasticity",     # exact band sums, one arc expression
     "llm_prefix_cache_sim",     # exact prefix-agreement counts + rate
+    "agg_power_twoprop",        # frozen z literals, rational rates
+    "llm_rouge_l",              # all-integer LCS wavefront + one F1
 ]
 
 

@@ -4688,3 +4688,51 @@ def test_prefix_cache_common_prefix_and_rate(spark, tmp_path):
     assert r["prefix_len"] == 4  # doc 3 diverges at position 5
     assert r["cached_tokens"] == 8  # (3-1) * 4
     assert r["hit_rate"] == round(8 / 22, 6)
+
+
+def test_rouge_l_hand_lcs(spark, tmp_path):
+    """docs (1,2): LCS('a b c d', 'a x c d') = 3 ('a c d'); F1 =
+    2*3/8 = 0.75. docs (3,4): disjoint -> 0."""
+    from big_data_management_and_analytics_spark.functions import llm_corpus
+
+    docs = [
+        (1, "a b c d", "en", "s", 7),
+        (2, "a x c d", "en", "s", 7),
+        (3, "p q", "en", "s", 3),
+        (4, "r s t", "en", "s", 5),
+    ]
+    spark.createDataFrame(
+        docs,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "rl") + "/documents.parquet")
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in llm_corpus.llm_rouge_l(spark, str(tmp_path / "rl")).collect()}
+    assert set(out) == {(1, 2), (3, 4)}
+    assert out[(1, 2)]["lcs_len"] == 3
+    assert out[(1, 2)]["rouge_l_f1"] == 0.75
+    assert out[(3, 4)]["lcs_len"] == 0
+    assert out[(3, 4)]["rouge_l_f1"] == 0.0
+
+
+def test_power_twoprop_known_value(spark, tmp_path):
+    """p1 = 0.5 maximizes variance: n = 2.8015852^2 * (0.25 + 0.52*0.48)
+    / 0.0004 -> 9801 per arm (the textbook worst case)."""
+    from big_data_management_and_analytics_spark.operators import aggregations
+    import datetime as dt, math
+
+    rows = []
+    for i in range(100):
+        status = "F" if i % 2 == 0 else "O"
+        rows.append((i, 1, status, 1.0, dt.datetime(1995, 1, 1), "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string,"
+               " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "pw") + "/orders.parquet")
+    out = aggregations.agg_power_twoprop(spark, str(tmp_path / "pw")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["baseline_rate"] == 0.5
+    zsum = 1.959964 + 0.841621
+    expect = math.ceil(zsum * zsum * (0.25 + 0.52 * 0.48) / 0.0004)
+    assert r["n_per_arm"] == expect
