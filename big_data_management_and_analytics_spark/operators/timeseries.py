@@ -5243,3 +5243,180 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did_cents"),
     )
+
+
+def _dl_levels(maxlag: int = 5):
+    """Durbin-Levinson expression text, level by level.
+
+    Returns [(col_name, sql_expr)] in bind order. The SAME strings are
+    bound as columns by both engines (Spark selectExpr / DuckDB CTE
+    chain), so every intermediate is one identically-parsed arithmetic
+    expression over r1..rK doubles — binding at each level keeps the
+    text linear where full inlining would grow exponentially, and
+    bound-column reuse is IEEE-safe because both engines evaluate the
+    identical tree once."""
+    out = []
+    prev = {}  # j -> column name of phi_{k-1, j}
+    for k in range(1, maxlag + 1):
+        if k == 1:
+            kk = "p_1_1"
+            out.append((kk, "r1"))
+        else:
+            num = " + ".join(f"{prev[j]} * r{k - j}" for j in range(1, k))
+            den = " + ".join(f"{prev[j]} * r{j}" for j in range(1, k))
+            kk = f"p_{k}_{k}"
+            out.append((kk, f"(r{k} - ({num})) / (1.0 - ({den}))"))
+        cur = {k: kk}
+        for j in range(1, k):
+            name = f"p_{k}_{j}"
+            out.append((name, f"{prev[j]} - {kk} * {prev[k - j]}"))
+            cur[j] = name
+        prev = cur
+    return out
+
+
+@register(
+    "ts_pacf",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT event_type, list(xc ORDER BY d) AS xs,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xc) AS BIGINT) AS m
+            FROM daily GROUP BY event_type HAVING COUNT(*) >= 20
+        ),
+        moments AS (
+            SELECT event_type, n, list_sum([CAST(CAST(n * xs[t] - m AS DECIMAL(19,0)) * CAST(n * xs[t + 0] - m AS DECIMAL(19,0)) AS DECIMAL(38,0)) FOR t IN generate_series(1, CAST(n - 0 AS INT))]) AS s0,
+                   list_sum([CAST(CAST(n * xs[t] - m AS DECIMAL(19,0)) * CAST(n * xs[t + 1] - m AS DECIMAL(19,0)) AS DECIMAL(38,0)) FOR t IN generate_series(1, CAST(n - 1 AS INT))]) AS s1,
+                   list_sum([CAST(CAST(n * xs[t] - m AS DECIMAL(19,0)) * CAST(n * xs[t + 2] - m AS DECIMAL(19,0)) AS DECIMAL(38,0)) FOR t IN generate_series(1, CAST(n - 2 AS INT))]) AS s2,
+                   list_sum([CAST(CAST(n * xs[t] - m AS DECIMAL(19,0)) * CAST(n * xs[t + 3] - m AS DECIMAL(19,0)) AS DECIMAL(38,0)) FOR t IN generate_series(1, CAST(n - 3 AS INT))]) AS s3,
+                   list_sum([CAST(CAST(n * xs[t] - m AS DECIMAL(19,0)) * CAST(n * xs[t + 4] - m AS DECIMAL(19,0)) AS DECIMAL(38,0)) FOR t IN generate_series(1, CAST(n - 4 AS INT))]) AS s4,
+                   list_sum([CAST(CAST(n * xs[t] - m AS DECIMAL(19,0)) * CAST(n * xs[t + 5] - m AS DECIMAL(19,0)) AS DECIMAL(38,0)) FOR t IN generate_series(1, CAST(n - 5 AS INT))]) AS s5
+            FROM h
+        ),
+        rho AS (
+            SELECT event_type, n, CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r1,
+                   CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r2,
+                   CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r3,
+                   CAST(s4 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r4,
+                   CAST(s5 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r5
+            FROM moments
+        ),
+        lvl1 AS (
+            SELECT *, r1 AS p_1_1
+            FROM rho
+        ),
+        lvl2 AS (
+            SELECT *, (r2 - (p_1_1 * r1)) / (1.0 - (p_1_1 * r1)) AS p_2_2,
+                   p_1_1 - p_2_2 * p_1_1 AS p_2_1
+            FROM lvl1
+        ),
+        lvl3 AS (
+            SELECT *, (r3 - (p_2_1 * r2 + p_2_2 * r1)) / (1.0 - (p_2_1 * r1 + p_2_2 * r2)) AS p_3_3,
+                   p_2_1 - p_3_3 * p_2_2 AS p_3_1,
+                   p_2_2 - p_3_3 * p_2_1 AS p_3_2
+            FROM lvl2
+        ),
+        lvl4 AS (
+            SELECT *, (r4 - (p_3_1 * r3 + p_3_2 * r2 + p_3_3 * r1)) / (1.0 - (p_3_1 * r1 + p_3_2 * r2 + p_3_3 * r3)) AS p_4_4,
+                   p_3_1 - p_4_4 * p_3_3 AS p_4_1,
+                   p_3_2 - p_4_4 * p_3_2 AS p_4_2,
+                   p_3_3 - p_4_4 * p_3_1 AS p_4_3
+            FROM lvl3
+        ),
+        lvl5 AS (
+            SELECT *, (r5 - (p_4_1 * r4 + p_4_2 * r3 + p_4_3 * r2 + p_4_4 * r1)) / (1.0 - (p_4_1 * r1 + p_4_2 * r2 + p_4_3 * r3 + p_4_4 * r4)) AS p_5_5,
+                   p_4_1 - p_5_5 * p_4_4 AS p_5_1,
+                   p_4_2 - p_5_5 * p_4_3 AS p_5_2,
+                   p_4_3 - p_5_5 * p_4_2 AS p_5_3,
+                   p_4_4 - p_5_5 * p_4_1 AS p_5_4
+            FROM lvl4
+        )
+        SELECT event_type, n AS n_days, ROUND(p_1_1, 6) AS pacf_1, ROUND(p_2_2, 6) AS pacf_2, ROUND(p_3_3, 6) AS pacf_3, ROUND(p_4_4, 6) AS pacf_4, ROUND(p_5_5, 6) AS pacf_5
+        FROM lvl5
+    """,
+    doc=(
+        "PARTIAL AUTOCORRELATION (Durbin-Levinson recursion; with "
+        "ts_acf this completes the Box-Jenkins ARIMA identification "
+        "pair — PACF cutoff picks the AR order the way ACF cutoff "
+        "picks MA). Autocovariance numerators are EXACT: n-scaling "
+        "clears the mean ((n·x_t − Σx) products, pre-cast to "
+        "DECIMAL(38,0) per the events_bot_score overflow rule), so "
+        "each ρ_k is one decimal→double conversion and one division. "
+        "The recursion binds every Durbin-Levinson intermediate as a "
+        "column from ONE shared expression text (_dl_levels — Spark "
+        "selectExpr and the DuckDB CTE chain parse the same strings), "
+        "the straight-line complement of the recursive-CTE shared-text "
+        "rule: binding is IEEE-safe here because both engines evaluate "
+        "each identical tree exactly once, and it keeps level-5 text "
+        "linear where full inlining grows exponentially. Plan: one "
+        "daily aggregate + per-type array fold for 5 lagged moment "
+        "sums, then O(K²) scalar arithmetic per series."
+    ),
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    h = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "xc"))),
+                lambda s: s["xc"],
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xc").cast("bigint").alias("m"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    xs, n, m = F.col("xs"), F.col("n"), F.col("m")
+
+    def s_k(k):
+        # S_k = sum over t of (n*x_t - m)(n*x_{t+k} - m), exact decimal
+        return F.aggregate(
+            F.sequence(F.lit(1), (n - k).cast("int")),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, t: (
+                acc
+                + (
+                    (n * F.element_at(xs, t) - m).cast("decimal(19,0)")
+                    * (n * F.element_at(xs, t + F.lit(k)) - m).cast(
+                        "decimal(19,0)"
+                    )
+                ).cast("decimal(38,0)")
+            ).cast("decimal(38,0)"),
+        )
+    mom = h.select(
+        "event_type",
+        "n",
+        *[s_k(k).alias(f"s{k}") for k in range(0, 6)],
+    )
+    rho = mom.select(
+        "event_type",
+        "n",
+        *[
+            (F.col(f"s{k}").cast("double") / F.col("s0").cast("double")).alias(
+                f"r{k}"
+            )
+            for k in range(1, 6)
+        ],
+    )
+    cur = rho
+    for name, expr in _dl_levels(5):
+        cur = cur.withColumn(name, F.expr(expr))
+    return cur.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        *[
+            F.round(F.col(f"p_{k}_{k}"), 6).alias(f"pacf_{k}")
+            for k in range(1, 6)
+        ],
+    )

@@ -183,6 +183,7 @@ SENSITIVE = [
     "llm_prefix_cache_sim",     # exact prefix-agreement counts + rate
     "agg_power_twoprop",        # frozen z literals, rational rates
     "llm_rouge_l",              # all-integer LCS wavefront + one F1
+    "ts_pacf",                  # exact decimal moments + shared DL text
 ]
 
 

@@ -4736,3 +4736,31 @@ def test_power_twoprop_known_value(spark, tmp_path):
     zsum = 1.959964 + 0.841621
     expect = math.ceil(zsum * zsum * (0.25 + 0.52 * 0.48) / 0.0004)
     assert r["n_per_arm"] == expect
+
+
+def test_pacf_lag1_matches_exact_moments(spark, tmp_path):
+    """pacf_1 must equal the exact n-scaled autocovariance ratio
+    replicated in plain Python; a ramp series has pacf_1 near 1 and a
+    much smaller second partial."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    vals = [float(v) for v in
+            [1, 2, 3, 5, 4, 6, 7, 9, 8, 10, 11, 13, 12, 14, 15, 17, 16, 18, 19, 21]]
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i), i, "m", v, "{}")
+            for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "pa") + "/events.parquet")
+    out = timeseries.ts_pacf(spark, str(tmp_path / "pa")).collect()
+    assert len(out) == 1
+    r = out[0]
+    xc = [int(v * 100) for v in vals]
+    n, m = len(xc), sum(xc)
+    def s(k):
+        return sum((n * xc[t] - m) * (n * xc[t + k] - m) for t in range(n - k))
+    r1 = s(1) / s(0)
+    assert r["pacf_1"] == round(r1, 6)
+    assert r["pacf_1"] > 0.8
+    assert abs(r["pacf_2"]) < abs(r["pacf_1"])
