@@ -5420,3 +5420,154 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, 6)
         ],
     )
+
+
+@register(
+    "ts_runs_test",
+    "E",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT event_type,
+                   list(xc ORDER BY d) AS xs,
+                   list(xc ORDER BY xc) AS sorted_xs,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type HAVING COUNT(*) >= 20
+        ),
+        med AS (
+            SELECT event_type, xs, n,
+                   sorted_xs[CAST((n + 1) // 2 AS INT)]
+                   + sorted_xs[CAST((n + 2) // 2 AS INT)] AS med2
+            FROM h
+        ),
+        signs AS (
+            SELECT event_type, n,
+                   list_filter(list_transform(xs,
+                       x -> CASE WHEN 2 * x > med2 THEN 1
+                                 WHEN 2 * x < med2 THEN -1
+                                 ELSE 0 END), s -> s <> 0) AS sg
+            FROM med
+        ),
+        stats AS (
+            SELECT event_type, n,
+                   CAST(len(list_filter(sg, s -> s = 1)) AS BIGINT) AS n1,
+                   CAST(len(list_filter(sg, s -> s = -1)) AS BIGINT) AS n2,
+                   CAST(1 + list_sum(list_transform(
+                       generate_series(2, len(sg)),
+                       i -> CASE WHEN sg[i] <> sg[i - 1]
+                                 THEN 1 ELSE 0 END)) AS BIGINT) AS runs
+            FROM signs
+        )
+        SELECT event_type, n AS n_days, n1 AS n_above, n2 AS n_below,
+               runs AS n_runs,
+               ROUND((CAST(runs AS DOUBLE)
+                      - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                     / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                            / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)
+                               * (n1 + n2 - 1))), 6) AS z_score,
+               CAST(CASE WHEN abs(
+                   (CAST(runs AS DOUBLE)
+                    - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                   / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                          / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)
+                             * (n1 + n2 - 1)))) <= 1.96
+                    THEN 1 ELSE 0 END AS INT) AS looks_random
+        FROM stats
+    """,
+    doc=(
+        "WALD-WOLFOWITZ RUNS TEST (Wald & Wolfowitz, Ann. Math. Stat. "
+        "1940; the classic randomness check QA runs on residuals and "
+        "monitors run on metric streams): each daily value maps to "
+        "above/below the series median (exact — the doubled-median "
+        "trick 2x ≷ x_{(⌈n/2⌉)} + x_{(⌊n/2⌋+1)} keeps even-n medians "
+        "in integers; exact ties drop, the published convention), and "
+        "too FEW runs of consecutive signs means trending/clumping "
+        "while too MANY means oscillation — the two-sided z against "
+        "the exact run-count moments flags both. Determinism: signs, "
+        "n1/n2, and the run count are exact integers from an array "
+        "fold (no window); the z is one fixed-order expression whose "
+        "sqrt is IEEE-correctly-rounded, and the ±1.96 verdict "
+        "compares bit-identical doubles. Plan: one daily aggregate + "
+        "a per-type array pass; parallelism = series count."
+    ),
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(F.sum("_vc").alias("xc"))
+    h = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "xc"))),
+                lambda s: s["xc"],
+            ).alias("xs"),
+            F.sort_array(F.collect_list("xc")).alias("sorted_xs"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    n = F.col("n")
+    med2 = F.element_at(
+        F.col("sorted_xs"), ((n + 1) / 2).cast("int")
+    ) + F.element_at(F.col("sorted_xs"), ((n + 2) / 2).cast("int"))
+    signs = h.select(
+        "event_type",
+        "n",
+        F.filter(
+            F.transform(
+                F.col("xs"),
+                lambda x: F.when(2 * x > med2, 1)
+                .when(2 * x < med2, -1)
+                .otherwise(0),
+            ),
+            lambda s: s != 0,
+        ).alias("sg"),
+    )
+    runs = F.lit(1) + F.aggregate(
+        F.sequence(F.lit(2), F.size("sg")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(F.col("sg"), i) != F.element_at(F.col("sg"), i - 1),
+            1,
+        ).otherwise(0),
+    )
+    stats = signs.select(
+        "event_type",
+        "n",
+        F.size(F.filter(F.col("sg"), lambda s: s == 1))
+        .cast("bigint")
+        .alias("n1"),
+        F.size(F.filter(F.col("sg"), lambda s: s == -1))
+        .cast("bigint")
+        .alias("n2"),
+        runs.cast("bigint").alias("runs"),
+    )
+    n1, n2, r_ = F.col("n1"), F.col("n2"), F.col("runs")
+    mu = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    sd = F.sqrt(
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = (r_.cast("double") - mu) / sd
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r_.alias("n_runs"),
+        F.round(z, 6).alias("z_score"),
+        F.when(F.abs(z) <= 1.96, 1).otherwise(0).cast("int").alias(
+            "looks_random"
+        ),
+    )

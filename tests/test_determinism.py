@@ -184,6 +184,7 @@ SENSITIVE = [
     "agg_power_twoprop",        # frozen z literals, rational rates
     "llm_rouge_l",              # all-integer LCS wavefront + one F1
     "ts_pacf",                  # exact decimal moments + shared DL text
+    "ts_runs_test",             # integer runs/signs + one z expression
 ]
 
 

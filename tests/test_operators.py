@@ -4764,3 +4764,32 @@ def test_pacf_lag1_matches_exact_moments(spark, tmp_path):
     assert r["pacf_1"] == round(r1, 6)
     assert r["pacf_1"] > 0.8
     assert abs(r["pacf_2"]) < abs(r["pacf_1"])
+
+
+def test_runs_test_alternating_vs_trending(spark, tmp_path):
+    """A perfectly alternating series has the maximum run count (one
+    run per sign, z strongly positive, not random); a step series
+    (10 low then 10 high) has exactly 2 runs (z strongly negative)."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    rows, eid = [], 0
+    for day in range(20):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day),
+                     eid, "alt", 1.0 if day % 2 == 0 else 5.0, "{}"))
+    for day in range(20):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day),
+                     eid, "step", 1.0 if day < 10 else 5.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "rt") + "/events.parquet")
+    out = {r["event_type"]: r
+           for r in timeseries.ts_runs_test(spark, str(tmp_path / "rt")).collect()}
+    alt, step = out["alt"], out["step"]
+    assert (alt["n_above"], alt["n_below"], alt["n_runs"]) == (10, 10, 20)
+    assert alt["z_score"] > 1.96 and alt["looks_random"] == 0
+    assert (step["n_runs"], step["looks_random"]) == (2, 0)
+    assert step["z_score"] < -1.96
