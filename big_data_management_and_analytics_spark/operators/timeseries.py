@@ -5571,3 +5571,122 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "looks_random"
         ),
     )
+
+
+@register(
+    "events_cuped",
+    "E",
+    oracle="""
+        WITH span AS (
+            SELECT CAST(MIN(epoch_us(ts) // 86400000000) AS BIGINT) AS d0,
+                   CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS d1
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000
+                                      < (s.d0 + s.d1 + 1) // 2
+                                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000
+                                      >= (s.d0 + s.d1 + 1) // 2
+                                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+            FROM events CROSS JOIN span s
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                       AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                       AS syy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                       AS sxy
+            FROM per_user
+        )
+        SELECT n AS n_users,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+               ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS rho_squared,
+               ROUND(100.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                              * CAST(n * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS variance_reduction_pct
+        FROM m
+    """,
+    doc=(
+        "CUPED variance reduction (Deng, Xu, Kohavi, Walker — WSDM "
+        "2013; the pre-experiment-covariate adjustment every major "
+        "experimentation platform ships): per user, X = pre-period "
+        "purchase cents and Y = post-period cents (the "
+        "events_did_estimator midpoint split), θ = cov(X,Y)/var(X) "
+        "is the optimal linear adjustment, and var(Y − θX) shrinks by "
+        "exactly ρ² — the reported percentage is how much smaller an "
+        "experiment this corpus could run at the same power "
+        "(agg_power_twoprop's n scales down by the same factor; the "
+        "two operators together are the sizing workflow). "
+        "Determinism: all five moments are exact DECIMAL(38,0) "
+        "(per-user cents pre-cast to DECIMAL(19,0) before squaring — "
+        "the events_bot_score overflow rule), and θ/ρ² are fixed-order "
+        "round-6 expressions over those exact integers. Plan: one "
+        "per-user aggregate (the only row-scale shuffle) + one global "
+        "moment fold; linear, partial-aggregable."
+    ),
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    dy = F.expr("unix_micros(ts) div 86400000000").cast("bigint")
+    span = e.agg(F.min(dy).alias("d0"), F.max(dy).alias("d1"))
+    mid = F.floor((F.col("d0") + F.col("d1") + 1) / 2)
+    per_user = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(dy < mid, cents("value")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(dy >= mid, cents("value")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(d19("x") * d19("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d19("y") * d19("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(d19("x") * d19("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(cov / varx, 6).alias("theta"),
+        F.round((cov * cov) / (varx * vary), 6).alias("rho_squared"),
+        F.round(F.lit(100.0) * (cov * cov) / (varx * vary), 6).alias(
+            "variance_reduction_pct"
+        ),
+    )

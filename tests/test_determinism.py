@@ -185,6 +185,7 @@ SENSITIVE = [
     "llm_rouge_l",              # all-integer LCS wavefront + one F1
     "ts_pacf",                  # exact decimal moments + shared DL text
     "ts_runs_test",             # integer runs/signs + one z expression
+    "events_cuped",             # exact decimal moments, three readouts
 ]
 
 

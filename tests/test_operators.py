@@ -4793,3 +4793,30 @@ def test_runs_test_alternating_vs_trending(spark, tmp_path):
     assert alt["z_score"] > 1.96 and alt["looks_random"] == 0
     assert (step["n_runs"], step["looks_random"]) == (2, 0)
     assert step["z_score"] < -1.96
+
+
+def test_cuped_perfect_covariate(spark, tmp_path):
+    """Post spend = 2x pre spend exactly for every user: rho^2 = 1,
+    theta = 2, variance reduction 100%."""
+    from big_data_management_and_analytics_spark.operators import timeseries
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u, base in ((1, 1.0), (2, 2.0), (3, 5.0)):
+        eid += 1
+        rows.append((eid, b, u, "purchase", base, "{}"))            # pre
+        eid += 1
+        rows.append((eid, b + dt.timedelta(days=10), u, "purchase",
+                     2 * base, "{}"))                               # post
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "cu") + "/events.parquet")
+    out = timeseries.events_cuped(spark, str(tmp_path / "cu")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_users"] == 3
+    assert r["theta"] == 2.0
+    assert r["rho_squared"] == 1.0
+    assert r["variance_reduction_pct"] == 100.0
