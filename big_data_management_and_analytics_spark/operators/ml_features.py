@@ -24,7 +24,7 @@ for the Poisson bootstrap) re-expressed Spark-first:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from big_data_management_and_analytics_spark.operators.global_rank import (
     ntile_expr,
@@ -764,4 +764,79 @@ def feat_cyclic_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.element_at(dc, F.col("dw") + 1), 6) + F.lit(0.0))
             .alias("dow_cos"),
         )
+    )
+
+
+@register(
+    "feat_quantile_normalize",
+    "L",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS xc
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT event_type, d, xc,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY xc, d
+                   ) AS BIGINT) AS rk
+            FROM daily
+        ),
+        ref AS (
+            SELECT rk,
+                   CAST(SUM(xc) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM ranked GROUP BY rk
+        )
+        SELECT r.event_type, strftime(r.d, '%Y-%m-%d') AS day,
+               r.xc AS original_cents, r.rk AS rank,
+               ROUND(CAST(ref.s AS DOUBLE) / ref.c, 6) AS normalized_cents
+        FROM ranked r JOIN ref ON ref.rk = r.rk
+    """,
+    doc=(
+        "QUANTILE NORMALIZATION (Bolstad et al., Bioinformatics 2003; "
+        "the cross-sample distribution equalizer microarray pipelines "
+        "made standard and feature-prep stacks borrowed): each "
+        "event_type's daily cents series is rank-transformed, and "
+        "every value is replaced by the MEAN of the same-rank values "
+        "across all types — afterwards every series shares one "
+        "reference distribution while keeping its own ordering, the "
+        "fix when per-segment scale differences would swamp a "
+        "downstream model (feat_standard_scale matches moments; this "
+        "matches the whole distribution). Ranks beyond a shorter "
+        "series average over the types that reach that rank (the "
+        "unequal-length convention, declared). Determinism: ranks use "
+        "the (value, day) total order; reference values are exact "
+        "cents sums over exact counts, one round-6 division. Plan: "
+        "one daily aggregate, one type-partitioned window, one "
+        "rank-keyed aggregate + join back — all hash work, no global "
+        "window, parallelism = series count then rank count."
+    ),
+)
+def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"),
+        cents("value").alias("_vc"),
+    )
+    daily = e.groupBy("event_type", "d").agg(
+        F.sum("_vc").cast("bigint").alias("xc")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("xc").asc(), F.col("d").asc())
+    ranked = daily.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    )
+    ref = ranked.groupBy("rk").agg(
+        F.sum("xc").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    return ranked.join(F.broadcast(ref), "rk").select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("xc").alias("original_cents"),
+        F.col("rk").alias("rank"),
+        F.round(F.col("s").cast("double") / F.col("c"), 6).alias(
+            "normalized_cents"
+        ),
     )

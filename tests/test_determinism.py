@@ -186,6 +186,7 @@ SENSITIVE = [
     "ts_pacf",                  # exact decimal moments + shared DL text
     "ts_runs_test",             # integer runs/signs + one z expression
     "events_cuped",             # exact decimal moments, three readouts
+    "feat_quantile_normalize",  # total-order ranks + exact rank means
 ]
 
 

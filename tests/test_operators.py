@@ -4820,3 +4820,34 @@ def test_cuped_perfect_covariate(spark, tmp_path):
     assert r["theta"] == 2.0
     assert r["rho_squared"] == 1.0
     assert r["variance_reduction_pct"] == 100.0
+
+
+def test_quantile_normalize_equalizes_distributions(spark, tmp_path):
+    """Two 3-day series on different scales: after QN both carry the
+    same reference values (cross-type rank means) in their own order."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for day, v in enumerate([1.0, 3.0, 2.0]):       # small scale
+        eid += 1
+        rows.append((eid, b + dt.timedelta(days=day), eid, "sm", v, "{}"))
+    for day, v in enumerate([30.0, 10.0, 20.0]):    # big scale
+        eid += 1
+        rows.append((eid, b + dt.timedelta(days=day), eid, "bg", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "qn") + "/events.parquet")
+    out = ml_features.feat_quantile_normalize(spark, str(tmp_path / "qn")).collect()
+    assert len(out) == 6
+    # reference dist: rank1 mean(100,1000)=550; rank2 mean(200,2000)=1100; rank3 mean(300,3000)=1650
+    by = {(r["event_type"], r["rank"]): r["normalized_cents"] for r in out}
+    assert by[("sm", 1)] == by[("bg", 1)] == 550.0
+    assert by[("sm", 2)] == by[("bg", 2)] == 1100.0
+    assert by[("sm", 3)] == by[("bg", 3)] == 1650.0
+    # ordering preserved within each series
+    days = {(r["event_type"], r["day"]): r["normalized_cents"] for r in out}
+    assert days[("sm", "2024-01-02")] == 1650.0  # its max day gets rank 3
+    assert days[("bg", "2024-01-01")] == 1650.0
