@@ -2117,3 +2117,107 @@ def mkt_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("confidence"),
         )
     )
+
+
+@register(
+    "mkt_interval_scheduling",
+    "L",
+    oracle="""
+        WITH RECURSIVE iv AS (
+            SELECT o.o_custkey AS c,
+                   CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                       AS s,
+                   CAST(MAX(epoch_us(l.l_shipdate) // 86400000000)
+                        AS BIGINT) AS e
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+        ),
+        h AS (
+            SELECT c,
+                   list({'e': e, 's': s} ORDER BY e, s) AS ivs,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM iv GROUP BY c
+        ),
+        r AS (
+            SELECT c, ivs, n, 1 AS i,
+                   CAST(1 AS BIGINT) AS picked,
+                   ivs[1].e AS last_e
+            FROM h
+            UNION ALL
+            SELECT c, ivs, n, i + 1,
+                   picked + CASE WHEN ivs[i + 1].s > last_e
+                                 THEN 1 ELSE 0 END,
+                   CASE WHEN ivs[i + 1].s > last_e
+                        THEN ivs[i + 1].e ELSE last_e END
+            FROM r WHERE i < n
+        )
+        SELECT c AS custkey, n AS n_orders, picked AS max_nonoverlap,
+               ROUND(CAST(picked AS DOUBLE) / n, 6) AS schedulable_frac
+        FROM r WHERE i = n
+    """,
+    doc=(
+        "INTERVAL SCHEDULING / activity selection (the earliest-"
+        "deadline-first greedy, optimal by the classic exchange "
+        "argument — CLRS §15.1): each order spans its fulfillment "
+        "window [order day, last ship day], and per customer the fold "
+        "picks the maximum set of NON-overlapping windows — the "
+        "capacity question ('how many of this account's orders could "
+        "one sequential resource serve?') that also powers meeting-"
+        "room, ad-slot, and batch-window packing. Greedy order is the "
+        "(end, start) total order; an interval is taken when its "
+        "start strictly clears the last taken end. ALL-INTEGER: epoch-"
+        "day bounds via integer div (the midnight-boundary rule), "
+        "counts exact, the one double a round-6 fraction. Plan: one "
+        "per-order aggregate, then the per-customer O(n log n) "
+        "sort-fold — parallelism = customer count, no window, no "
+        "cross-customer state."
+    ),
+)
+def mkt_interval_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000")
+        .cast("bigint")
+        .alias("s"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("unix_micros(l_shipdate) div 86400000000")
+        .cast("bigint")
+        .alias("sd"),
+    )
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "s")
+        .agg(F.max("sd").cast("bigint").alias("e"))
+        .select(F.col("o_custkey").alias("c"), "s", "e")
+    )
+    h = iv.groupBy("c").agg(
+        F.sort_array(F.collect_list(F.struct("e", "s"))).alias("ivs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ivs = F.col("ivs")
+
+    def step(acc, x):
+        take = x["s"] > acc["last_e"]
+        return F.struct(
+            (acc["picked"] + F.when(take, 1).otherwise(0)).alias("picked"),
+            F.when(take, x["e"]).otherwise(acc["last_e"]).alias("last_e"),
+        )
+
+    folded = F.aggregate(
+        F.slice(ivs, 2, F.size(ivs) - 1),
+        F.struct(
+            F.lit(1).cast("bigint").alias("picked"),
+            F.element_at(ivs, 1)["e"].alias("last_e"),
+        ),
+        step,
+    )
+    return h.select(
+        F.col("c").alias("custkey"),
+        F.col("n").alias("n_orders"),
+        folded["picked"].alias("max_nonoverlap"),
+        F.round(folded["picked"].cast("double") / F.col("n"), 6).alias(
+            "schedulable_frac"
+        ),
+    )

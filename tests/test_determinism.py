@@ -187,6 +187,7 @@ SENSITIVE = [
     "ts_runs_test",             # integer runs/signs + one z expression
     "events_cuped",             # exact decimal moments, three readouts
     "feat_quantile_normalize",  # total-order ranks + exact rank means
+    "mkt_interval_scheduling",  # all-integer greedy fold, (e,s) order
 ]
 
 

@@ -4851,3 +4851,37 @@ def test_quantile_normalize_equalizes_distributions(spark, tmp_path):
     days = {(r["event_type"], r["day"]): r["normalized_cents"] for r in out}
     assert days[("sm", "2024-01-02")] == 1650.0  # its max day gets rank 3
     assert days[("bg", "2024-01-01")] == 1650.0
+
+
+def test_interval_scheduling_greedy_optimal(spark, tmp_path):
+    """Hand case where greedy-by-end beats greedy-by-start: intervals
+    [1,10], [2,3], [4,5] -> optimal 2 ([2,3], [4,5]); a long first
+    interval must not block the answer."""
+    from big_data_management_and_analytics_spark.operators import mining
+    import datetime as dt
+
+    d = str(tmp_path / "ivs")
+    base = dt.datetime(2024, 1, 1)
+    D = dt.timedelta(days=1)
+    orders, li = [], []
+    # (orderkey, order day, ship day) per interval
+    for ok, (s, e) in enumerate([(1, 10), (2, 3), (4, 5)], start=1):
+        orders.append((ok, 7, "O", 1.0, base + s * D, "p"))
+        li.append((ok, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", base + e * D))
+    spark.createDataFrame(
+        orders,
+        schema="o_orderkey long, o_custkey long, o_orderstatus string,"
+               " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        li,
+        schema="l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+               " l_quantity double, l_extendedprice double, l_discount double,"
+               " l_tax double, l_returnflag string, l_linestatus string,"
+               " l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    out = mining.mkt_interval_scheduling(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["custkey"], r["n_orders"], r["max_nonoverlap"]) == (7, 3, 2)
+    assert r["schedulable_frac"] == round(2 / 3, 6)
