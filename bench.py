@@ -109,22 +109,35 @@ def main() -> None:
         if small.get(n, 0) > 0
     }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "exact_baselines": baselines,
-                "sf_small": float(small_sf),
-                "queries_sf_small": small,
-                "scaling_x": scaling,
-            }
-        )
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "exact_baselines": baselines,
+        "sf_small": float(small_sf),
+        "queries_sf_small": small,
+        "scaling_x": scaling,
+    }
+    line = json.dumps(result)
+    # Round-4 verdict item 2: the driver's tail capture clipped the head of
+    # this (long) JSON line when Spark progress noise preceded it. Persist the
+    # artifact to a file first, then make the JSON line the absolute LAST
+    # stdout bytes (after spark.stop(), whose log chatter goes to stderr), so
+    # any tail window of >= len(line) bytes sees the complete object.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # stdout line below is still the contract
     spark.stop()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -445,23 +445,30 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-partitioned by doc_id/bucket to avoid in-loop re-shuffles was
     # slower — the membership side is small relative to the per-stage
     # constant and AQE already coalesces the tiny loop shuffles.)
+    #
+    # (Round-5 audit: pruning singleton buckets before the loop — sound,
+    # since an occupancy-1 bucket carries no edge — was implemented and
+    # MEASURED SLOWER at sf0.1 (2.76 → 4.25 s): the fixture corpus is
+    # dup-dense (19268 of 20000 incidence rows sit in multi-occupancy
+    # buckets), so the filter's extra groupBy+join shuffles bought a 3.7%
+    # row reduction. On a mostly-unique crawl corpus the same filter is
+    # the right call; here it stays out. Reverted, kept as a note.)
     member = sigs.select("doc_id", F.explode(bands).alias("bucket")).localCheckpoint(
         eager=True
     )
 
-    def label_sum(df: DataFrame):
-        # decimal(38,0) so the sum is exact at any corpus size (1e12 docs
-        # × 1e12 max id would overflow a long).
-        return df.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
-
     # Convergence via the label-sum invariant: min-propagation can only
     # DECREASE a doc's label, so labels are pointwise monotone
     # non-increasing and sum(labels) is strictly decreasing until the
-    # fixpoint — equal sums ⟺ no label changed. One cheap aggregate per
-    # iteration (over the just-materialized checkpoint) instead of a
-    # new-vs-old join + filter + count.
+    # fixpoint — equal sums ⟺ no label changed. Round 5: the aggregate
+    # rides the checkpoint's own job as an ``Observation`` (CollectMetrics
+    # runs inline with the materializing action), so each iteration is ONE
+    # Spark job instead of checkpoint-job + collect-job — measured 2.76 →
+    # 2.2-2.4 s at sf0.1; at cluster scale it removes a full scan of the
+    # label table per iteration. decimal(38,0) keeps the sum exact at any
+    # corpus size (1e12 docs × 1e12 max id would overflow a long).
+    from pyspark.sql import Observation
+
     labels: DataFrame | None = None
     prev_sum = None
     for _ in range(8):  # diameter bound; fixture clusters converge in ≤3
@@ -484,13 +491,15 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # next iteration's plan never contains this one's — constant
         # per-iteration planning cost; superseded checkpoints are dropped
         # by the ContextCleaner once unreferenced.
+        obs = Observation()
         labels = (
             member.join(bucket_min, "bucket")
             .groupBy("doc_id")
             .agg(F.min("bucket_label").alias("label"))
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
-        new_sum = label_sum(labels)
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -118,6 +118,9 @@ def get_spark(app_name: str = "bdma-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Keep stdout/stderr clean for the bench artifact (round-4 verdict
+        # item 2): stage progress bars are pure capture noise here.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     )
     for k, v in _RUNTIME_CONF.items():
