@@ -634,58 +634,97 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Distributed PCA for low-dimensional embeddings (d=64): one "
         "Arrow-batched pass accumulates per-partition partial covariance "
-        "blocks (numpy X^T X outer products inside mapInPandas, 64x64 "
-        "floats per batch - NOT a 4096x row explosion), one shuffle sums "
-        "them, and the tiny 64x64 matrix eigendecomposes on the driver. "
-        "This is the correct 100 TB shape when d is small: data-size work "
-        "is a single map pass; driver work is O(d^3) regardless of corpus "
-        "size. Power iteration was rejected: the fixture spectrum is "
-        "near-flat (top shares ~2.6%), so iteration cannot converge - the "
-        "exact covariance route is both faster and exact. Rows-tier "
-        "(double partial-sum order varies with partitioning); loadings "
-        "are sign-normalized and rounded; verified against a direct "
-        "numpy eigendecomposition in tests."
+        "blocks (64x64 per batch - NOT a 4096x row explosion), one "
+        "shuffle sums them, and the tiny 64x64 matrix eigendecomposes on "
+        "the driver. This is the correct 100 TB shape when d is small: "
+        "data-size work is a single map pass; driver work is O(d^3) "
+        "regardless of corpus size. Round 5: the accumulation is now "
+        "EXACT-INTEGER - embeddings quantize to nano-units in a Spark "
+        "expression, each Arrow batch computes X^T X on the 16-bit-split "
+        "int64 components (qq/qr/rr partial matmuls, each overflow-proof "
+        "by construction), and the driver recombines S = "
+        "(Sqq<<32)+(Sqr<<16)+Srr in Python ints - so the covariance is "
+        "bit-identical under ANY partitioning or executor count (the "
+        "shuffle-invariance harness checks it), leaving the LAPACK "
+        "eigensolve as the only non-relational step. Rows-tier with a "
+        "measured impossibility note (SURVEY 2.0): the fixture spectrum "
+        "has lambda2/lambda1 = 0.987, so a quantized power-method oracle "
+        "needs ~900 unrolled iterations for 1e-5 agreement - the "
+        "unrolled-trace discipline that converted kmeans/PQ does not "
+        "reach it, and no fixed-depth relational program expresses "
+        "eigh. Loadings are sign-normalized and rounded; verified "
+        "against a direct numpy eigendecomposition in tests."
     ),
 )
 def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("emb")
-    )
     dims = 64
+    # Nano-unit quantization happens ONCE, in a Spark expression, so the
+    # mean pass and the covariance pass see the same exact integers.
+    e = load(spark, sf_dir, "embeddings").select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(1000000000.0), 0).cast("long"),
+        ).alias("q")
+    )
 
     mu_rows = (
-        e.select(F.posexplode("emb").alias("pos", "val"))
+        e.select(F.posexplode("q").alias("pos", "val"))
         .groupBy("pos")
-        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .collect()
     )
     n_rows = int(mu_rows[0].n)
-    mu = np.zeros(dims)
+    mu_nano = [0] * dims
     for r in mu_rows:
-        mu[r.pos] = r.s / r.n
+        s = int(r.s)
+        # sign-split floor: exact, engine-portable integer mean
+        mu_nano[r.pos] = s // n_rows if s >= 0 else -((-s) // n_rows)
+    mu_arr = np.array(mu_nano, dtype=np.int64)
 
     def partial_cov(batches):
         for pdf in batches:
-            X = np.stack(pdf["emb"].to_numpy()) - mu
-            C = X.T @ X
+            X = np.stack(pdf["q"].to_numpy()).astype(np.int64) - mu_arr
+            # 16-bit split: X = Q*2^16 + R with 0 <= R < 2^16 (arithmetic
+            # shift floors, & takes the low bits - exact for negatives).
+            # |centered| <= ~1.2e9 nano-units, so |Q| <= 2e4 and each
+            # component matmul stays far inside int64 for any batch size
+            # Arrow will hand us (qq <= 4e8/row, rr <= 4.3e9/row).
+            Q = X >> 16
+            R = X & 0xFFFF
+            sqq = Q.T @ Q
+            sqr = Q.T @ R + R.T @ Q
+            srr = R.T @ R
             i, j = np.indices((dims, dims))
             yield pd.DataFrame(
-                {"i": i.ravel(), "j": j.ravel(), "s": C.ravel()}
+                {
+                    "i": i.ravel(),
+                    "j": j.ravel(),
+                    "sqq": sqq.ravel(),
+                    "sqr": sqr.ravel(),
+                    "srr": srr.ravel(),
+                }
             )
 
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).alias(c)
     cov_rows = (
-        e.mapInPandas(partial_cov, "i int, j int, s double")
+        e.mapInPandas(
+            partial_cov, "i int, j int, sqq long, sqr long, srr long"
+        )
         .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
+        .agg(dec("sqq"), dec("sqr"), dec("srr"))
         .collect()
     )
     C = np.zeros((dims, dims))
+    scale = 1e-18 / n_rows  # nano^2 units -> covariance
     for r in cov_rows:
-        C[r.i, r.j] = r.s
-    C /= n_rows
+        s_exact = (int(r.sqq) << 32) + (int(r.sqr) << 16) + int(r.srr)
+        C[r.i, r.j] = s_exact * scale
     vals, vecs = np.linalg.eigh(C)
     v = vecs[:, -1]
     pivot = int(np.argmax(np.abs(v)))

@@ -113,6 +113,10 @@ SENSITIVE = [
     "events_concurrency",  # two-pass global prefix sum over boundary deltas
     "win_drawdown",        # stacked cents windows, exact peak-trough
     "agg_winsorized_mean", # exact percentile bounds + clamped cents sums
+    # round-5 additions
+    "llm_embed_pca",       # exact-integer split covariance (r5 rewrite):
+                           # partials now recombine to the same integer S
+                           # under any partitioning; eigh sees one input
     "agg_auc_roc",         # integer scores + prefix-sum rank identity
     "agg_lift_chart",      # two-pass decile cut + array-folded capture
     "dq_psi_drift",        # decimal-quantized ln terms over exact bins
