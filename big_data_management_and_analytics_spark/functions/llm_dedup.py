@@ -1560,3 +1560,68 @@ def llm_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_dedup_cluster_stats",
+    "K",
+    oracle=f"""
+        WITH {_minhash_oracle_cte()},
+        rep AS (
+            SELECT band, bucket, MIN(doc_id) AS bucket_rep
+            FROM banded GROUP BY band, bucket
+        ),
+        grp AS (
+            SELECT b.doc_id, MIN(r.bucket_rep) AS group_rep
+            FROM banded b JOIN rep r USING (band, bucket)
+            GROUP BY b.doc_id
+        ),
+        szs AS (
+            SELECT group_rep, COUNT(*) AS sz FROM grp GROUP BY group_rep
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM grp)
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(sz) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(sz) AS DOUBLE) / ANY_VALUE(tot.n), 6)
+                   AS corpus_frac
+        FROM szs CROSS JOIN tot
+        GROUP BY sz
+    """,
+    doc=(
+        "NEAR-DUP CLUSTER AUDIT: the size histogram of "
+        "llm_dedup_minhash's 1-hop LSH groups — (cluster_size, "
+        "n_clusters, n_docs, corpus_frac) — the observability readout a "
+        "dedup pipeline publishes before committing a deletion pass "
+        "(a fat tail here means a boilerplate family is about to eat "
+        "the corpus; corpus_frac at size 1 is the survivor rate). "
+        "Reuses the checkpointed signature relation and "
+        "_bucket_group_assign, then two tiny hash aggregates and a "
+        "broadcast scalar total (the tpch_q11 pattern) — linear in "
+        "docs, output bounded by the distinct cluster sizes. "
+        "All counts exact integers; the single ratio is one rounded "
+        "division of exact longs."
+    ),
+)
+def llm_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grp = _bucket_group_assign(
+        _banded(_minhash_sigs(spark, sf_dir)), "doc_id"
+    ).select("doc_id", "group_rep")
+    szs = grp.groupBy("group_rep").agg(F.count(F.lit(1)).alias("sz"))
+    tot = szs.agg(F.sum("sz").alias("_n"))
+    return (
+        szs.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_n"), 6
+            ).alias("corpus_frac"),
+        )
+    )

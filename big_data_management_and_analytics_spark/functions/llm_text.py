@@ -1728,3 +1728,110 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "llm_quality_gopher",
+    "K",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {SQL_TOKENS.format(col='text')} AS tok
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(tok) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(tok, x -> len(x))) AS BIGINT)
+                       AS n_chars,
+                   CAST(len(list_filter(tok,
+                       x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+                       AS alpha_words,
+                   CAST(len(list_filter(
+                       ['the','be','to','of','and','that','have','with'],
+                       w -> list_contains(tok, w))) AS BIGINT) AS n_stopwords
+            FROM t
+        )
+        SELECT doc_id, n_words,
+               ROUND(CAST(n_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+               ROUND(CAST(alpha_words AS DOUBLE) / n_words, 6) AS alpha_frac,
+               n_stopwords,
+               CAST(CASE WHEN n_words >= 50 THEN 1 ELSE 0 END AS INT) AS ok_length,
+               CAST(CASE WHEN n_chars >= 3 * n_words
+                          AND n_chars <= 10 * n_words THEN 1 ELSE 0 END AS INT)
+                   AS ok_word_len,
+               CAST(CASE WHEN 10 * alpha_words >= 8 * n_words THEN 1 ELSE 0 END
+                    AS INT) AS ok_alpha,
+               CAST(CASE WHEN n_stopwords >= 2 THEN 1 ELSE 0 END AS INT)
+                   AS ok_stop,
+               CAST(CASE WHEN n_words >= 50
+                          AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+                          AND 10 * alpha_words >= 8 * n_words
+                          AND n_stopwords >= 2 THEN 1 ELSE 0 END AS INT)
+                   AS passes_gopher
+        FROM s
+    """,
+    doc=(
+        "GOPHER QUALITY RULES (Rae et al. 2021, 'Scaling Language "
+        "Models: ... Gopher', App. A — the published heuristic filter "
+        "most open-data pipelines re-implement): per doc, word count >= "
+        "50, mean word length in [3,10], >= 80% of words contain an "
+        "alphabetic character, and >= 2 distinct required stop words "
+        "present. Complements llm_text_quality (generic score) and "
+        "llm_blocklist_filter (term lists) with the named, citable rule "
+        "set. ALL thresholds are integer cross-multiplications "
+        "(3n <= chars <= 10n; 10·alpha >= 8n) — no float compare at a "
+        "rule boundary can wobble between engines; the two reported "
+        "ratios are display-only ROUND(...,6) projections. Map-only "
+        "plan: one tokenize pass, codegen array aggregates, no shuffle "
+        "at all — the 100 TB cost is exactly one scan."
+    ),
+)
+def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    base = spread(d, "doc_id").select(
+        "doc_id",
+        F.size(tok).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(tok, F.length),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars"),
+        F.size(F.filter(tok, lambda x: x.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("alpha_words"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in _GOPHER_STOPS]),
+                lambda w: F.array_contains(tok, w),
+            )
+        )
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+    i = lambda c: c.cast("int")
+    ok_len = F.col("n_words") >= 50
+    ok_wl = (F.col("n_chars") >= 3 * F.col("n_words")) & (
+        F.col("n_chars") <= 10 * F.col("n_words")
+    )
+    ok_al = 10 * F.col("alpha_words") >= 8 * F.col("n_words")
+    ok_st = F.col("n_stopwords") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(
+            F.col("alpha_words").cast("double") / F.col("n_words"), 6
+        ).alias("alpha_frac"),
+        "n_stopwords",
+        i(ok_len).alias("ok_length"),
+        i(ok_wl).alias("ok_word_len"),
+        i(ok_al).alias("ok_alpha"),
+        i(ok_st).alias("ok_stop"),
+        i(ok_len & ok_wl & ok_al & ok_st).alias("passes_gopher"),
+    )

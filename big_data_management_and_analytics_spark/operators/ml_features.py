@@ -168,6 +168,73 @@ def feat_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "feat_robust_scale",
+    "L",
+    oracle="""
+        WITH c AS (
+            SELECT l_orderkey, l_linenumber, l_linestatus,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_linestatus,
+                   PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY xc) AS med,
+                   PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY xc) AS q1,
+                   PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY xc) AS q3
+            FROM c GROUP BY l_linestatus
+        )
+        SELECT c.l_orderkey, c.l_linenumber, c.l_linestatus,
+               ROUND((c.xc - m.med) / (m.q3 - m.q1), 6) + 0.0 AS robust_z
+        FROM c JOIN m ON c.l_linestatus = m.l_linestatus
+    """,
+    doc=(
+        "ROBUST SCALING (median/IQR — the outlier-resistant scaler, "
+        "Hastie et al. ch.3 preprocessing) of extended price within each "
+        "line status, completing the scaler family (standard/minmax/"
+        "target/robust). Quartiles interpolate over exact integer cents "
+        "with dyadic fractions ((n−1)·q has fractional part in "
+        "{0, .25, .5, .75}), so every interpolated quartile is an EXACT "
+        "double and (x − med)/(q3 − q1) is one IEEE expression over "
+        "exact values — the agg_percentile_exact determinism argument. "
+        "Plan: one hash aggregate to ≤|statuses| quartile rows, "
+        "BROADCAST join back to the facts — same broadcast-not-window "
+        "rule as the other scalers (asserted in test_plans): a window "
+        "partitioned by 3 statuses would cap parallelism at 3 tasks "
+        "at ANY cluster width."
+    ),
+)
+def feat_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_linestatus",
+        cents("l_extendedprice").alias("_xc"),
+    )
+    m = l.groupBy("l_linestatus").agg(
+        F.percentile("_xc", F.lit(0.5)).alias("_med"),
+        F.percentile("_xc", F.lit(0.25)).alias("_q1"),
+        F.percentile("_xc", F.lit(0.75)).alias("_q3"),
+    )
+    return (
+        l.join(F.broadcast(m), "l_linestatus")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_linestatus",
+            (
+                F.round(
+                    (F.col("_xc") - F.col("_med"))
+                    / (F.col("_q3") - F.col("_q1")),
+                    6,
+                )
+                # -0.0 normalization (determinism rule: +0.0 both engines)
+                + F.lit(0.0)
+            ).alias("robust_z"),
+        )
+    )
+
+
+@register(
     "feat_target_encode",
     "L",
     oracle="""

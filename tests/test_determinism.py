@@ -117,6 +117,7 @@ SENSITIVE = [
     "llm_embed_pca",       # exact-integer split covariance (r5 rewrite):
                            # partials now recombine to the same integer S
                            # under any partitioning; eigh sees one input
+    "feat_robust_scale",   # dyadic quartile interpolation over exact cents
     "agg_auc_roc",         # integer scores + prefix-sum rank identity
     "agg_lift_chart",      # two-pass decile cut + array-folded capture
     "dq_psi_drift",        # decimal-quantized ln terms over exact bins

@@ -4957,3 +4957,83 @@ def test_interval_scheduling_greedy_optimal(spark, tmp_path):
     r = out[0]
     assert (r["custkey"], r["n_orders"], r["max_nonoverlap"]) == (7, 3, 2)
     assert r["schedulable_frac"] == round(2 / 3, 6)
+
+
+def test_robust_scale_planted_quartiles(spark, tmp_path):
+    """5 known values in one group: med=300, q1=200, q3=400 (exact at
+    dyadic interpolation points), so robust_z of 500.00 cents-scale is
+    (50000-30000)/(40000-20000) = 1.0 and the median row scales to 0.0
+    (never -0.0 — the +0.0 normalization rule)."""
+    from big_data_management_and_analytics_spark.operators import ml_features
+
+    li = spark.createDataFrame(
+        [
+            (1, i + 1, 1, i + 1, 1.0, float(v), 0.0, 0.0, "N", "O",
+             "2024-01-01 00:00:00")
+            for i, v in enumerate([100, 200, 300, 400, 500])
+        ],
+        schema="l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    d = str(tmp_path / "rs")
+    li.write.parquet(d + "/lineitem.parquet")
+    rows = {
+        r.l_linenumber: r.robust_z
+        for r in ml_features.feat_robust_scale(spark, d).collect()
+    }
+    assert rows == {1: -1.0, 2: -0.5, 3: 0.0, 4: 0.5, 5: 1.0}
+    assert str(rows[3]) == "0.0"  # not -0.0
+
+
+def test_gopher_rules_planted_boundaries(spark, tmp_path):
+    """Three planted docs pin each rule boundary: a 50-word compliant doc
+    passes; a 49-word doc fails ONLY ok_length; a doc of digit tokens
+    fails ok_alpha and ok_stop."""
+    from big_data_management_and_analytics_spark.functions import llm_text
+
+    good = " ".join(["the", "be", "to", "of"] + ["word"] * 46)      # 50 words
+    short = " ".join(["the", "be", "to", "of"] + ["word"] * 45)     # 49 words
+    digits = " ".join(["123", "456"] * 30)                          # 60 words
+    docs = spark.createDataFrame(
+        [(1, good, "en", "web", len(good)),
+         (2, short, "en", "web", len(short)),
+         (3, digits, "en", "web", len(digits))],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "gq")
+    docs.write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in llm_text.llm_quality_gopher(spark, d).collect()}
+    assert out[1].passes_gopher == 1 and out[1].n_words == 50
+    assert out[2].passes_gopher == 0 and out[2].ok_length == 0
+    assert out[2].ok_word_len == 1 and out[2].ok_alpha == 1 and out[2].ok_stop == 1
+    assert out[3].ok_alpha == 0 and out[3].ok_stop == 0 and out[3].ok_length == 1
+
+
+def test_cluster_stats_planted_histogram(spark, tmp_path):
+    """Three identical docs + two other identical docs + one unique doc:
+    histogram must read {3:1 cluster, 2:1, 1:1} with corpus fractions
+    3/6, 2/6, 1/6."""
+    from big_data_management_and_analytics_spark.functions import llm_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "web", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "web", 30),
+            (3, "alpha beta gamma delta epsilon", "en", "web", 30),
+            (4, "zig zag zorro quux wobble", "en", "web", 25),
+            (5, "zig zag zorro quux wobble", "en", "web", 25),
+            (6, "completely different text entirely here", "en", "web", 39),
+        ],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "cs")
+    docs.write.parquet(d + "/documents.parquet")
+    out = {
+        r.cluster_size: (r.n_clusters, r.n_docs, r.corpus_frac)
+        for r in llm_dedup.llm_dedup_cluster_stats(spark, d).collect()
+    }
+    assert out[3] == (1, 3, 0.5)
+    assert out[2] == (1, 2, round(2 / 6, 6))
+    assert out[1] == (1, 1, round(1 / 6, 6))

@@ -673,7 +673,7 @@ def test_scalers_broadcast_moments_not_window(spark, registry):
     """The scaler family joins a broadcast per-group aggregate back to the
     facts — a per-group window would collapse parallelism to the distinct
     group count (5 priorities / 3 flags) at any scale."""
-    for name in ("feat_standard_scale", "feat_minmax_scale"):
+    for name in ("feat_standard_scale", "feat_minmax_scale", "feat_robust_scale"):
         plan = _plan(registry[name].fn(spark, SF_T2))
         assert "BroadcastHashJoin" in plan, name
         assert "Window" not in plan, name
