@@ -2034,11 +2034,15 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dims, dot products, and norms all quantize ROUND(...,9)→"
         "DECIMAL before their sums (order-invariant); rankings use "
         "rounded scores + doc_id tiebreaks; the two 1/(60+r) terms are "
-        "exact-rational doubles whose 2-term sum is order-free. Plan: "
-        "the BM25 branch is posting-list work; the dense branch is one "
-        "dim-keyed join (64·|docs| rows — at scale the Arrow cosine "
-        "UDF replaces it, llm_sim's declared swap); fusion is a "
-        "full-outer join of two ≤20-row-per-query lists."
+        "exact-rational doubles whose 2-term sum is order-free. Plan "
+        "(round 5, the r4-declared dense swap DONE): the BM25 branch "
+        "is posting-list work whose aggregate and ranking window share "
+        "one query_id exchange; the dense branch broadcasts each "
+        "query's centroid as ONE array row and scores every doc "
+        "map-side with zip_with + exact decimal aggregate (whole-stage "
+        "codegen — no 64·|docs| dim join, no Arrow boundary); fusion "
+        "is a union+grouped-max of the two <=20-row-per-query lists "
+        "on the same coarser-key exchange as the final ranking."
     ),
 )
 def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
