@@ -2179,24 +2179,31 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     emb = F.col("embedding").cast("array<double>")
+    # The per-doc norm fold happens BEFORE the query crossJoin so it runs
+    # once per document, not once per (document × query) — with |q| queries
+    # that removes (|q|-1)/|q| of the dn decimal folds from the widest
+    # stage (round 5; values identical, so the oracle hash is unchanged).
+    e_norm = e.select(
+        F.col("vec_id").alias("doc_id"),
+        emb.alias("darr"),
+        _decsum(
+            F.transform(emb, lambda v: F.round(v * v, 9).cast("decimal(38,9)"))
+        ).alias("dn"),
+    )
     scored = (
-        e.crossJoin(F.broadcast(cent_arr))
+        e_norm.crossJoin(F.broadcast(cent_arr))
         .select(
-            F.col("vec_id").alias("doc_id"),
+            "doc_id",
             "query_id",
             "cn",
             _decsum(
                 F.zip_with(
                     F.col("carr"),
-                    emb,
+                    F.col("darr"),
                     lambda c, v: F.round(c * v, 9).cast("decimal(38,9)"),
                 )
             ).alias("dp"),
-            _decsum(
-                F.transform(
-                    emb, lambda v: F.round(v * v, 9).cast("decimal(38,9)")
-                )
-            ).alias("dn"),
+            "dn",
         )
     )
     w_d = Window.partitionBy("query_id").orderBy(
