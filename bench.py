@@ -64,6 +64,7 @@ EXACT_BASELINES = [
 ]
 
 RUNS = 3
+LOAD_START: float | None = None
 
 
 def _time_suite(registry, spark, names, sf_dir, runs=RUNS) -> dict[str, float]:
@@ -81,6 +82,11 @@ def _time_suite(registry, spark, names, sf_dir, runs=RUNS) -> dict[str, float]:
 
 
 def main() -> None:
+    global LOAD_START
+    try:
+        LOAD_START = round(os.getloadavg()[0], 2)
+    except OSError:
+        LOAD_START = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     small_dir = os.environ.get(
@@ -109,6 +115,16 @@ def main() -> None:
         if small.get(n, 0) > 0
     }
 
+    # System load at start/end of the timed runs, for reading noisy
+    # results in context: same-day replays of this suite have swung
+    # 25-100% per query purely with external machine load (the r3
+    # contamination_bloom 6.0 s incident, triaged in SCALE.md). A
+    # reading taken at load >> ncpu/4 is machine state, not a plan
+    # regression.
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = None
     result = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
@@ -119,6 +135,8 @@ def main() -> None:
         "sf_small": float(small_sf),
         "queries_sf_small": small,
         "scaling_x": scaling,
+        "load_avg_1m_start": LOAD_START,
+        "load_avg_1m_end": load_end,
     }
     line = json.dumps(result)
     # Round-4 verdict item 2: the driver's tail capture clipped the head of
