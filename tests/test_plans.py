@@ -713,3 +713,21 @@ def test_sequential_folds_have_no_window_or_join_tail(spark, registry):
     for name in ("ts_kalman_filter", "ts_holt_winters"):
         plan = _plan(registry[name].fn(spark, SF_T2))
         assert "Window" not in plan, name
+
+
+def test_hybrid_rrf_norm_fold_below_query_crossjoin(spark, registry):
+    """The dense branch's per-doc norm (dn) must fold BEFORE the
+    doc x query broadcast cross join — once per document, not once per
+    (document x query) — and no per-dimension relation may shuffle
+    (the banned 64·n dim-join shape has a hashpartitioning(pos) exchange)."""
+    df = registry["llm_hybrid_rrf"].fn(spark, SF_T2)
+    phys = _plan(df)
+    assert "hashpartitioning(pos" not in phys
+    assert "BroadcastNestedLoopJoin" in phys
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    (join_i,) = [i for i, l in enumerate(lines) if "Join Cross" in l]
+    left_child = lines[join_i + 1]
+    assert "AS darr#" in left_child and "aggregate(" in left_child, (
+        "dn fold not hoisted below the cross join:\n" + left_child
+    )
