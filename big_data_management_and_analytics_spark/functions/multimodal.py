@@ -32,6 +32,22 @@ from big_data_management_and_analytics_spark.sources.io import load
 
 PGM_WIDTH = 32
 
+def round6(v: float) -> float:
+    """Half-up round to 6 decimals as FLOOR(v*1e6 + 0.5)/1e6 — pure IEEE
+    double ops, bit-identical to the oracle's identical expression text.
+    Library rounds are engine-flavored and disagree near boundaries even
+    on IDENTICAL doubles: Python's builtin round() is banker's (sent the
+    exactly-representable mean_luma 45/128 = .3515625 DOWN where SQL
+    ROUND goes up — caught by the sf0.1 sweep), DuckDB ROUND multiplies
+    by 1e6 and std::rounds (inheriting the multiply's last-ulp error),
+    and Spark ROUND rounds the shortest decimal repr. The floor form has
+    ONE semantics everywhere because every step is a correctly-rounded
+    IEEE op on the same input; the oracles use the same text. Inputs
+    here are non-negative (floor(x+0.5) is half-toward-+inf)."""
+    import math
+
+    return math.floor(v * 1000000.0 + 0.5) / 1000000.0
+
 
 def parse_pgm(b: bytes) -> tuple[int, int, int, np.ndarray]:
     """Parse one binary PGM (P5): returns (width, height, maxval, raster)
@@ -69,7 +85,7 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         w, h, maxval, raster = parse_pgm(b)
         widths.append(w)
         heights.append(h)
-        lumas.append(round(float(raster.mean()) / maxval, 6))
+        lumas.append(round6(float(raster.mean()) / maxval))
     return pd.DataFrame(
         {
             "width": pd.array(widths, dtype="int32"),
@@ -146,8 +162,8 @@ _MM_FEATURES_SQL = """
                CAST(11 + length(CAST(g.h AS VARCHAR)) + g.h * 32 AS INT)
                    AS byte_len,
                32 AS width, g.h AS height,
-               ROUND(((su.s + 32 * (g.h * 32 - g.n))::DOUBLE / (g.h * 32))
-                     / 255, 6) AS mean_luma
+               CAST(FLOOR(((su.s + 32 * (g.h * 32 - g.n))::DOUBLE / (g.h * 32))
+                     / 255 * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_luma
         FROM geom g JOIN sums su USING (doc_id)"""
 
 
@@ -360,7 +376,7 @@ def resize_image_batch(payloads: pd.Series) -> pd.DataFrame:
         xs = (np.arange(RESIZE_W) * w) // RESIZE_W
         small = raster[np.ix_(ys, xs)]
         outs.append(b"P5\n%d %d\n%d\n" % (RESIZE_W, RESIZE_H, maxval) + small.tobytes())
-        means.append(round(float(small.mean()) / maxval, 6))
+        means.append(round6(float(small.mean()) / maxval))
     return pd.DataFrame(
         {"payload_small": outs, "mean_luma_small": means}, index=payloads.index
     )
@@ -391,7 +407,7 @@ def resize_image_batch(payloads: pd.Series) -> pd.DataFrame:
                CAST(byte_len_orig AS INT) AS byte_len_orig,
                hex(encode('P5\n8 8\n255\n')) || small_hex AS payload_small_hex,
                8 AS width, 8 AS height,
-               ROUND((tot::DOUBLE / 64) / 255, 6) AS mean_luma_small
+               CAST(FLOOR((tot::DOUBLE / 64) / 255 * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_luma_small
         FROM agg
     """,
     doc=(
@@ -470,10 +486,10 @@ def audio_features_batch(payloads: pd.Series) -> pd.DataFrame:
         x = s.astype(np.float64) / 32768.0
         rates.append(rate)
         n_samples.append(len(s))
-        rms.append(round(float(np.sqrt(np.mean(x * x))), 6) if len(s) else 0.0)
+        rms.append(round6(float(np.sqrt(np.mean(x * x)))) if len(s) else 0.0)
         signs = np.signbit(x)
         zcr.append(
-            round(float(np.mean(signs[1:] != signs[:-1])), 6) if len(s) > 1 else 0.0
+            round6(float(np.mean(signs[1:] != signs[:-1]))) if len(s) > 1 else 0.0
         )
     return pd.DataFrame(
         {
@@ -552,9 +568,9 @@ def _audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                'audio/x-pcm16' AS media_type,
                16000 AS sample_rate,
                n_samples,
-               ROUND(sqrt(ss / n_samples), 6) AS rms,
+               CAST(FLOOR(sqrt(ss / n_samples) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS rms,
                CASE WHEN n_samples > 1
-                    THEN ROUND(n_cross::DOUBLE / (n_samples - 1), 6)
+                    THEN CAST(FLOOR(n_cross::DOUBLE / (n_samples - 1) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
                     ELSE 0.0 END AS zcr
         FROM feats
     """,

@@ -1061,10 +1061,79 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_geo_haversine",
-    "C",
-    oracle="""
+def _haversine_levels() -> list[list[tuple[str, str]]]:
+    """Shared (column, expression-text) levels for the haversine
+    distance — the SAME text runs as Spark selectExpr stages and as
+    DuckDB CTE stages, so every float op is the identical IEEE tree in
+    both engines (see portable_trig.py for why libm is banned here).
+    Short intermediate names keep Horner's repeated square references
+    from exploding the collapsed expression tree."""
+    import math
+
+    from big_data_management_and_analytics_spark.functions.portable_trig import (
+        asin_text,
+        cos_text,
+        lit,
+        sin_text,
+    )
+
+    d2r = lit(math.pi / 180 / 1e6)  # integer micro-degrees -> radians
+    d2r_h = lit(math.pi / 180 / 1e6 / 2)  # half angle in one multiply
+    return [
+        [
+            ("xdlat", f"(slat_u - clat_u) * {d2r_h}"),
+            ("xdlon", f"(slon_u - clon_u) * {d2r_h}"),
+            ("xclat", f"clat_u * {d2r}"),
+            ("xslat", f"slat_u * {d2r}"),
+        ],
+        [
+            ("qdlat", "xdlat * xdlat"),
+            ("qdlon", "xdlon * xdlon"),
+            ("qclat", "xclat * xclat"),
+            ("qslat", "xslat * xslat"),
+        ],
+        [
+            ("sdlat", sin_text("xdlat", "qdlat")),
+            ("sdlon", sin_text("xdlon", "qdlon")),
+            ("cclat", cos_text("qclat")),
+            ("cslat", cos_text("qslat")),
+        ],
+        # LEAST guards the (polynomial) haversine value against a
+        # sub-ulp excursion above 1.0 that would NaN the asin branch.
+        [("hav_a", "LEAST(sdlat * sdlat + cclat * cslat * sdlon * sdlon, 1.0e0)")],
+        [("hy", "SQRT(hav_a)")],
+        [("hy2", "hy * hy"), ("hz", "SQRT((1.0e0 - hy) * 5.0e-1)")],
+        [("hz2", "hz * hz")],
+        [("asn", asin_text("hy", "hy2", "hz", "hz2"))],
+    ]
+
+
+# 2R = 12742 km. Half-up to 6 decimals via FLOOR(x*1e6 + 0.5) rather
+# than ROUND: engine ROUND semantics differ on doubles (Spark rounds
+# the SHORTEST decimal repr via BigDecimal.valueOf; DuckDB multiplies
+# by 1e6 and std::rounds, inheriting the multiply's last-ulp error), so
+# even bit-identical inputs can round apart near a boundary — at 1e4-km
+# magnitudes that's ~1e-6/row, a near-certain hit at 100 TB. FLOOR of
+# the same double is a pure IEEE op: identical in every engine, always.
+_HAVERSINE_DIST = "CAST(FLOOR(1.2742e4 * asn * 1.0e6 + 5.0e-1) AS BIGINT) / 1.0e6"
+
+
+def _haversine_oracle() -> str:
+    ctes = [
+        """j AS (
+            SELECT c.c_custkey, s.s_suppkey, c.c_nationkey AS nationkey,
+                   c.lat_u AS clat_u, c.lon_u AS clon_u,
+                   s.lat_u AS slat_u, s.lon_u AS slon_u
+            FROM c JOIN s ON s.s_nationkey = c.c_nationkey
+        )"""
+    ]
+    prev = "j"
+    for i, level in enumerate(_haversine_levels()):
+        cols = ", ".join(f"{text} AS {name}" for name, text in level)
+        ctes.append(f"l{i} AS (SELECT *, {cols} FROM {prev})")
+        prev = f"l{i}"
+    joined = ",\n        ".join(ctes)
+    return f"""
         WITH c AS (
             SELECT c_custkey, c_nationkey,
                    ('0x' || substr(md5('geo:c:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
@@ -1080,28 +1149,34 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ('0x' || substr(md5('geo:s:' || CAST(s_suppkey AS VARCHAR)), 17, 15))::BIGINT
                        % 360000001 - 180000000 AS lon_u
             FROM supplier
-        )
-        SELECT c.c_custkey, s.s_suppkey, c.c_nationkey AS nationkey,
-               ROUND(12742.0 * asin(sqrt(
-                   sin(radians((s.lat_u - c.lat_u) / 1000000.0) / 2)
-                   * sin(radians((s.lat_u - c.lat_u) / 1000000.0) / 2)
-                   + cos(radians(c.lat_u / 1000000.0))
-                     * cos(radians(s.lat_u / 1000000.0))
-                     * sin(radians((s.lon_u - c.lon_u) / 1000000.0) / 2)
-                     * sin(radians((s.lon_u - c.lon_u) / 1000000.0) / 2)
-               )), 6) AS dist_km
-        FROM c JOIN s ON s.s_nationkey = c.c_nationkey
-    """,
+        ),
+        {joined}
+        SELECT c_custkey, s_suppkey, nationkey,
+               {_HAVERSINE_DIST} AS dist_km
+        FROM {prev}
+    """
+
+
+@register(
+    "join_geo_haversine",
+    "C",
+    oracle=_haversine_oracle(),
     doc=(
         "GREAT-CIRCLE (haversine) distance join: every customer paired "
         "with its nation's suppliers, distance on the sphere from "
         "synthesized coordinates — integer MICRO-DEGREES derived from "
         "the portable md5 family (one digest per entity, ph0→lat, "
-        "ph1→lon; the fixture has no native geometry), so the only "
-        "float inputs are exact integers and both engines evaluate the "
-        "identical sin/cos/asin expression tree (round-6 absorbs "
-        "sub-ulp libm drift — the ln/tfidf precedent). The join key is "
-        "the nation — a real bounded equi-join, NOT a cross join: "
+        "ph1→lon; the fixture has no native geometry). Round 5: the "
+        "sin/cos/asin are POLYNOMIALS whose expression text is shared "
+        "verbatim with the oracle (portable_trig.py) — the sf0.1 sweep "
+        "caught DuckDB's and the JVM's libm asin disagreeing by 1 ulp "
+        "on a raw distance that sat exactly on the round-6 half "
+        "boundary (12148.7576825, custkey 14845 / suppkey 198), so "
+        "'round-6 absorbs libm drift' is only probabilistic at "
+        "~4e-6/row for 1e4-km magnitudes; with shared polynomial text "
+        "both engines run the identical IEEE double tree and the "
+        "result is bit-exact BEFORE rounding. The join key is the "
+        "nation — a real bounded equi-join, NOT a cross join: "
         "candidate generation scales with per-key co-occupancy exactly "
         "like join_grid_knn's cell join, which is the declared scale "
         "path when no relational key bounds the pairs. Complements "
@@ -1132,21 +1207,17 @@ def join_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
         "s_suppkey", "geo:s:", "s_nationkey",
     )
-    dlat = F.radians((F.col("slat_u") - F.col("clat_u")) / 1000000.0) / 2
-    dlon = F.radians((F.col("slon_u") - F.col("clon_u")) / 1000000.0) / 2
-    a = (
-        F.sin(dlat) * F.sin(dlat)
-        + F.cos(F.radians(F.col("clat_u") / 1000000.0))
-        * F.cos(F.radians(F.col("slat_u") / 1000000.0))
-        * F.sin(dlon)
-        * F.sin(dlon)
+    j = c.join(s, c["_cnat"] == s["_snat"]).select(
+        "c_custkey",
+        "s_suppkey",
+        F.col("_cnat").alias("nationkey"),
+        "clat_u",
+        "clon_u",
+        "slat_u",
+        "slon_u",
     )
-    return (
-        c.join(s, c["_cnat"] == s["_snat"])
-        .select(
-            "c_custkey",
-            "s_suppkey",
-            F.col("_cnat").alias("nationkey"),
-            F.round(F.lit(12742.0) * F.asin(F.sqrt(a)), 6).alias("dist_km"),
-        )
+    for level in _haversine_levels():
+        j = j.selectExpr("*", *[f"{text} AS {name}" for name, text in level])
+    return j.selectExpr(
+        "c_custkey", "s_suppkey", "nationkey", f"{_HAVERSINE_DIST} AS dist_km"
     )

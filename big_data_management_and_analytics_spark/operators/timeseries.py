@@ -596,15 +596,27 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH h AS (
             SELECT user_id, event_type,
-                   list(value ORDER BY ts, event_id) AS vals,
+                   list(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                        ORDER BY ts, event_id) AS cents,
                    COUNT(*) AS n_events
             FROM events GROUP BY user_id, event_type
+        ),
+        f AS (
+            SELECT user_id, event_type, n_events,
+                   list_reduce(
+                       list_transform(cents,
+                           x -> CAST(CAST(x AS DECIMAL(18,0)) * 0.01
+                                     AS DECIMAL(30,12))),
+                       (acc, x) -> CAST(ROUND(0.3 * x + 0.7 * acc, 12)
+                                        AS DECIMAL(30,12))
+                   ) AS acc
+            FROM h
         )
         SELECT user_id, event_type,
                CAST(n_events AS BIGINT) AS n_events,
-               ROUND(list_reduce(vals,
-                   (acc, x) -> 0.3::DOUBLE * x + 0.7::DOUBLE * acc), 6) AS ewma
-        FROM h
+               CAST(CAST(ROUND(acc, 6) * 1000000 AS BIGINT) AS DOUBLE)
+                   / 1000000.0 AS ewma
+        FROM f
     """,
     doc=(
         "Exponentially-weighted moving average (alpha = 0.3) of each "
@@ -614,17 +626,28 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the previous output), so it runs as a per-entity LEFT FOLD over "
         "the (ts, event_id)-sorted value array: collect_list + "
         "sort_array + F.aggregate — one shuffle, then map-only codegen; "
-        "parallelism = entity count, no window state. The oracle's "
-        "list_reduce performs the identical left fold, and both engines "
-        "execute the same double-op sequence in the same order, so the "
-        "result is bit-identical pre-round (no float-sum reordering "
-        "exists in a sequential fold). Scale note: per-entity history "
-        "must fit one task — bounded here; a 100 TB variant chunks "
-        "histories by epoch and folds epoch partials (s carries across "
-        "chunks via the a^k prefix weight)."
+        "parallelism = entity count, no window state. Round 5: the fold "
+        "runs in EXACT DECIMAL arithmetic (integer-cents inputs, "
+        "alpha as a decimal literal, per-step ROUND to scale 12), not "
+        "doubles — the sf0.1 sweep caught a double fold landing on "
+        "exactly 66.0275995, whose ROUND(...,6) DIVERGES between "
+        "engines even on a BIT-IDENTICAL double: Spark rounds the "
+        "shortest decimal repr (BigDecimal.valueOf → '66.0275995' → "
+        "half-up → .0276) while DuckDB rounds the exact binary value "
+        "(...49999... → .027599). Nice-decimal fixtures make short "
+        "reprs — and therefore exact (k+1)-digit halves — common, so "
+        "recursive folds over 2-decimal data are the hot class for "
+        "this hazard; exact decimals remove it (identical rational "
+        "arithmetic, identical rounding points, integer micro-unit "
+        "output). Scale note: per-entity history must fit one task — "
+        "bounded here; a 100 TB variant chunks histories by epoch and "
+        "folds epoch partials (s carries across chunks via the a^k "
+        "prefix weight)."
     ),
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
     e = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id", "value"
     )
@@ -632,17 +655,32 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("h"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
-    vals = F.transform(F.col("h"), lambda s: s["value"])
+    # integer cents (FLOOR(v*100+0.5) is the same double op in both
+    # engines), widened to exact DECIMAL dollars at scale 12
+    vals = F.transform(
+        F.col("h"),
+        lambda s: (
+            F.floor(s["value"] * 100 + F.lit(0.5)).cast("decimal(18,0)")
+            * F.lit(Decimal("0.01"))
+        ).cast("decimal(30,12)"),
+    )
     folded = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
         F.element_at(vals, 1),
-        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+        lambda acc, x: F.round(
+            F.lit(Decimal("0.3")) * x + F.lit(Decimal("0.7")) * acc, 12
+        ).cast("decimal(30,12)"),
     )
+    # exact integer micro-units -> double (both casts correctly rounded
+    # and identical cross-engine; keeps the declared double schema)
     return hist.select(
         "user_id",
         "event_type",
         "n_events",
-        F.round(folded, 6).alias("ewma"),
+        (
+            (F.round(folded, 6) * F.lit(1000000)).cast("bigint").cast("double")
+            / F.lit(1000000.0)
+        ).alias("ewma"),
     )
 
 

@@ -251,7 +251,7 @@ def test_pgm_decode_matches_numpy_recompute(spark):
         pixels = np.frombuffer(raw + b" " * (h * w - len(raw)), dtype=np.uint8)
         r = feats[d.doc_id]
         assert (r.width, r.height) == (w, h)
-        assert r.mean_luma == round(float(pixels.mean()) / 255, 6)
+        assert r.mean_luma == multimodal.round6(float(pixels.mean()) / 255)
         header = f"P5\n{w} {h}\n255\n".encode()
         assert r.byte_len == len(header) + h * w
         checked += 1
@@ -582,7 +582,7 @@ def test_resize_matches_numpy_reference(spark, registry):
         assert got == expect
         rw, rh, _, rr = multimodal.parse_pgm(got)
         assert (rw, rh) == (8, 8) and rr.shape == (8, 8)
-        assert r.mean_luma_small == round(float(small.mean()) / maxval, 6)
+        assert r.mean_luma_small == multimodal.round6(float(small.mean()) / maxval)
 
 
 def test_persisted_ivf_serves_identical_results(spark, registry):
@@ -617,9 +617,9 @@ def test_audio_features_match_numpy_reference(spark, registry):
         s = np.frombuffer(b, dtype="<i2", offset=b.index(b"\n") + 1)
         x = s.astype(np.float64) / 32768.0
         assert r.sample_rate == 16000 and r.n_samples == len(s)
-        assert r.rms == round(float(np.sqrt(np.mean(x * x))), 6)
+        assert r.rms == multimodal.round6(float(np.sqrt(np.mean(x * x))))
         signs = np.signbit(x)
-        assert r.zcr == round(float(np.mean(signs[1:] != signs[:-1])), 6)
+        assert r.zcr == multimodal.round6(float(np.mean(signs[1:] != signs[:-1])))
 
 
 def test_pagerank_conserves_mass_and_ranks_degree(spark, registry):
@@ -1150,13 +1150,20 @@ def test_ewma_fold_matches_python_recurrence(spark, tmp_path):
     )
     d = str(tmp_path / "ewma")
     ev.write.mode("overwrite").parquet(d + "/events.parquet")
-    s = vals[0]
-    for x in vals[1:]:
-        s = 0.3 * x + 0.7 * s
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # mirror the exact-decimal fold: integer cents in, scale-12 steps
+    cents = [int(v * 100 + 0.5) for v in vals]
+    s = Decimal(cents[0]) * Decimal("0.01")
+    for c in cents[1:]:
+        s = (
+            Decimal("0.3") * (Decimal(c) * Decimal("0.01")) + Decimal("0.7") * s
+        ).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+    expected = int(s.quantize(Decimal("1e-6"), ROUND_HALF_UP) * 1000000) / 1000000.0
     out = timeseries.ts_ewma(spark, d).collect()
     assert len(out) == 1
     assert out[0]["n_events"] == 4
-    assert out[0]["ewma"] == round(s, 6)
+    assert out[0]["ewma"] == expected
 
 
 def test_welch_ttest_matches_numpy(spark, registry):
@@ -5037,3 +5044,130 @@ def test_cluster_stats_planted_histogram(spark, tmp_path):
     assert out[3] == (1, 3, 0.5)
     assert out[2] == (1, 2, round(2 / 6, 6))
     assert out[1] == (1, 1, round(1 / 6, 6))
+
+
+def test_portable_trig_bit_identical_across_engines(spark):
+    """The polynomial sin/cos/asin texts must evaluate BIT-identically
+    in Spark and DuckDB (pure IEEE double trees — the whole point), and
+    track libm to <1e-11. Guards the join_geo_haversine fix: libm asin
+    differed by 1 ulp between the engines on a raw distance that sat
+    exactly on a round-6 half boundary (sf0.1 sweep, round 5)."""
+    import math
+    import struct
+
+    import duckdb
+
+    from big_data_management_and_analytics_spark.functions.portable_trig import (
+        asin_text,
+        cos_text,
+        lit,
+        sin_text,
+    )
+
+    n = 2001
+    trig_sql = (
+        f"SELECT i, {sin_text('x', 'x2')} AS psin, {cos_text('x2')} AS pcos "
+        "FROM (SELECT i, x, x * x AS x2 FROM tb)"
+    )
+    asin_sql = (
+        f"SELECT i, {asin_text('y', 'y2', 'z', 'z2')} AS pasin "
+        "FROM (SELECT i, y, y*y AS y2, z, z*z AS z2 "
+        "      FROM (SELECT i, y, SQRT((1.0e0 - y) * 5.0e-1) AS z FROM ty))"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW tb AS SELECT i, (i - {n // 2}) * {lit(math.pi / (n // 2))} AS x "
+        f"FROM range({n}) t(i)"
+    )
+    con.execute(
+        f"CREATE VIEW ty AS SELECT i, i * {lit(1.0 / (n - 1))} AS y FROM range({n}) t(i)"
+    )
+    duck_t = {r[0]: (r[1], r[2]) for r in con.execute(trig_sql).fetchall()}
+    duck_a = {r[0]: r[1] for r in con.execute(asin_sql).fetchall()}
+
+    spark.range(n).selectExpr(
+        "id AS i", f"(id - {n // 2}) * {lit(math.pi / (n // 2))} AS x"
+    ).createOrReplaceTempView("tb")
+    spark.range(n).selectExpr(
+        "id AS i", f"id * {lit(1.0 / (n - 1))} AS y"
+    ).createOrReplaceTempView("ty")
+    sp_t = {r[0]: (r[1], r[2]) for r in spark.sql(trig_sql).collect()}
+    sp_a = {r[0]: r[1] for r in spark.sql(asin_sql).collect()}
+
+    bits = lambda v: struct.pack(">d", v)  # noqa: E731
+    assert all(
+        bits(duck_t[i][0]) == bits(sp_t[i][0]) and bits(duck_t[i][1]) == bits(sp_t[i][1])
+        for i in duck_t
+    )
+    assert all(bits(duck_a[i]) == bits(sp_a[i]) for i in duck_a)
+    assert max(
+        abs(sp_t[i][0] - math.sin((i - n // 2) * math.pi / (n // 2))) for i in sp_t
+    ) < 1e-11
+    assert max(abs(sp_a[i] - math.asin(i / (n - 1))) for i in sp_a) < 1e-11
+
+
+def test_geo_haversine_boundary_pair_regression(spark, tmp_path):
+    """The exact pair the sf0.1 sweep caught (custkey 14845 / suppkey
+    198, nation 7): raw distance 12148.7576825 sits ON the round-6 half
+    boundary, and the engines' libm asin disagreed by 1 ulp there. With
+    the shared polynomial + FLOOR(x*1e6+0.5) the result is deterministic
+    by construction: half-up to .757683 in BOTH engines, verified here
+    against a pure-Python replay of the identical IEEE op sequence."""
+    import hashlib as _hl
+    import math
+
+    from big_data_management_and_analytics_spark.functions.portable_trig import (
+        _asin_coeffs,
+        _cos_coeffs,
+        _sin_coeffs,
+    )
+    from big_data_management_and_analytics_spark.operators import joins
+
+    spark.createDataFrame(
+        [(14845, "c", 7, 0.0, "S")],
+        schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(tmp_path / "geo") + "/customer.parquet")
+    spark.createDataFrame(
+        [(198, "s", 7, 0.0)],
+        schema="s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(str(tmp_path / "geo") + "/supplier.parquet")
+    out = joins.join_geo_haversine(spark, str(tmp_path / "geo")).collect()
+    assert len(out) == 1
+
+    def coord(prefix, key):
+        hx = _hl.md5(f"{prefix}{key}".encode()).hexdigest()
+        return (
+            int(hx[0:15], 16) % 160000001 - 80000000,
+            int(hx[16:31], 16) % 360000001 - 180000000,
+        )
+
+    def horner(x2, coeffs):
+        acc = coeffs[-1]
+        for c in reversed(coeffs[:-1]):
+            acc = c + x2 * acc
+        return acc
+
+    def psin(x):
+        return x * horner(x * x, _sin_coeffs())
+
+    def pcos(x):
+        return horner(x * x, _cos_coeffs())
+
+    def pasin(y):
+        if y <= 0.5:
+            return y * horner(y * y, _asin_coeffs())
+        z = math.sqrt((1.0 - y) * 0.5)
+        return 1.5707963267948966 - 2.0 * (z * horner(z * z, _asin_coeffs()))
+
+    (clat, clon), (slat, slon) = coord("geo:c:", 14845), coord("geo:s:", 198)
+    d2r = math.pi / 180 / 1e6
+    d2rh = math.pi / 180 / 1e6 / 2
+    sdlat = psin((slat - clat) * d2rh)
+    sdlon = psin((slon - clon) * d2rh)
+    a = min(sdlat * sdlat + pcos(clat * d2r) * pcos(slat * d2r) * sdlon * sdlon, 1.0)
+    want = math.floor(1.2742e4 * pasin(math.sqrt(a)) * 1.0e6 + 5.0e-1) / 1.0e6
+    assert out[0]["dist_km"] == want  # bit-exact, not approximately
+    # The polynomial places the raw value deterministically just BELOW
+    # the half (its ~1e-13 error is the same in every engine), so both
+    # engines agree on .757682 — determinism, not a particular side.
+    assert want == 12148.757682
