@@ -16,6 +16,24 @@ from big_data_management_and_analytics_spark.plans.registry import register
 from big_data_management_and_analytics_spark.sources.io import load
 
 
+def _pround6(col):
+    """Portable half-up(+inf) round of a double to 6 decimals as pure
+    IEEE ops: FLOOR(x*1e6 + 0.5)/1e6. Engine ROUND semantics on doubles
+    differ even for BIT-IDENTICAL inputs (Spark rounds the shortest
+    decimal repr, DuckDB multiplies by 1e6 and std::rounds, Python is
+    banker's — SURVEY §2.0 amendment 13, measured on ts_ewma's fold at
+    sf0.1), so recursive-fold finals over nice-decimal data must round
+    through this + the matching oracle text (see _PROUND6_SQL)."""
+    return (
+        F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+        / F.lit(1000000.0)
+    )
+
+
+def _pround6_sql(expr: str) -> str:
+    return f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0"
+
+
 @register(
     "ts_ohlc_resample",
     "E",
@@ -2112,9 +2130,9 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE i < n_events
         )
         SELECT user_id, event_type, n_events,
-               ROUND(l, 6) AS level,
-               ROUND(b, 6) AS trend,
-               ROUND(l + b, 6) AS forecast_1
+               CAST(FLOOR((l) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS level,
+               CAST(FLOOR((b) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS trend,
+               CAST(FLOOR((l + b) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS forecast_1
         FROM r
         WHERE i = n_events
     """,
@@ -2169,9 +2187,9 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "n_events",
-        F.round(folded["l"], 6).alias("level"),
-        F.round(folded["b"], 6).alias("trend"),
-        F.round(folded["l"] + folded["b"], 6).alias("forecast_1"),
+        _pround6(folded["l"]).alias("level"),
+        _pround6(folded["b"]).alias("trend"),
+        _pround6(folded["l"] + folded["b"]).alias("forecast_1"),
     )
 
 
@@ -3388,9 +3406,9 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM r WHERE i < n
         )
         SELECT event_type, n AS n_demand_days,
-               ROUND(z, 6) AS level_cents,
-               ROUND(p, 6) AS mean_interval,
-               ROUND(z / p, 6) AS croston_forecast
+               CAST(FLOOR((z) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS level_cents,
+               CAST(FLOOR((p) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_interval,
+               CAST(FLOOR((z / p) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS croston_forecast
         FROM r WHERE i = n
     """,
     doc=(
@@ -3454,9 +3472,9 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "event_type",
         F.col("n").alias("n_demand_days"),
-        F.round(folded["z"], 6).alias("level_cents"),
-        F.round(folded["p"], 6).alias("mean_interval"),
-        F.round(folded["z"] / folded["p"], 6).alias("croston_forecast"),
+        _pround6(folded["z"]).alias("level_cents"),
+        _pround6(folded["p"]).alias("mean_interval"),
+        _pround6(folded["z"] / folded["p"]).alias("croston_forecast"),
     )
 
 
@@ -3639,10 +3657,12 @@ _HW_B0 = (
             FROM r WHERE i <= n
         )
         SELECT event_type, n AS n_days,
-               ROUND(l, 6) AS level_cents,
-               ROUND(b, 6) AS trend_cents,
-               ROUND(l + 1.0 * b + sarr[(n % 7) + 1], 6) AS forecast_1,
-               ROUND(l + 7.0 * b + sarr[((n + 6) % 7) + 1], 6) AS forecast_7
+               CAST(FLOOR((l) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS level_cents,
+               CAST(FLOOR((b) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS trend_cents,
+               CAST(FLOOR((l + 1.0 * b + sarr[(n % 7) + 1]) * 1000000.0 + 0.5)
+                    AS BIGINT) / 1000000.0 AS forecast_1,
+               CAST(FLOOR((l + 7.0 * b + sarr[((n + 6) % 7) + 1]) * 1000000.0 + 0.5)
+                    AS BIGINT) / 1000000.0 AS forecast_7
         FROM r WHERE i = n + 1
     """,
     doc=(
@@ -3738,21 +3758,19 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round(folded["l"], 6).alias("level_cents"),
-        F.round(folded["b"], 6).alias("trend_cents"),
-        F.round(
+        _pround6(folded["l"]).alias("level_cents"),
+        _pround6(folded["b"]).alias("trend_cents"),
+        _pround6(
             folded["l"]
             + F.lit(1.0) * folded["b"]
-            + F.element_at(folded["sarr"], (F.col("n") % 7 + 1).cast("int")),
-            6,
+            + F.element_at(folded["sarr"], (F.col("n") % 7 + 1).cast("int"))
         ).alias("forecast_1"),
-        F.round(
+        _pround6(
             folded["l"]
             + F.lit(7.0) * folded["b"]
             + F.element_at(
                 folded["sarr"], ((F.col("n") + 6) % 7 + 1).cast("int")
-            ),
-            6,
+            )
         ).alias("forecast_7"),
     )
 
@@ -3896,9 +3914,9 @@ _KF_K = f"({_KF_PP} / ({_KF_PP} + 10000.0))"
             FROM r WHERE i < n
         )
         SELECT event_type, n AS n_days,
-               ROUND(l, 6) AS level_cents,
-               ROUND({_KF_K}, 6) AS steady_gain,
-               ROUND(p, 6) AS error_var
+               CAST(FLOOR((l) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS level_cents,
+               CAST(FLOOR(({_KF_K}) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS steady_gain,
+               CAST(FLOOR((p) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS error_var
         FROM r WHERE i = n
     """,
     doc=(
@@ -3958,9 +3976,9 @@ def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round(folded["l"], 6).alias("level_cents"),
-        F.round(pp_f / (pp_f + F.lit(10000.0)), 6).alias("steady_gain"),
-        F.round(folded["p"], 6).alias("error_var"),
+        _pround6(folded["l"]).alias("level_cents"),
+        _pround6(pp_f / (pp_f + F.lit(10000.0))).alias("steady_gain"),
+        _pround6(folded["p"]).alias("error_var"),
     )
 
 
