@@ -578,7 +578,7 @@ def llm_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM v
         ), q AS (
             SELECT vec_id, amax,
-                   list_transform(emb, x -> round(x * 127.0 / amax)) AS qv,
+                   list_transform(emb, x -> FLOOR(x * 127.0 / amax + 0.5)) AS qv,
                    emb
             FROM s
         )
@@ -596,10 +596,14 @@ def llm_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Symmetric int8 quantization of embeddings: per-vector scale "
-        "127/max|x|, quantize with round-half-even (Spark bround == DuckDB "
-        "round on doubles), dequantize, and report the L2 reconstruction "
-        "error. The 4x-smaller int8 vectors are what a 100 TB ANN corpus "
-        "actually stores; recon_err quantifies the recall cost."
+        "127/max|x|, quantize half-up via the pure-IEEE "
+        "FLOOR(q + 0.5) form (round 5: Spark bround is half-EVEN while "
+        "DuckDB round is half-AWAY - bround(2.5)=2 vs round(2.5)=3 - so "
+        "the previous pairing was a latent tie bug; floor of the same "
+        "double is one semantics in both engines, SURVEY 2.0 amendment "
+        "13), dequantize, and report the L2 reconstruction error. The "
+        "4x-smaller int8 vectors are what a 100 TB ANN corpus actually "
+        "stores; recon_err quantifies the recall cost."
     ),
 )
 def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,7 +611,10 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding").cast("array<double>")
     amax = F.array_max(F.transform(emb, F.abs))
     base = e.select("vec_id", emb.alias("emb"), amax.alias("amax"))
-    qv = F.transform(F.col("emb"), lambda x: F.bround(x * 127.0 / F.col("amax")))
+    qv = F.transform(
+        F.col("emb"),
+        lambda x: F.floor(x * 127.0 / F.col("amax") + F.lit(0.5)).cast("double"),
+    )
     quant = base.withColumn("qv", qv)
     err_sq = F.aggregate(
         F.zip_with(

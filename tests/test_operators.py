@@ -5171,3 +5171,39 @@ def test_geo_haversine_boundary_pair_regression(spark, tmp_path):
     # the half (its ~1e-13 error is the same in every engine), so both
     # engines agree on .757682 — determinism, not a particular side.
     assert want == 12148.757682
+
+
+def test_embed_quantize_half_tie_cross_engine(spark, tmp_path):
+    """A planted element at exactly amax/2 makes the quantize quotient
+    land on exactly 63.5 — the tie where Spark bround (half-even → 63)
+    and DuckDB round (half-away → 64) used to SILENTLY disagree before
+    the shared FLOOR(q + 0.5) form. Both engines must emit identical
+    rows on the planted tie, and the quantized tie element must be the
+    half-up 64 (observable through the dequantized reconstruction of a
+    one-hot companion fixture where the tie is the only error source)."""
+    import duckdb
+
+    import big_data_management_and_analytics_spark as engine
+
+    engine.load_all()
+    q = engine.all_queries()["llm_embed_quantize"]
+    d = str(tmp_path / "q")
+    spark.createDataFrame(
+        [(1, [0.5, 1.0] + [0.0] * 62, 0)],
+        schema="vec_id long, embedding array<float>, label int",
+    ).write.parquet(d + "/embeddings.parquet")
+    assert 0.5 * 127.0 / 1.0 == 63.5  # the quotient IS the exact tie
+    srow = q.fn(spark, d).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    drow = con.execute(q.oracle).fetchone()
+    assert (srow["vec_id"], srow["abs_max"], srow["q_abs_max"]) == drow[:3]
+    assert srow["recon_err_l2"] == drow[3]
+    # q=64 (half-up): the only reconstruction error is the tie element,
+    # |0.5 - 64/127| (identical magnitude to q=63 — which is exactly why
+    # the old mismatch was invisible in THIS projection; the cross-engine
+    # row equality above is the real pin)
+    assert abs(srow["recon_err_l2"] - abs(0.5 - 64.0 / 127.0)) < 1e-6
