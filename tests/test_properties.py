@@ -395,3 +395,48 @@ def _ts_prop(i: int):
     import datetime as dt
 
     return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i, minutes=30)
+
+
+def test_portable_trig_tracks_libm_over_dense_domain(spark):
+    """The Horner polynomials in functions/portable_trig.py must track
+    libm over a DENSE domain sweep — 200K equispaced angles across
+    [-pi, pi] and 200K asin arguments across [0, 1] — all evaluated in
+    one Spark job, replicating the exact expression text the operators
+    ship. (The cross-engine BIT-equality claim is pinned by
+    test_operators.py::test_portable_trig_bit_identical_across_engines;
+    this proves the polynomials are also CORRECT, not merely equal.)"""
+    import math
+
+    from big_data_management_and_analytics_spark.functions.portable_trig import (
+        asin_text,
+        cos_text,
+        lit,
+        sin_text,
+    )
+
+    n = 200_001
+    worst = (
+        spark.range(n)
+        .selectExpr(
+            "id AS i",
+            f"(id - {n // 2}) * {lit(math.pi / (n // 2))} AS x",
+            f"id * {lit(1.0 / (n - 1))} AS y",
+        )
+        .selectExpr("x", "x * x AS x2", "y", "y * y AS y2",
+                    "SQRT((1.0e0 - y) * 5.0e-1) AS z")
+        .selectExpr("x", "x2", "y", "y2", "z", "z * z AS z2")
+        .selectExpr(
+            f"ABS({sin_text('x', 'x2')} - SIN(x)) AS es",
+            f"ABS({cos_text('x2')} - COS(x)) AS ec",
+            f"ABS({asin_text('y', 'y2', 'z', 'z2')} - ASIN(y)) AS ea",
+        )
+        .agg(
+            F.max("es").alias("es"),
+            F.max("ec").alias("ec"),
+            F.max("ea").alias("ea"),
+        )
+        .collect()[0]
+    )
+    assert worst["es"] < 1e-11
+    assert worst["ec"] < 1e-11
+    assert worst["ea"] < 1e-11
