@@ -1969,37 +1969,39 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cent AS (
             SELECT b.query_id, d.pos,
-                   CAST(SUM(CAST(ROUND(d.val, 9) AS DECIMAL(28,9)))
-                        AS DOUBLE) / COUNT(*) AS cval
+                   CAST(SUM(CAST(FLOOR(d.val * 1000000000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) / 1000000000.0 AS cval
             FROM brank b JOIN ddims d ON d.doc_id = b.doc_id
             WHERE b.r <= 3
             GROUP BY 1, 2
         ),
         dotp AS (
             SELECT c.query_id, d.doc_id,
-                   CAST(SUM(CAST(ROUND(c.cval * d.val, 9) AS DECIMAL(38,9)))
-                        AS DOUBLE) AS dp
+                   SUM(CAST(FLOOR(c.cval * d.val * 1000000000.0 + 0.5)
+                            AS BIGINT)) AS dp
             FROM cent c JOIN ddims d ON d.pos = c.pos
             GROUP BY 1, 2
         ),
         cnorm AS (
             SELECT query_id,
-                   CAST(SUM(CAST(ROUND(cval * cval, 9) AS DECIMAL(38,9)))
-                        AS DOUBLE) AS cn
+                   SUM(CAST(FLOOR(cval * cval * 1000000000.0 + 0.5)
+                            AS BIGINT)) AS cn
             FROM cent GROUP BY query_id
         ),
         dnorm AS (
             SELECT doc_id,
-                   CAST(SUM(CAST(ROUND(val * val, 9) AS DECIMAL(38,9)))
-                        AS DOUBLE) AS dn
+                   SUM(CAST(FLOOR(val * val * 1000000000.0 + 0.5)
+                            AS BIGINT)) AS dn
             FROM ddims GROUP BY doc_id
         ),
         drank AS (
             SELECT dotp.query_id, dotp.doc_id,
                    ROW_NUMBER() OVER (
                        PARTITION BY dotp.query_id
-                       ORDER BY ROUND(dotp.dp / (sqrt(cnorm.cn)
-                                                 * sqrt(dnorm.dn)), 6) DESC,
+                       ORDER BY CAST(FLOOR(CAST(dotp.dp AS DOUBLE)
+                                    / (sqrt(CAST(cnorm.cn AS DOUBLE))
+                                       * sqrt(CAST(dnorm.dn AS DOUBLE)))
+                                    * 1000000.0 + 0.5) AS BIGINT) DESC,
                                 dotp.doc_id ASC) AS r
             FROM dotp
             JOIN cnorm ON cnorm.query_id = dotp.query_id
@@ -2031,18 +2033,22 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine, and rrf = Σ 1/(60+rank) over both lists picks the "
         "top-5 — the lexical+dense hybrid every production RAG stack "
         "runs, expressed end-to-end in one plan. Determinism: centroid "
-        "dims, dot products, and norms all quantize ROUND(...,9)→"
-        "DECIMAL before their sums (order-invariant); rankings use "
-        "rounded scores + doc_id tiebreaks; the two 1/(60+r) terms are "
-        "exact-rational doubles whose 2-term sum is order-free. Plan "
-        "(round 5, the r4-declared dense swap DONE): the BM25 branch "
-        "is posting-list work whose aggregate and ranking window share "
-        "one query_id exchange; the dense branch broadcasts each "
-        "query's centroid as ONE array row and scores every doc "
-        "map-side with zip_with + exact decimal aggregate (whole-stage "
-        "codegen — no 64·|docs| dim join, no Arrow boundary); fusion "
-        "is a union+grouped-max of the two <=20-row-per-query lists "
-        "on the same coarser-key exchange as the final ranking."
+        "dims, dot products, and norms all quantize to integer "
+        "NANO-UNITS via FLOOR(x*1e9 + 0.5) and sum as LONGs "
+        "(order-invariant, pure IEEE — SURVEY 2.0 amendment 13; the "
+        "earlier ROUND(x,9)->DECIMAL form carried the engine-flavored "
+        "ROUND hazard once per element); the dense ranking key is an "
+        "integer micro-cosine with doc_id tiebreaks; the two 1/(60+r) "
+        "terms are exact-rational doubles whose 2-term sum is "
+        "order-free. Plan (round 5, the r4-declared dense swap DONE): "
+        "the BM25 branch is posting-list work whose aggregate and "
+        "ranking window share one query_id exchange; the dense branch "
+        "broadcasts each query's centroid as ONE array row and scores "
+        "every doc map-side with zip_with + exact LONG nano-unit "
+        "aggregates (whole-stage codegen — no 64·|docs| dim join, no "
+        "Arrow boundary, long adds instead of DECIMAL(38,9) folds); "
+        "fusion is a union+grouped-max of the two <=20-row-per-query "
+        "lists on the same coarser-key exchange as the final ranking."
     ),
 )
 def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2140,8 +2146,11 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", (F.col("pos0") + 1).alias("pos"))
         .agg(
             (
-                F.sum(F.round("val", 9).cast("decimal(28,9)")).cast("double")
+                F.sum(
+                    F.floor(F.col("val") * F.lit(1000000000.0) + F.lit(0.5))
+                ).cast("double")
                 / F.count(F.lit(1))
+                / F.lit(1000000000.0)
             ).alias("cval")
         )
     )
@@ -2153,16 +2162,23 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine is one map-side zip_with/aggregate over the stored embedding
     # array: whole-stage codegen, zero Python, zero driver roundtrip, and
     # no shuffle until the |queries|·n-row top-20 window. Element
-    # expressions are textually identical to the oracle's (ROUND(x,9) →
-    # DECIMAL(38,9) → exact order-free decimal sum), so the hash contract
-    # is unchanged. This beats the docstring's promised Arrow UDF: no
-    # serialization boundary at all.
-    dec0 = F.lit("0").cast("decimal(38,9)")
+    # expressions mirror the oracle's op order exactly (FLOOR nano-unit
+    # quantization → exact order-free LONG sum), so the comparison is
+    # bit-deterministic. This beats the docstring's promised Arrow UDF:
+    # no serialization boundary at all.
+    zero_l = F.lit(0).cast("bigint")
 
-    def _decsum(arr):
-        return F.aggregate(
-            arr, dec0, lambda acc, x: (acc + x).cast("decimal(38,9)")
-        ).cast("double")
+    def _nanosum(arr):
+        # exact LONG sum of nano-unit quantized elements: |element| <= 1e9
+        # and 64 dims bound the sum well inside int64 — long adds in
+        # whole-stage codegen, ~an order cheaper than DECIMAL(38,9) folds
+        return F.aggregate(arr, zero_l, lambda acc, x: acc + x)
+
+    def _nano(col):
+        # FLOOR(x*1e9 + 0.5): the pure-IEEE quantizer (SURVEY 2.0 am. 13)
+        # — ROUND(x,9) here would reintroduce the engine-flavored-round
+        # hazard once per element per engine
+        return F.floor(col * F.lit(1000000000.0) + F.lit(0.5))
 
     cent_arr = cent.groupBy("query_id").agg(
         F.transform(
@@ -2171,12 +2187,7 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("carr")
     ).withColumn(
         "cn",
-        _decsum(
-            F.transform(
-                F.col("carr"),
-                lambda c: F.round(c * c, 9).cast("decimal(38,9)"),
-            )
-        ),
+        _nanosum(F.transform(F.col("carr"), lambda c: _nano(c * c))),
     )
     emb = F.col("embedding").cast("array<double>")
     # The per-doc norm fold happens BEFORE the query crossJoin so it runs
@@ -2186,9 +2197,7 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_norm = e.select(
         F.col("vec_id").alias("doc_id"),
         emb.alias("darr"),
-        _decsum(
-            F.transform(emb, lambda v: F.round(v * v, 9).cast("decimal(38,9)"))
-        ).alias("dn"),
+        _nanosum(F.transform(emb, lambda v: _nano(v * v))).alias("dn"),
     )
     scored = (
         e_norm.crossJoin(F.broadcast(cent_arr))
@@ -2196,20 +2205,28 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "query_id",
             "cn",
-            _decsum(
+            _nanosum(
                 F.zip_with(
                     F.col("carr"),
                     F.col("darr"),
-                    lambda c, v: F.round(c * v, 9).cast("decimal(38,9)"),
+                    lambda c, v: _nano(c * v),
                 )
             ).alias("dp"),
             "dn",
         )
     )
     w_d = Window.partitionBy("query_id").orderBy(
-        F.round(
-            F.col("dp") / (F.sqrt(F.col("cn")) * F.sqrt(F.col("dn"))), 6
-        ).desc(),
+        F.floor(
+            F.col("dp").cast("double")
+            / (
+                F.sqrt(F.col("cn").cast("double"))
+                * F.sqrt(F.col("dn").cast("double"))
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .desc(),
         F.col("doc_id").asc(),
     )
     drank = (
