@@ -5207,3 +5207,49 @@ def test_embed_quantize_half_tie_cross_engine(spark, tmp_path):
     # the old mismatch was invisible in THIS projection; the cross-engine
     # row equality above is the real pin)
     assert abs(srow["recon_err_l2"] - abs(0.5 - 64.0 / 127.0)) < 1e-6
+
+
+def test_holt_linear_fold_bit_equals_python_replay(spark, tmp_path):
+    """ts_holt_linear's per-entity double fold must be BIT-equal to a
+    pure-Python replay of the identical IEEE op sequence across many
+    random series — a sequential fold has no summation-order freedom,
+    so any difference is an op-order or rounding-semantics bug (the
+    round-5 hazard class). 50 seeded series, one Spark job."""
+    import math
+    import random
+
+    from big_data_management_and_analytics_spark.operators import timeseries
+
+    rng = random.Random(42)
+    rows = []
+    series = {}
+    eid = 0
+    for u in range(1, 51):
+        vals = [rng.randrange(1, 2_000_000) / 100.0 for _ in range(rng.randrange(2, 30))]
+        series[u] = vals
+        for i, v in enumerate(vals):
+            eid += 1
+            rows.append((eid, _ts(f"2024-01-{1 + i // 24:02d}T{i % 24:02d}:00:00"), u, "click", v, "{}"))
+    spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "hl") + "/events.parquet")
+
+    def replay(vals):
+        l, b = vals[0], vals[1] - vals[0]
+        for x in vals[1:]:
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b_new = 0.2 * (l_new - l) + 0.8 * b
+            l, b = l_new, b_new
+        p6 = lambda v: math.floor(v * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+        return p6(l), p6(b), p6(l + b)
+
+    out = {r["user_id"]: r for r in timeseries.ts_holt_linear(spark, str(tmp_path / "hl")).collect()}
+    assert len(out) == 50
+    for u, vals in series.items():
+        # the operator sorts by (ts, event_id); insertion order above is
+        # already (ts, event_id)-ascending per user, so the replay order
+        # matches
+        lvl, trd, fc = replay(vals)
+        r = out[u]
+        assert (r["level"], r["trend"], r["forecast_1"]) == (lvl, trd, fc), u
