@@ -5253,3 +5253,110 @@ def test_holt_linear_fold_bit_equals_python_replay(spark, tmp_path):
         lvl, trd, fc = replay(vals)
         r = out[u]
         assert (r["level"], r["trend"], r["forecast_1"]) == (lvl, trd, fc), u
+
+
+def test_rows_tier_approx_aggregates_within_error_bounds(spark, registry):
+    """The approx rows-tier ids (no oracle possible — estimates are
+    engine-specific) must still be CORRECT approximations: within the
+    documented error envelopes of the exact answers on the same data."""
+    from tests.conftest import SF_SMALL
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    exact_parts, exact_orders = li.selectExpr(
+        "count(distinct l_partkey)", "count(distinct l_orderkey)"
+    ).collect()[0]
+
+    r = registry["agg_approx_distinct"].fn(spark, SF_SMALL).collect()[0]
+    # approx_count_distinct default rsd = 0.05 → allow 5 sigma
+    assert abs(r["approx_parts"] - exact_parts) <= 0.25 * exact_parts
+    assert abs(r["approx_orders"] - exact_orders) <= 0.25 * exact_orders
+
+    # GK sketch with accuracy 10000: rank error <= n/10000 (< 1 row at
+    # this sf) — the approx percentile must be bracketed by the exact
+    # values two rank-percent either side
+    out = {r["l_returnflag"]: r for r in registry["agg_approx_percentile"].fn(spark, SF_SMALL).collect()}
+    brackets = {
+        rr["l_returnflag"]: rr
+        for rr in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.48)").alias("lo50"),
+            F.expr("percentile(l_extendedprice, 0.52)").alias("hi50"),
+            F.expr("percentile(l_extendedprice, 0.88)").alias("lo90"),
+            F.expr("percentile(l_extendedprice, 0.92)").alias("hi90"),
+        )
+        .collect()
+    }
+    for flag, r in out.items():
+        b = brackets[flag]
+        assert b["lo50"] <= r["approx_median"] <= b["hi50"], flag
+        assert b["lo90"] <= r["approx_p90"] <= b["hi90"], flag
+
+
+def test_rows_tier_hll_sketch_estimates_and_union(spark, registry):
+    """HLL estimates within 5% of the exact distincts they ride along
+    with; the union-merged global estimate must be consistent (at least
+    the biggest group, at most the sum, within HLL error)."""
+    from tests.conftest import SF_SMALL
+
+    rows = registry["agg_hll_sketch"].fn(spark, SF_SMALL).collect()
+    per = [r for r in rows if r["event_type"] != "__all__"]
+    glob = [r for r in rows if r["event_type"] == "__all__"]
+    assert len(glob) == 1 and len(per) >= 2
+    for r in per:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.05 * r["exact_users"]
+        ), r["event_type"]
+    biggest = max(r["exact_users"] for r in per)
+    total = sum(r["exact_users"] for r in per)
+    assert 0.9 * biggest <= glob[0]["approx_users"] <= 1.1 * total
+
+
+def test_rows_tier_samples_deterministic_and_bounded(spark, registry):
+    """Seeded samples must reproduce exactly across invocations (the
+    property that makes them usable in a pipeline) and honor their
+    fractions within binomial bounds; stratified sampling must keep the
+    fraction-1.0 stratum complete."""
+    from tests.conftest import SF_SMALL
+
+    import math
+
+    a = registry["agg_sample_deterministic"].fn(spark, SF_SMALL).collect()
+    b = registry["agg_sample_deterministic"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n_base = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+    sigma = math.sqrt(n_base * 0.1 * 0.9)
+    assert abs(len(a) - 0.1 * n_base) <= 5 * sigma
+    base_keys = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    }
+    assert all((r["l_orderkey"], r["l_linenumber"]) in base_keys for r in a)
+
+    s1 = {r["event_type"]: r["n_sampled"] for r in registry["agg_sample_stratified"].fn(spark, SF_SMALL).collect()}
+    s2 = {r["event_type"]: r["n_sampled"] for r in registry["agg_sample_stratified"].fn(spark, SF_SMALL).collect()}
+    assert s1 == s2
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    base = {r["event_type"]: r["n"] for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    if "purchase" in base:
+        assert s1.get("purchase") == base["purchase"]  # fraction 1.0 keeps all
+    for t, frac in (("click", 0.1), ("view", 0.2)):
+        if t in base:
+            sig = math.sqrt(base[t] * frac * (1 - frac))
+            assert abs(s1.get(t, 0) - frac * base[t]) <= 5 * sig + 1, t
+
+
+def test_rows_tier_limit_unordered_subset(spark, registry):
+    """limit(100): exactly 100 rows, every one a genuine lineitem row."""
+    from tests.conftest import SF_SMALL
+
+    out = registry["limit_unordered"].fn(spark, SF_SMALL).collect()
+    assert len(out) == 100
+    base_keys = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    }
+    assert all((r["l_orderkey"], r["l_linenumber"]) in base_keys for r in out)
