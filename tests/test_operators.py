@@ -5360,3 +5360,61 @@ def test_rows_tier_limit_unordered_subset(spark, registry):
         .collect()
     }
     assert all((r["l_orderkey"], r["l_linenumber"]) in base_keys for r in out)
+
+
+def test_stream_watermark_late_drops_but_never_invents(spark):
+    """Append-mode with a 10-minute watermark after the late file: every
+    emitted hourly count must be <= the full-data batch count for that
+    hour (late rows are DROPPED, never duplicated or invented), and the
+    total emitted must be strictly less than the rows replayed (the late
+    file's contribution plus unclosed tail windows are withheld)."""
+    from tests.conftest import SF_SMALL
+
+    from big_data_management_and_analytics_spark.streaming import live
+
+    out = {r["window_start"]: r["n_events"] for r in live.stream_watermark_late(spark, SF_SMALL).collect()}
+    assert len(out) > 0
+    full = {
+        r["ws"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+        .collect()
+    }
+    for ws, n in out.items():
+        assert ws in full and n <= full[ws], ws
+    assert sum(out.values()) < 2000  # something was dropped/withheld
+
+
+def test_stream_stream_outer_join_matches_inner_plus_nulls(spark):
+    """The left-outer stream-stream join must contain the inner join's
+    match set EXACTLY (matches emit as found in both), plus only
+    null-click rows for unmatched purchases."""
+    from tests.conftest import SF_SMALL
+
+    from big_data_management_and_analytics_spark.streaming import live
+
+    inner = {(r["purchase_id"], r["click_id"])
+             for r in live.stream_stream_join_live(spark, SF_SMALL).collect()}
+    outer_rows = live.stream_stream_outer_join_live(spark, SF_SMALL).collect()
+    outer_matched = {(r["purchase_id"], r["click_id"])
+                     for r in outer_rows if r["click_id"] is not None}
+    assert outer_matched == inner
+    for r in outer_rows:
+        if r["click_id"] is None:
+            assert r["c_ts"] is None  # null click columns come together
+
+
+def test_stream_output_modes_ordering_invariants(spark):
+    """All four sink modes emit rows; append (only watermark-closed
+    windows) can never exceed update or complete."""
+    from tests.conftest import SF_SMALL
+
+    from big_data_management_and_analytics_spark.streaming import live
+
+    out = {r["mode"]: r["n_rows"] for r in live.stream_output_modes(spark, SF_SMALL).collect()}
+    assert set(out) == {"append", "update", "complete", "foreach_batch_parquet"}
+    assert all(n > 0 for n in out.values()), out
+    assert out["append"] <= out["update"]
+    assert out["append"] <= out["complete"]

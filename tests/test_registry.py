@@ -99,7 +99,7 @@ def test_entry_runs(spark):
 
 def test_all_queries_run_smoke(spark, registry):
     """Every registered callable executes at sf0.001 and yields a schema."""
-    slow = {"stream_output_modes"}  # exercised in its own test below
+    slow = {"stream_output_modes"}  # exercised in test_operators.py::test_stream_output_modes_ordering_invariants
     for name, q in sorted(registry.items()):
         if name in slow:
             continue
