@@ -58,9 +58,11 @@ def _survey_ids() -> set[str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so ids without a driver-green CORRECTNESS row yet come first:
-    the driver verifies a bounded prefix of this dict per round, so the
-    queue rotates until every operator has been driver-verified.
+    Ordered so ids without a driver-green CORRECTNESS row yet come first
+    (never-verified SURVEY §2 ids, then the mandated llm_*/mm_* family,
+    then other extras — see plans/driver_history.queue_order): the driver
+    verifies a bounded prefix of this dict per round, so the queue
+    rotates until every operator has been driver-verified.
     """
     engine.load_all()
     registry = engine.all_queries()

@@ -64,7 +64,40 @@ EXACT_BASELINES = [
 ]
 
 RUNS = 3
-LOAD_START: float | None = None
+
+# Round-5 verdict item 3: wait for a quiet machine before timing. SCALE.md
+# documents 25-100% per-query swings with external load (r3 bloom 6.0 s
+# incident; r5 load 2.6->8.6 made two queries look regressed). Poll the
+# 1-minute load average until it drops below the threshold, bounded so a
+# permanently-busy host still produces an artifact (with the load recorded).
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0"))
+QUIET_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_RETRIES", "20"))
+QUIET_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "30"))
+
+
+def _load_avg() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
+def _wait_for_quiet() -> float | None:
+    """Block until 1m load < QUIET_LOAD or retries are exhausted; return
+    the final reading (recorded in the artifact either way)."""
+    load = _load_avg()
+    for _ in range(QUIET_RETRIES):
+        if load is None or load < QUIET_LOAD:
+            break
+        print(
+            f"bench: load_avg_1m={load} >= {QUIET_LOAD}, "
+            f"waiting {QUIET_WAIT_S:.0f}s for quiet machine",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(QUIET_WAIT_S)
+        load = _load_avg()
+    return load
 
 
 def _time_suite(registry, spark, names, sf_dir, runs=RUNS) -> dict[str, float]:
@@ -82,11 +115,7 @@ def _time_suite(registry, spark, names, sf_dir, runs=RUNS) -> dict[str, float]:
 
 
 def main() -> None:
-    global LOAD_START
-    try:
-        LOAD_START = round(os.getloadavg()[0], 2)
-    except OSError:
-        LOAD_START = None
+    load_start = _wait_for_quiet()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     small_dir = os.environ.get(
@@ -121,10 +150,7 @@ def main() -> None:
     # contamination_bloom 6.0 s incident, triaged in SCALE.md). A
     # reading taken at load >> ncpu/4 is machine state, not a plan
     # regression.
-    try:
-        load_end = round(os.getloadavg()[0], 2)
-    except OSError:
-        load_end = None
+    load_end = _load_avg()
     result = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
@@ -135,15 +161,17 @@ def main() -> None:
         "sf_small": float(small_sf),
         "queries_sf_small": small,
         "scaling_x": scaling,
-        "load_avg_1m_start": LOAD_START,
+        "load_avg_1m_start": load_start,
         "load_avg_1m_end": load_end,
     }
     line = json.dumps(result)
-    # Round-4 verdict item 2: the driver's tail capture clipped the head of
-    # this (long) JSON line when Spark progress noise preceded it. Persist the
-    # artifact to a file first, then make the JSON line the absolute LAST
-    # stdout bytes (after spark.stop(), whose log chatter goes to stderr), so
-    # any tail window of >= len(line) bytes sees the complete object.
+    # Round-4/5 verdict item 2: the driver captures only a bounded TAIL of
+    # stdout, and the full ~3.3 KB result line kept getting its head clipped
+    # (BENCH_r03-r05 all record parsed:null). Strategy: persist the full
+    # artifact to a file, print it once for humans, then print a COMPACT
+    # summary (metric/value/unit/sf/queries/load only — no sf_small or
+    # scaling sections, ~1 KB) as the absolute LAST stdout bytes so even a
+    # small tail window sees one complete parseable JSON object.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
@@ -152,10 +180,20 @@ def main() -> None:
         with open(out_path, "w") as fh:
             fh.write(line + "\n")
     except OSError:
-        pass  # stdout line below is still the contract
+        pass  # stdout lines below are still the contract
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": timings,
+        "sf": result["sf"],
+        "load_avg_1m_start": load_start,
+        "load_avg_1m_end": load_end,
+    }
     spark.stop()
     sys.stdout.flush()
     print(line, flush=True)
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

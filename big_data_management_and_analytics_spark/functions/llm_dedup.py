@@ -383,23 +383,50 @@ def _bucket_group_assign(
     )
 
 
+COMPONENTS_ORACLE_ROUNDS = 8
+
+
+def _components_oracle(rounds: int = COMPONENTS_ORACLE_ROUNDS) -> str:
+    """Bounded unrolled min-label propagation as chained MATERIALIZED
+    CTEs — the graph_kcore oracle trick (operators/graph.py): a fixed
+    round count makes the iterative algorithm SQL-expressible without a
+    recursive transitive closure. Each round is the same bucket-fold
+    half-step the Spark loop runs (bucket label = min member label, doc
+    label = min bucket label), idempotent at the fixpoint, so Spark's
+    early exit and the fixed unroll agree whenever convergence lands
+    inside the bound. Measured convergence (tools: /tmp-style round
+    counter, r6): 4 effective rounds at BOTH sf0.01 and sf0.1, <1 s in
+    DuckDB at sf0.1 — the round-5 sweep exclusion was the RECURSIVE
+    closure's cost, not the propagation's. Bound 8 = 2x margin;
+    convergence inside the bound is asserted in tests (last two rounds
+    identical)."""
+    parts = [
+        "m0 AS MATERIALIZED (SELECT doc_id, band, bucket FROM banded)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS lbl FROM m0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+            SELECT m.doc_id, MIN(bm.blbl) AS lbl
+            FROM m0 m JOIN (
+                SELECT m2.band, m2.bucket, MIN(l.lbl) AS blbl
+                FROM m0 m2 JOIN l{i - 1} l USING (doc_id)
+                GROUP BY m2.band, m2.bucket
+            ) bm USING (band, bucket)
+            GROUP BY m.doc_id
+        )"""
+        )
+    return (
+        f"WITH {_minhash_oracle_cte()},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT doc_id, lbl AS component_rep FROM l{rounds}"
+    )
+
+
 @register(
     "llm_dedup_components",
     "K",
-    oracle=f"""
-        WITH RECURSIVE {_minhash_oracle_cte()},
-        edges AS (
-            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-            FROM banded a JOIN banded b USING (band, bucket)
-        ),
-        reach AS (
-            SELECT u, v FROM edges
-            UNION
-            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-        )
-        SELECT u AS doc_id, MIN(v) AS component_rep
-        FROM reach GROUP BY u
-    """,
+    oracle=_components_oracle(),
     doc=(
         "Connected-component dedup clusters: the transitive closure of "
         "llm_dedup_minhash's 1-hop groups, via iterative min-label "
@@ -408,9 +435,10 @@ def _bucket_group_assign(
         "every iteration is one distributed join+aggregate — the standard "
         "DataFrame formulation of an iterative graph algorithm. The "
         "portable hash family makes even this iterative result "
-        "hash-verifiable: the oracle computes the same buckets and takes "
-        "the transitive closure with a recursive CTE (fine at oracle "
-        "scale; the distributed loop is the 100 TB path)."
+        "hash-verifiable: the oracle computes the same buckets and runs "
+        f"{COMPONENTS_ORACLE_ROUNDS} unrolled rounds of the SAME "
+        "bucket-fold half-step (measured fixpoint: 4 rounds at sf0.01 "
+        "and sf0.1; the distributed loop is the 100 TB path)."
     ),
 )
 def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

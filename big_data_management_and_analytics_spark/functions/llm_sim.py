@@ -601,7 +601,12 @@ def llm_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DuckDB round is half-AWAY - bround(2.5)=2 vs round(2.5)=3 - so "
         "the previous pairing was a latent tie bug; floor of the same "
         "double is one semantics in both engines, SURVEY 2.0 amendment "
-        "13), dequantize, and report the L2 reconstruction error. The "
+        "13). 'Half-up' here means ties round toward +inf on BOTH "
+        "signs: +63.5 -> +64 but -63.5 -> -63 - asymmetric about zero "
+        "(unlike round-half-away), deterministic and cross-engine "
+        "identical; both tie directions are pinned by "
+        "test_embed_quantize_half_tie_cross_engine. Then dequantize "
+        "and report the L2 reconstruction error. The "
         "4x-smaller int8 vectors are what a 100 TB ANN corpus actually "
         "stores; recon_err quantifies the recall cost."
     ),

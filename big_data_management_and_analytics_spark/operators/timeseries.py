@@ -657,7 +657,10 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recursive folds over 2-decimal data are the hot class for "
         "this hazard; exact decimals remove it (identical rational "
         "arithmetic, identical rounding points, integer micro-unit "
-        "output). Scale note: per-entity history must fit one task — "
+        "output). The cents quantization assumes events.value is "
+        "cents-grained — guarded by "
+        "test_events_value_is_cents_grained so a finer-grained fixture "
+        "fails loudly. Scale note: per-entity history must fit one task — "
         "bounded here; a 100 TB variant chunks histories by epoch and "
         "folds epoch partials (s carries across chunks via the a^k "
         "prefix weight)."

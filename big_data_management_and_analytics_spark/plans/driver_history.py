@@ -138,8 +138,12 @@ def queue_order(
     registry, survey_ids: set[str], verified: frozenset[str] | None = None
 ) -> list[str]:
     """Order query ids for the driver queue: never-verified SURVEY §2 ids
-    first (oracle-tier before rows-tier), then never-verified extras
-    (oracle before rows), then everything already verified (original
+    first (oracle-tier before rows-tier), then the never-verified
+    LLM/multimodal family (``llm_*``/``mm_*`` — the brief's mandated
+    first-class training-data-pipeline operators, prioritized per the
+    round-5 verdict item 1 so the driver verifies them before generic
+    extras), then the remaining never-verified extras (oracle before rows
+    within each block), then everything already verified (original
     registration order within each block). ALL §2 ids outrank extras so
     the full §2 contract reaches driver-green in the fewest rounds.
 
@@ -158,10 +162,12 @@ def queue_order(
     def prio(name: str) -> int:
         q = registry[name]
         if is_done(name):
-            return 4
+            return 6
         if name in survey_ids:
             return 0 if q.oracle else 1
-        return 2 if q.oracle else 3
+        if name.startswith(("llm_", "mm_")):
+            return 2 if q.oracle else 3
+        return 4 if q.oracle else 5
 
     reg_pos = {n: i for i, n in enumerate(registry)}
     return sorted(registry, key=lambda n: (prio(n), reg_pos[n]))

@@ -5208,6 +5208,30 @@ def test_embed_quantize_half_tie_cross_engine(spark, tmp_path):
     # row equality above is the real pin)
     assert abs(srow["recon_err_l2"] - abs(0.5 - 64.0 / 127.0)) < 1e-6
 
+    # NEGATIVE tie (r5 ADVICE): FLOOR(q + 0.5) sends ties toward +inf on
+    # both signs, so -63.5 -> -63 (toward zero) while +63.5 -> +64 (away)
+    # — asymmetric about zero, unlike round-half-away. The recon-err
+    # projection can't see the direction (|−0.5+63/127| = |0.5−64/127|),
+    # so pin the raw quantized value in BOTH engines directly…
+    assert spark.sql("SELECT FLOOR(-63.5 + 0.5) AS q").collect()[0]["q"] == -63
+    assert con.execute("SELECT FLOOR(-63.5 + 0.5)").fetchone()[0] == -63
+    # …and run the full operator cross-engine on a planted negative tie.
+    dneg = str(tmp_path / "qneg")
+    spark.createDataFrame(
+        [(2, [-0.5, 1.0] + [0.0] * 62, 0)],
+        schema="vec_id long, embedding array<float>, label int",
+    ).write.parquet(dneg + "/embeddings.parquet")
+    srow_n = q.fn(spark, dneg).collect()[0]
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{dneg}/embeddings.parquet/*.parquet')"
+    )
+    drow_n = con2.execute(q.oracle).fetchone()
+    assert (srow_n["vec_id"], srow_n["abs_max"], srow_n["q_abs_max"]) == drow_n[:3]
+    assert srow_n["recon_err_l2"] == drow_n[3]
+    assert abs(srow_n["recon_err_l2"] - abs(-0.5 + 63.0 / 127.0)) < 1e-6
+
 
 def test_holt_linear_fold_bit_equals_python_replay(spark, tmp_path):
     """ts_holt_linear's per-entity double fold must be BIT-equal to a
@@ -5418,3 +5442,57 @@ def test_stream_output_modes_ordering_invariants(spark):
     assert all(n > 0 for n in out.values()), out
     assert out["append"] <= out["update"]
     assert out["append"] <= out["complete"]
+
+
+def test_components_oracle_converges_inside_unroll_bound():
+    """The llm_dedup_components oracle (round 6: bounded unrolled
+    MATERIALIZED-CTE label propagation replacing the sf0.1-prohibitive
+    recursive closure) must reach its fixpoint INSIDE the unroll bound:
+    rounds-1 and rounds emit identical labels, so Spark's early-exit
+    loop and the fixed unroll agree (the graph_kcore argument).
+    Measured fixpoint is 4 rounds at sf0.01 and sf0.1; the bound is 8."""
+    import duckdb
+
+    from big_data_management_and_analytics_spark.functions.llm_dedup import (
+        COMPONENTS_ORACLE_ROUNDS,
+        _components_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    last = con.execute(_components_oracle(COMPONENTS_ORACLE_ROUNDS)).fetchall()
+    prev = con.execute(_components_oracle(COMPONENTS_ORACLE_ROUNDS - 1)).fetchall()
+    assert sorted(last) == sorted(prev)
+    # and the labels are a valid component labeling: every rep is a doc
+    # in its own component (rep label == rep id), each doc's rep <= id.
+    lbl = dict(last)
+    assert all(lbl[rep] == rep for rep in set(lbl.values()))
+    assert all(rep <= doc for doc, rep in lbl.items())
+
+
+def test_events_value_is_cents_grained(spark):
+    """ts_ewma (round 5) quantizes events.value to integer cents via
+    FLOOR(value*100 + 0.5) before its exact-decimal fold — sound only
+    while the fixture's value column IS cents-grained. Guard that
+    assumption on every sf the suite touches, so a finer-grained future
+    fixture fails HERE instead of silently truncating sub-cent precision
+    inside the ewma semantics (r5 ADVICE). The round-trip is bit-exact:
+    cents/100.0 re-lands on the identical double when and only when the
+    value was produced as a 2-decimal quantity."""
+    from pyspark.sql import functions as F
+
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load(spark, sf, "events")
+        bad = e.filter(
+            ~(
+                F.col("value")
+                == F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+                / F.lit(100.0)
+            )
+        ).count()
+        assert bad == 0, f"{sf}: {bad} events.value rows are not cents-grained"

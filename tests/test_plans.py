@@ -724,10 +724,26 @@ def test_hybrid_rrf_norm_fold_below_query_crossjoin(spark, registry):
     phys = _plan(df)
     assert "hashpartitioning(pos" not in phys
     assert "BroadcastNestedLoopJoin" in phys
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    lines = opt.splitlines()
-    (join_i,) = [i for i, l in enumerate(lines) if "Join Cross" in l]
-    left_child = lines[join_i + 1]
-    assert "AS darr#" in left_child and "aggregate(" in left_child, (
-        "dn fold not hoisted below the cross join:\n" + left_child
+    # Structural check on the optimized-plan TREE (r5 ADVICE: the old
+    # line-offset form depended on plan-text layout): find the single
+    # cross join node, then require the darr/aggregate fold projection
+    # somewhere in its LEFT (per-doc) child subtree — i.e. the fold is
+    # computed below the join, once per document.
+    opt = df._jdf.queryExecution().optimizedPlan()
+
+    def _nodes(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from _nodes(ch.apply(i))
+
+    crosses = [
+        n
+        for n in _nodes(opt)
+        if n.nodeName() == "Join" and n.joinType().toString() == "Cross"
+    ]
+    assert len(crosses) == 1, f"expected exactly one cross join, got {len(crosses)}"
+    left_subtree = crosses[0].children().apply(0).toString()
+    assert "AS darr#" in left_subtree and "aggregate(" in left_subtree, (
+        "dn fold not hoisted below the cross join; left subtree:\n" + left_subtree
     )

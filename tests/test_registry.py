@@ -54,6 +54,24 @@ def test_driver_queue_rotates(registry, tmp_path):
         "all never-verified SURVEY §2 ids must enqueue before extras"
     )
 
+    # Round-5 verdict item 1: the mandated LLM/multimodal family is the
+    # highest-priority extras block — never-verified llm_*/mm_* ids must
+    # all rank before any never-verified generic extra.
+    kfam = {
+        n for n in registry
+        if n.startswith(("llm_", "mm_")) and n not in done and n not in survey
+    }
+    other = {
+        n for n in registry
+        if not n.startswith(("llm_", "mm_"))
+        and n not in done and n not in survey
+    }
+    if kfam and other:
+        pos = {n: i for i, n in enumerate(order)}
+        assert max(pos[n] for n in kfam) < min(pos[n] for n in other), (
+            "never-verified llm_*/mm_* ids must outrank generic extras"
+        )
+
     # Tier-awareness: an oracle-tier id whose only driver record was a
     # rows-only check (err: no_oracle) must RE-queue for the hash check.
     from big_data_management_and_analytics_spark.plans.driver_history import (

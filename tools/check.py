@@ -11,8 +11,9 @@ Usage:
     python tools/check.py --list
 
 --skip-heavy-oracles drops the ids whose DUCKDB side is prohibitive at
-sf0.1 (currently just llm_dedup_components' recursive-CTE transitive
-closure) — the round-5 10x sweep ran every other oracle-tier id,
+sf0.1 (none since round 6 — llm_dedup_components' recursive closure,
+the last entry, was replaced by a bounded unrolled label-propagation
+oracle) — the round-5 10x sweep ran every other oracle-tier id,
 including the 112M-pair near-exact oracle (~10 min) and the 5.1M-row
 ssjoin output (~4 min), and caught three cross-engine rounding bugs the
 sf0.01 fixtures never tripped. Run it after any change to float math.
@@ -112,10 +113,12 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
 
 
 # Oracle-cost-prohibitive ids at sf >= 0.1 (the ENGINE side is fine —
-# these run in bench.py at sf0.1 every round; it is the DuckDB oracle
-# that explodes): recursive-CTE transitive closure over a dup-dense
-# bucket graph.
-HEAVY_ORACLES = ("llm_dedup_components",)
+# these would still run in bench.py at sf0.1 every round; it is the
+# DuckDB oracle that explodes). EMPTY since round 6: the one entry
+# (llm_dedup_components' recursive-CTE transitive closure) was replaced
+# by a bounded unrolled MATERIALIZED-CTE label propagation that runs in
+# <1 s at sf0.1 — the full oracle-tier registry now sweeps at sf0.1.
+HEAVY_ORACLES: tuple[str, ...] = ()
 
 
 def main() -> int:
@@ -124,8 +127,36 @@ def main() -> int:
     ap.add_argument("--list", action="store_true")
     ap.add_argument("--category", default=None)
     ap.add_argument("--skip-heavy-oracles", action="store_true")
+    ap.add_argument(
+        "--new-id-gate",
+        action="store_true",
+        help="SURVEY §5 rule 6: run the named ids through the sf0.1 "
+        "differential sweep at BOTH shuffle-partition widths (32 and 7) "
+        "by re-invoking this script in subprocesses (the width is a "
+        "session-construction conf). Nonzero exit on any miss. "
+        "Required before REGISTERING any new oracle-tier id.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.new_id_gate:
+        import subprocess
+
+        if not args.names:
+            print("--new-id-gate requires explicit id names", file=sys.stderr)
+            return 2
+        sf = args.sf if args.sf != ap.get_default("sf") else "/root/testdata/sf0.1"
+        rc = 0
+        for width in ("32", "7"):
+            env = dict(os.environ, SPARK_GRAFT_SHUFFLE_PARTITIONS=width)
+            print(f"== new-id gate: sf={sf} shuffle.partitions={width} ==")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--sf", sf, *args.names],
+                env=env,
+            )
+            rc = rc or r.returncode
+        print("new-id gate:", "PASS" if rc == 0 else "FAIL")
+        return rc
 
     import big_data_management_and_analytics_spark as engine
 
