@@ -1793,6 +1793,18 @@ BM25_QUERIES = (
 _BM25_Q_SQL = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
 
 
+def _qterms_df(spark: SparkSession) -> DataFrame:
+    """(query_id, term) pairs as a literal VALUES relation — a
+    LocalRelation the broadcast exchanges materialize driver-side with
+    no parallelize job (vs spark.createDataFrame on a Python list,
+    which schedules a defaultParallelism-sliced job per materialization;
+    measured 0.38 -> 0.15 s each at local[32], r6)."""
+    vals = ", ".join(
+        f"('{q}', '{t}')" for q, qt in BM25_QUERIES for t in qt.split(" ")
+    )
+    return spark.sql(f"SELECT col1 AS query_id, col2 AS term FROM VALUES {vals}")
+
+
 @register(
     "llm_bm25_search",
     "K",
@@ -1872,10 +1884,7 @@ def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    qterms = spark.createDataFrame(
-        [(q, t) for q, qt in BM25_QUERIES for t in qt.split(" ")],
-        "query_id string, term string",
-    )
+    qterms = _qterms_df(spark)
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df), "term")
@@ -2071,10 +2080,7 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    qterms = d.sparkSession.createDataFrame(
-        [(q, t) for q, qt in BM25_QUERIES for t in qt.split(" ")],
-        "query_id string, term string",
-    )
+    qterms = _qterms_df(d.sparkSession)
     bscored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df), "term")

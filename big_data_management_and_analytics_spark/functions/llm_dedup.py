@@ -206,18 +206,22 @@ def llm_dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sigs(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
     """Per-doc 16-minhash signature (s0..s15) over distinct tokens, via
     the engine-portable universal hash family (one md5 per token + 16
     integer mixes — all whole-stage-codegen; see portable_hash.py).
 
-    The result is localCheckpoint'ed (lazy): every consumer feeds the
-    banded relation into at least two subplans (bucket aggregate + the
-    assignment join), and without materialization each consumer re-runs
-    the tokenize+md5 signature pass — the dominant cost — once per
-    subplan (and under AQE the two evaluations are the round-3
-    re-evaluated-exchange hazard class). The checkpoint stores
-    n_docs × 17 longs — linear, same discipline as two_pass_scan."""
+    The result is localCheckpoint'ed (lazy) when ``checkpoint`` — for
+    consumers that feed the signatures into two or more subplans, where
+    each subplan would otherwise re-run the tokenize+md5 signature pass
+    (and under AQE the two evaluations are the round-3 re-evaluated-
+    exchange hazard class). The checkpoint stores n_docs × 17 longs —
+    linear, same discipline as two_pass_scan. Consumers whose plan reads
+    the signatures exactly ONCE (llm_dedup_minhash since the r6
+    window-form _bucket_group_assign) pass checkpoint=False: a
+    materialization pass for a single read is pure overhead."""
     d = load(spark, sf_dir, "documents")
     words = (
         spread(d, "doc_id")
@@ -233,12 +237,13 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ph1_hex(F.col("hx")) % P).alias("g1"),
         )
     )
-    return words.groupBy("doc_id").agg(
+    sigs = words.groupBy("doc_id").agg(
         *[
             F.min(mix_col(F.col("g0"), F.col("g1"), i)).alias(f"s{i}")
             for i in range(N_HASHES)
         ]
-    ).localCheckpoint(eager=False)
+    )
+    return sigs.localCheckpoint(eager=False) if checkpoint else sigs
 
 
 def _minhash_oracle_cte() -> str:
@@ -341,7 +346,10 @@ def _banded(sigs: DataFrame) -> DataFrame:
         "group_rep) — linear in docs, NOT in pairs: a cluster of k "
         "near-identical docs costs k rows, not k², which is what "
         "survives a 100 TB corpus with degenerate near-dup blocks. "
-        "Everything is signature pass + two groupBys, all codegen. The "
+        "Everything is signature pass + bucket-window + one groupBy "
+        "(r6: the per-bucket rep/size fold rides an unbounded window "
+        "over the bucket shuffle — no join, two shuffles total), all "
+        "codegen. The "
         "hash family is the engine-portable md5-based universal family "
         "(portable_hash.py), so the LSH bucket assignment itself is "
         "hash-verified against the DuckDB oracle — oracle-tier, not "
@@ -349,7 +357,9 @@ def _banded(sigs: DataFrame) -> DataFrame:
     ),
 )
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _minhash_sigs(spark, sf_dir)
+    # checkpoint=False: the window-form assignment reads the signatures
+    # exactly once, so a materialization pass would be pure overhead.
+    sigs = _minhash_sigs(spark, sf_dir, checkpoint=False)
     banded = _banded(sigs)
     return _bucket_group_assign(banded, "doc_id")
 
@@ -366,13 +376,23 @@ def _bucket_group_assign(
     for full connected components; 1 hop is the standard LSH-dedup pass).
     Linear in rows, never O(pairs). `passthrough` columns (constant per
     key) are carried through the aggregate. ``bucket_cols`` names the
-    bucket-identity columns (defaults to the packed-long triple)."""
+    bucket-identity columns (defaults to the packed-long triple).
+
+    Round 6: bucket rep/size come from an unbounded WINDOW over the
+    bucket partition instead of the former groupBy + self-join — one
+    shuffle of the membership relation on the bucket key feeds both
+    per-bucket aggregates in place, then only the per-key groupBy
+    remains. Two shuffles total instead of three (the join re-shuffled
+    both sides); identical values (min/count over the same partition).
+    At 100 TB the removed join is the win — bucket_rep is linear in
+    docs, never broadcastable."""
+    from pyspark.sql import Window
+
     bcols = list(bucket_cols or ("band", "bhi", "blo"))
-    bucket_rep = banded.groupBy(*bcols).agg(
-        F.min(key).alias("bucket_rep"), F.count(F.lit(1)).alias("bucket_n")
-    )
+    w = Window.partitionBy(*bcols)
     return (
-        banded.join(bucket_rep, bcols)
+        banded.withColumn("bucket_rep", F.min(key).over(w))
+        .withColumn("bucket_n", F.count(F.lit(1)).over(w))
         .groupBy(key)
         .agg(
             F.min("bucket_rep").alias("group_rep"),

@@ -644,17 +644,20 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_embed_pca",
     "K",
     doc=(
-        "Distributed PCA for low-dimensional embeddings (d=64): one "
-        "Arrow-batched pass accumulates per-partition partial covariance "
-        "blocks (64x64 per batch - NOT a 4096x row explosion), one "
-        "shuffle sums them, and the tiny 64x64 matrix eigendecomposes on "
-        "the driver. This is the correct 100 TB shape when d is small: "
-        "data-size work is a single map pass; driver work is O(d^3) "
-        "regardless of corpus size. Round 5: the accumulation is now "
-        "EXACT-INTEGER - embeddings quantize to nano-units in a Spark "
-        "expression, each Arrow batch computes X^T X on the 16-bit-split "
-        "int64 components (qq/qr/rr partial matmuls, each overflow-proof "
-        "by construction), and the driver recombines S = "
+        "Distributed PCA for low-dimensional embeddings (d=64): ONE "
+        "Arrow-batched pass accumulates per-partition raw integer "
+        "moments (64x64 X^T X blocks + the 64 dim sums + row count - "
+        "NOT a 4096x row explosion), one shuffle sums them, and the "
+        "driver recombines the covariance via the exact identity "
+        "n^2*C = n*Sxx - sx*sx^T before the tiny 64x64 eigensolve. This "
+        "is the correct 100 TB shape when d is small: data-size work is "
+        "a SINGLE map pass (round 6 fused the former separate mean "
+        "pass - half the scans); driver work is O(d^3) regardless of "
+        "corpus size. The accumulation is EXACT-INTEGER (round 5) - "
+        "embeddings quantize to nano-units in a Spark expression, each "
+        "Arrow batch computes X^T X on the 16-bit-split int64 "
+        "components (qq/qr/rr partial matmuls, each overflow-proof by "
+        "construction), and the driver recombines S = "
         "(Sqq<<32)+(Sqr<<16)+Srr in Python ints - so the covariance is "
         "bit-identical under ANY partitioning or executor count (the "
         "shuffle-invariance harness checks it), leaving the LAPACK "
@@ -673,8 +676,7 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     dims = 64
-    # Nano-unit quantization happens ONCE, in a Spark expression, so the
-    # mean pass and the covariance pass see the same exact integers.
+    # Nano-unit quantization happens ONCE, in a Spark expression.
     e = load(spark, sf_dir, "embeddings").select(
         F.transform(
             F.col("embedding").cast("array<double>"),
@@ -682,37 +684,34 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q")
     )
 
-    mu_rows = (
-        e.select(F.posexplode("q").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(
-            F.sum(F.col("val").cast("decimal(38,0)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    )
-    n_rows = int(mu_rows[0].n)
-    mu_nano = [0] * dims
-    for r in mu_rows:
-        s = int(r.s)
-        # sign-split floor: exact, engine-portable integer mean
-        mu_nano[r.pos] = s // n_rows if s >= 0 else -((-s) // n_rows)
-    mu_arr = np.array(mu_nano, dtype=np.int64)
-
-    def partial_cov(batches):
+    # ONE pass (round 6; was mean pass + covariance pass): each Arrow
+    # batch emits the raw integer moments — 16-bit-split X^T X blocks,
+    # the per-dim sum vector (rows where j == 0 carry s_i), and the row
+    # count (the i=0,j=0 row) — and the driver recombines them via the
+    # exact raw-moment identity n²·C = n·Σxxᵀ − (Σx)(Σx)ᵀ in Python
+    # ints. Still bit-identical under ANY partitioning (every shuffled
+    # quantity is an exact integer sum), same 100 TB shape but half the
+    # scans, and the mean is now exact-rational instead of the old
+    # floored integer (strictly closer to the float reference).
+    def partial_moments(batches):
         for pdf in batches:
-            X = np.stack(pdf["q"].to_numpy()).astype(np.int64) - mu_arr
+            X = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             # 16-bit split: X = Q*2^16 + R with 0 <= R < 2^16 (arithmetic
             # shift floors, & takes the low bits - exact for negatives).
-            # |centered| <= ~1.2e9 nano-units, so |Q| <= 2e4 and each
-            # component matmul stays far inside int64 for any batch size
-            # Arrow will hand us (qq <= 4e8/row, rr <= 4.3e9/row).
+            # |x| <= ~1.3e9 nano-units, so |Q| <= 2e4 and each component
+            # matmul stays far inside int64 for any batch size Arrow
+            # will hand us (qq <= 4e8/row, rr <= 4.3e9/row).
             Q = X >> 16
             R = X & 0xFFFF
             sqq = Q.T @ Q
             sqr = Q.T @ R + R.T @ Q
             srr = R.T @ R
+            s = X.sum(axis=0)  # <= batch_rows * 1.3e9 — inside int64
             i, j = np.indices((dims, dims))
+            si = np.zeros((dims, dims), dtype=np.int64)
+            si[:, 0] = s
+            cnt = np.zeros((dims, dims), dtype=np.int64)
+            cnt[0, 0] = len(X)
             yield pd.DataFrame(
                 {
                     "i": i.ravel(),
@@ -720,32 +719,54 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sqq": sqq.ravel(),
                     "sqr": sqr.ravel(),
                     "srr": srr.ravel(),
+                    "si": si.ravel(),
+                    "cnt": cnt.ravel(),
                 }
             )
 
     dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).alias(c)
     cov_rows = (
         e.mapInPandas(
-            partial_cov, "i int, j int, sqq long, sqr long, srr long"
+            partial_moments,
+            "i int, j int, sqq long, sqr long, srr long, si long, cnt long",
         )
         .groupBy("i", "j")
-        .agg(dec("sqq"), dec("sqr"), dec("srr"))
+        .agg(dec("sqq"), dec("sqr"), dec("srr"), dec("si"), dec("cnt"))
         .collect()
     )
-    C = np.zeros((dims, dims))
-    scale = 1e-18 / n_rows  # nano^2 units -> covariance
+    n_rows = 0
+    s_vec = [0] * dims
+    second = {}
     for r in cov_rows:
-        s_exact = (int(r.sqq) << 32) + (int(r.sqr) << 16) + int(r.srr)
-        C[r.i, r.j] = s_exact * scale
+        second[(r.i, r.j)] = (int(r.sqq) << 32) + (int(r.sqr) << 16) + int(r.srr)
+        if r.j == 0:
+            s_vec[r.i] = int(r.si)
+            if r.i == 0:
+                n_rows = int(r.cnt)
+    C = np.zeros((dims, dims))
+    scale = 1e-18 / (n_rows * n_rows)  # nano^2 units -> covariance
+    for (i, j), s_exact in second.items():
+        C[i, j] = (n_rows * s_exact - s_vec[i] * s_vec[j]) * scale
     vals, vecs = np.linalg.eigh(C)
     v = vecs[:, -1]
     pivot = int(np.argmax(np.abs(v)))
     if v[pivot] < 0:
         v = -v
     share = float(vals[-1] / np.trace(C))
-    rows = [(i + 1, round(float(v[i]), 6), round(share, 6)) for i in range(dims)]
+    # Arrow-path local relation (pandas input): the 64-row result
+    # becomes a LocalTableScan instead of a defaultParallelism-sliced
+    # parallelized job — measured 0.38 s -> 0.07 s on the terminal
+    # write at local[32]. (coalesce(1) on the list form is a trap: it
+    # hit a ~5 s scheduling pathology, measured r6.)
+    pdf = pd.DataFrame(
+        {
+            "dim": np.arange(1, dims + 1, dtype="int32"),
+            "loading": [round(float(v[i]), 6) for i in range(dims)],
+            "explained_share": [round(share, 6)] * dims,
+        }
+    )
     return spark.createDataFrame(
-        rows, "dim int, loading double, explained_share double"
+        pdf, "dim int, loading double, explained_share double"
     )
 
 
@@ -1533,15 +1554,25 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(8):
             codebook[(s, cell)] = list(row.emb6[s * 8 : s * 8 + 8])
 
-    _CELLS_SCHEMA = "s int, cells array<struct<cell:int,carr:array<double>>>"
-
     def cells_df():
-        return spark.createDataFrame(
-            [
-                (s, [(c, codebook[(s, c)]) for c in range(16)])
-                for s in range(8)
-            ],
-            _CELLS_SCHEMA,
+        # Literal VALUES relation, not a parallelized local collection:
+        # the codebook broadcast happens 3x per run (2 Lloyd iterations
+        # + final assignment) and a LocalRelation materializes driver-
+        # side with no 32-slice job (measured 0.38 -> 0.15 s each at
+        # local[32], r6). repr() round-trips any double bit-exactly and
+        # Spark's `<lit>D` literal parses it back to the same bits.
+        rows = []
+        for s in range(8):
+            cells = ", ".join(
+                "named_struct('cell', {c}, 'carr', array({a}))".format(
+                    c=c,
+                    a=", ".join(repr(x) + "D" for x in codebook[(s, c)]),
+                )
+                for c in range(16)
+            )
+            rows.append(f"({s}, array({cells}))")
+        return spark.sql(
+            "SELECT col1 AS s, col2 AS cells FROM VALUES " + ", ".join(rows)
         )
 
     def assign() -> DataFrame:

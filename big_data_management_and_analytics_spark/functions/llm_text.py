@@ -806,7 +806,14 @@ def llm_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = [0] * _BLOOM_BLOCKS
     for r in blocks:
         dense[r["block"]] = r["bits"]
-    bloom = spark.createDataFrame([(dense,)], "bloom array<long>")
+    # Arrow-path local relation (pandas input): one row carrying the
+    # 16K-word filter becomes a LocalTableScan, so the broadcast needs
+    # no parallelize job (same pattern as llm_embed_pca's tail, r6).
+    import pandas as _pd
+
+    bloom = spark.createDataFrame(
+        _pd.DataFrame({"bloom": [dense]}), "bloom array<long>"
+    )
 
     # Probe: a gram hits iff all k probed bits are set.
     hit = F.expr(_BLOOM_HIT_SQL)

@@ -114,9 +114,10 @@ SENSITIVE = [
     "win_drawdown",        # stacked cents windows, exact peak-trough
     "agg_winsorized_mean", # exact percentile bounds + clamped cents sums
     # round-5 additions
-    "llm_embed_pca",       # exact-integer split covariance (r5 rewrite):
-                           # partials now recombine to the same integer S
-                           # under any partitioning; eigh sees one input
+    "llm_embed_pca",       # exact-integer split covariance (r5; r6 fused
+                           # to ONE raw-moment pass): partials recombine
+                           # to the same integer S and sums under any
+                           # partitioning; eigh sees one input
     "feat_robust_scale",   # dyadic quartile interpolation over exact cents
     "agg_auc_roc",         # integer scores + prefix-sum rank identity
     "agg_lift_chart",      # two-pass decile cut + array-folded capture

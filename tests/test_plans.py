@@ -747,3 +747,16 @@ def test_hybrid_rrf_norm_fold_below_query_crossjoin(spark, registry):
     assert "AS darr#" in left_subtree and "aggregate(" in left_subtree, (
         "dn fold not hoisted below the cross join; left subtree:\n" + left_subtree
     )
+
+
+def test_bucket_group_assign_is_join_free(spark, registry):
+    """r6: _bucket_group_assign computes bucket rep/size via an
+    unbounded window over the bucket partition — the plan must carry NO
+    join of any kind (the former groupBy+self-join re-shuffled the
+    membership relation twice) and exactly one Window."""
+    for name in ("llm_dedup_minhash", "mm_phash_groups", "llm_fingerprint_winnow"):
+        plan = _plan(registry[name].fn(spark, SF_T2))
+        assert "Join" not in plan, f"{name} plans a join"
+        # Tree section only (the formatted detail section repeats nodes).
+        tree = plan.split("\n\n(")[0]
+        assert tree.count("Window") == 1, f"{name}: {tree.count('Window')} windows"
