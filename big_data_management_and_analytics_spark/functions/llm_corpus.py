@@ -1014,11 +1014,18 @@ _GRAMS_CTE = """
 )
 def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_management_and_analytics_spark.functions.llm_text import (
+        _explode_grams,
         _five_grams,
     )
 
     d = load(spark, sf_dir, "documents")
-    eg = _five_grams(d).select("doc_id", F.explode("gs").alias("gram"))
+    # _explode_grams, NOT a plain explode: the inferred size(gs)>0
+    # filter of a plain explode pushes the whole gram expression below
+    # _five_grams' repartition into the single-file scan task (measured
+    # 33.6 s -> ~1 s at sf0.1, r6 — the same trap _explode_grams was
+    # built for at round 2; this operator predated the helper's adoption
+    # here).
+    eg = _explode_grams(_five_grams(d), "doc_id")
     fst = eg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per = (
         eg.join(fst, "gram")

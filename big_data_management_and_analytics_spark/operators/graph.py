@@ -135,9 +135,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fold the degree into the edge table ONCE via broadcast (n_nodes
     # rows — tiny beside the edge list) instead of a second join every
     # iteration; checkpoint so the loop reads materialized edges.
+    # repartition("src") BEFORE the checkpoint (r6): localCheckpoint
+    # preserves output partitioning, so every iteration's edgew⋈ranks
+    # join reuses this one-time shuffle instead of re-exchanging the
+    # full edge table ten times — the "reuse a partitioning across
+    # stages" pattern; at cluster scale this is the difference between
+    # 1 and 11 shuffles of the edge list.
     edgew = (
         edges.join(F.broadcast(deg), "src")
         .select("src", "dst", "out_deg")
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
     teleport_fp = (SCALE * 15 // 100) // n_nodes  # (1-α)/n at fixed point
@@ -1017,6 +1024,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # 4 half-steps + the node inits
     )
+    # (r6 A/B, kept single-copy: per-key pre-partitioned edge copies
+    # measured a wash here — 2 extra materialization jobs vs 4 saved
+    # exchanges of a ~100k-row relation; see graph_pagerank for the
+    # variant that DOES pay, where the repartition folds into an
+    # already-required checkpoint at zero extra jobs.)
+    edges_by = {"c": edges, "s": edges}
     cn = edges.select("c").distinct().agg(F.count(F.lit(1)).alias("nc"))
     h = (
         edges.select("c")
@@ -1027,7 +1040,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def half_step(scores: DataFrame, key_in: str, key_out: str, col: str) -> DataFrame:
         raw = (
-            edges.join(scores, key_in)
+            edges_by[key_in].join(scores, key_in)
             .groupBy(key_out)
             .agg(
                 F.sum(
@@ -1147,6 +1160,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # 3 half-step consumers
     )
+    # (r6 A/B, kept single-copy: pre-partitioned per-key edge copies — the
+    # graph_hits/pagerank move — measured SLOWER here: 3 half-steps save
+    # only 3 small exchanges, less than the 2 extra materialization jobs
+    # cost. The keyed-copy pattern needs >=4 reuses per key to pay off.)
 
     def plurality(df: DataFrame, node: str, lbl: str) -> DataFrame:
         w = Window.partitionBy(node).orderBy(
