@@ -760,3 +760,48 @@ def test_bucket_group_assign_is_join_free(spark, registry):
         # Tree section only (the formatted detail section repeats nodes).
         tree = plan.split("\n\n(")[0]
         assert tree.count("Window") == 1, f"{name}: {tree.count('Window')} windows"
+
+
+def test_gram_expression_never_below_spread_exchange(spark, registry):
+    """The five-gram expression must run AFTER _five_grams' spread
+    repartition, never inside the single-file scan task. A plain
+    explode's inferred size(gs)>0 filter pushes the whole gram
+    expression (concat_ws over element_at) below the exchange — the
+    round-2 trap that silently re-entered via llm_ngram_novelty
+    (measured 33.6 s single-task at sf0.1, r6). Structural pin: walk
+    the physical-plan tree; on the path from every documents scan leaf
+    UP to its nearest Exchange, no node may carry concat_ws. (Verified
+    to flag the trap form: re-introducing the plain explode lights up
+    the pre-exchange Filter node.)"""
+    for name in (
+        "llm_ngram_novelty",
+        "llm_contamination",
+        "llm_contamination_bloom",
+        "llm_decontaminate",
+    ):
+        plan = registry[name].fn(spark, SF_T2)._jdf.queryExecution().sparkPlan()
+        offenders = []
+
+        def walk(node, chain, _offenders=offenders):
+            if "Exchange" in node.nodeName():
+                chain = []
+            chain = chain + [node]
+            ch = node.children()
+            if (
+                ch.size() == 0
+                and node.nodeName().startswith("Scan")
+                and "documents" in node.simpleString(10000)
+            ):
+                _offenders.extend(
+                    a.nodeName()
+                    for a in chain
+                    if "concat_ws" in a.simpleString(10000)
+                )
+            for i in range(ch.size()):
+                walk(ch.apply(i), chain)
+
+        walk(plan, [])
+        assert not offenders, (
+            f"{name}: gram expression evaluated below the spread exchange in "
+            f"{offenders} (single-task trap — route through _explode_grams)"
+        )
