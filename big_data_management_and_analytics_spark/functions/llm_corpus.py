@@ -1797,7 +1797,17 @@ BM25_QUERIES = (
     ("q2", "slow query"),
     ("q3", "data stream"),
 )
-_BM25_Q_SQL = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+
+
+def _sq(s: str) -> str:
+    """SQL single-quote escape for string literals interpolated into
+    VALUES relations (ANSI '' doubling — same rule in Spark SQL and
+    DuckDB), so a future query constant containing an apostrophe can't
+    break the VALUES parse (ADVICE r6)."""
+    return s.replace("'", "''")
+
+
+_BM25_Q_SQL = ", ".join(f"('{_sq(q)}', '{_sq(t)}')" for q, t in BM25_QUERIES)
 
 
 def _qterms_df(spark: SparkSession) -> DataFrame:
@@ -1807,7 +1817,9 @@ def _qterms_df(spark: SparkSession) -> DataFrame:
     which schedules a defaultParallelism-sliced job per materialization;
     measured 0.38 -> 0.15 s each at local[32], r6)."""
     vals = ", ".join(
-        f"('{q}', '{t}')" for q, qt in BM25_QUERIES for t in qt.split(" ")
+        f"('{_sq(q)}', '{_sq(t)}')"
+        for q, qt in BM25_QUERIES
+        for t in qt.split(" ")
     )
     return spark.sql(f"SELECT col1 AS query_id, col2 AS term FROM VALUES {vals}")
 

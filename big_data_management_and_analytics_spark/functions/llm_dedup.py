@@ -519,6 +519,7 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     labels: DataFrame | None = None
     prev_sum = None
+    converged = False
     for _ in range(8):  # diameter bound; fixture clusters converge in ≤3
         if labels is None:
             # Iteration 1: every label IS its doc_id, so the bucket
@@ -549,8 +550,23 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_sum = obs.get["s"]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    # Fail LOUDLY if the bucket graph's diameter exceeded the bound:
+    # the oracle unrolls the same number of rounds, so an unconverged
+    # engine result would still hash-match while not being true
+    # connected components — the one failure mode the cross-engine
+    # check cannot see (ADVICE r6). The invariant is cheap (one extra
+    # already-computed sum comparison), and on a deeper corpus the
+    # right response is raising the bound, not silently shipping
+    # partial closure.
+    if not converged:
+        raise RuntimeError(
+            "llm_dedup_components: min-label propagation did not reach "
+            "its fixpoint within 8 rounds (bucket-graph diameter > 8); "
+            "raise COMPONENTS_ORACLE_ROUNDS and the loop bound together"
+        )
     return labels.select("doc_id", F.col("label").alias("component_rep"))
 
 

@@ -19,6 +19,7 @@ cells before scoring, turning O(Q·N) into O(Q·N/cells·probes).
 from __future__ import annotations
 
 import atexit
+import math
 
 import numpy as np
 import pandas as pd
@@ -1560,9 +1561,18 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + final assignment) and a LocalRelation materializes driver-
         # side with no 32-slice job (measured 0.38 -> 0.15 s each at
         # local[32], r6). repr() round-trips any double bit-exactly and
-        # Spark's `<lit>D` literal parses it back to the same bits.
+        # Spark's `<lit>D` literal parses it back to the same bits —
+        # for FINITE doubles only (repr gives `inf`/`nan`, which the
+        # `D` suffix can't parse), so guard: centroids are means of
+        # 6-dp-rounded fixture floats and can't be non-finite unless
+        # the input is corrupt (ADVICE r6).
         rows = []
         for s in range(8):
+            for c in range(16):
+                assert all(math.isfinite(x) for x in codebook[(s, c)]), (
+                    f"non-finite centroid in PQ codebook cell ({s},{c}); "
+                    "repr()+'D' literals only round-trip finite doubles"
+                )
             cells = ", ".join(
                 "named_struct('cell', {c}, 'carr', array({a}))".format(
                     c=c,

@@ -1029,7 +1029,6 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchanges of a ~100k-row relation; see graph_pagerank for the
     # variant that DOES pay, where the repartition folds into an
     # already-required checkpoint at zero extra jobs.)
-    edges_by = {"c": edges, "s": edges}
     cn = edges.select("c").distinct().agg(F.count(F.lit(1)).alias("nc"))
     h = (
         edges.select("c")
@@ -1040,7 +1039,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def half_step(scores: DataFrame, key_in: str, key_out: str, col: str) -> DataFrame:
         raw = (
-            edges_by[key_in].join(scores, key_in)
+            edges.join(scores, key_in)
             .groupBy(key_out)
             .agg(
                 F.sum(

@@ -16,10 +16,11 @@ Usage: python tools/time_sweep.py [--sf /root/testdata/sf0.1] [--top 30]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Multi-trigger streaming demo — minutes by design, exercised in pytest.
 SKIP = {"stream_output_modes"}
