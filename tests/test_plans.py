@@ -715,6 +715,53 @@ def test_sequential_folds_have_no_window_or_join_tail(spark, registry):
         assert "Window" not in plan, name
 
 
+def _fold_alias_below_single_cross_join(df, alias: str) -> tuple[bool, str]:
+    """Structural checker (r6 VERDICT defect 2 — no plan-TEXT matching at
+    all): walk the OPTIMIZED logical plan, find the single cross join,
+    and report whether (a) the join's LEFT child already OUTPUTS an
+    attribute named ``alias`` (the fold is a named column below the
+    join, computed once per left row) and (b) an ArrayAggregate
+    expression (the ``F.aggregate`` higher-order fold) exists somewhere
+    in that left subtree's expression trees. Both facts come from the
+    Catalyst tree API (nodeName / joinType / output / expression class),
+    never from toString() layout."""
+    opt = df._jdf.queryExecution().optimizedPlan()
+
+    def _nodes(n):
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from _nodes(ch.apply(i))
+
+    def _expr_tree(e):
+        yield e
+        ch = e.children()
+        for i in range(ch.size()):
+            yield from _expr_tree(ch.apply(i))
+
+    crosses = [
+        n
+        for n in _nodes(opt)
+        if n.nodeName() == "Join" and n.joinType().toString() == "Cross"
+    ]
+    if len(crosses) != 1:
+        return False, f"expected exactly one cross join, got {len(crosses)}"
+    left = crosses[0].children().apply(0)
+    out = left.output()
+    left_names = {out.apply(i).name() for i in range(out.size())}
+    if alias not in left_names:
+        return False, f"'{alias}' not in left-child output {sorted(left_names)}"
+    has_fold = any(
+        e.getClass().getSimpleName() == "ArrayAggregate"
+        for n in _nodes(left)
+        for i in range(n.expressions().size())
+        for e in _expr_tree(n.expressions().apply(i))
+    )
+    if not has_fold:
+        return False, "no ArrayAggregate expression in the left subtree"
+    return True, ""
+
+
 def test_hybrid_rrf_norm_fold_below_query_crossjoin(spark, registry):
     """The dense branch's per-doc norm (dn) must fold BEFORE the
     doc x query broadcast cross join — once per document, not once per
@@ -724,29 +771,42 @@ def test_hybrid_rrf_norm_fold_below_query_crossjoin(spark, registry):
     phys = _plan(df)
     assert "hashpartitioning(pos" not in phys
     assert "BroadcastNestedLoopJoin" in phys
-    # Structural check on the optimized-plan TREE (r5 ADVICE: the old
-    # line-offset form depended on plan-text layout): find the single
-    # cross join node, then require the darr/aggregate fold projection
-    # somewhere in its LEFT (per-doc) child subtree — i.e. the fold is
-    # computed below the join, once per document.
-    opt = df._jdf.queryExecution().optimizedPlan()
+    ok, why = _fold_alias_below_single_cross_join(df, "darr")
+    assert ok, "dn fold not hoisted below the cross join: " + why
 
-    def _nodes(n):
-        yield n
-        ch = n.children()
-        for i in range(ch.size()):
-            yield from _nodes(ch.apply(i))
 
-    crosses = [
-        n
-        for n in _nodes(opt)
-        if n.nodeName() == "Join" and n.joinType().toString() == "Cross"
-    ]
-    assert len(crosses) == 1, f"expected exactly one cross join, got {len(crosses)}"
-    left_subtree = crosses[0].children().apply(0).toString()
-    assert "AS darr#" in left_subtree and "aggregate(" in left_subtree, (
-        "dn fold not hoisted below the cross join; left subtree:\n" + left_subtree
+def test_fold_below_crossjoin_checker_flags_unhoisted_plan(spark):
+    """Negative control (r6 VERDICT item 5: 'prove it can fail'): build
+    the deliberately UN-hoisted shape — the aggregate fold computed
+    AFTER the cross join, once per (doc x query) pair — and require the
+    structural checker to reject it. Catalyst's ColumnPruning inserts
+    attribute-only Projects below joins but never migrates a computed
+    alias through one, so the un-hoisted alias stays above the join."""
+    import pyspark.sql.functions as F
+
+    docs = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("arr"),
     )
+    q = spark.range(1).select(F.lit("q1").alias("query_id"))
+    unhoisted = docs.crossJoin(F.broadcast(q)).withColumn(
+        "darr",
+        F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x * x),
+    )
+    ok, why = _fold_alias_below_single_cross_join(unhoisted, "darr")
+    assert not ok, "checker accepted an un-hoisted fold plan"
+    assert "not in left-child output" in why
+    # And the hoisted twin of the SAME toy plan passes — the checker
+    # discriminates on fold placement, nothing else.
+    hoisted = (
+        docs.withColumn(
+            "darr",
+            F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x * x),
+        )
+        .crossJoin(F.broadcast(q))
+    )
+    ok, why = _fold_alias_below_single_cross_join(hoisted, "darr")
+    assert ok, why
 
 
 def test_bucket_group_assign_is_join_free(spark, registry):
