@@ -172,9 +172,14 @@ def main() -> None:
     # stdout, and the full ~3.3 KB result line kept getting its head clipped
     # (BENCH_r03-r05 all record parsed:null). Strategy: persist the full
     # artifact to a file, print it once for humans, then print a COMPACT
-    # summary (metric/value/unit/sf/queries/load only — no sf_small or
-    # scaling sections, ~1 KB) as the absolute LAST stdout bytes so even a
-    # small tail window sees one complete parseable JSON object.
+    # summary as the absolute LAST stdout bytes so even a small tail
+    # window sees one complete parseable JSON object. Round-6 verdict
+    # defect 1: the compact line must be SELF-SUFFICIENT for grading —
+    # it now carries exact_baselines, sf_small, and scaling_x too
+    # (everything except the redundant queries_sf_small raw timings,
+    # recoverable as queries/scaling_x), serialized with no-space
+    # separators: ~1.5 KB, still inside the observed ~2.3 KB tail
+    # window with margin.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"),
@@ -190,13 +195,16 @@ def main() -> None:
         "unit": result["unit"],
         "queries": timings,
         "sf": result["sf"],
+        "exact_baselines": baselines,
+        "sf_small": result["sf_small"],
+        "scaling_x": scaling,
         "load_avg_1m_start": load_start,
         "load_avg_1m_end": load_end,
     }
     spark.stop()
     sys.stdout.flush()
     print(line, flush=True)
-    print(json.dumps(compact), flush=True)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
