@@ -1516,17 +1516,17 @@ def test_ssjoin_matches_bruteforce_on_random_sets(spark, tmp_path):
 
 
 def test_ssjoin_ppjoin_bound_zero_slack_first_match(spark, tmp_path):
-    """Pin the ppjoin first-match bound at its extremal configuration
-    (round-4 verdict item 7): a pair at EXACTLY J = 0.7 (17 tokens each,
+    """Pin the ppjoin positional bound at its extremal configuration
+    (round-4 verdict item 7; bound upgraded in r7 to the complete-
+    positional-info form): a pair at EXACTLY J = 0.7 (17 tokens each,
     14 shared) whose 3+3 unshared tokens are the globally rarest, so the
-    df-ordered prefix (length 6) opens with all three unshared tokens and
-    the FIRST shared prefix token sits at pa = pb = 4 — the maximal
-    displacement any qualifying pair can achieve (a doc has only n−i
-    unshared tokens to spend ahead of its first match). There the bound
-    17·(1 + min(na−pa, nb−pb)) ≥ 7·(na+nb) holds with ZERO slack
-    (17·14 = 7·34 = 238): one integer off in either direction and the
-    filter would wrongly shed a true threshold pair. The docstring's
-    proof is exercised, not just stated."""
+    df-ordered prefix (length 6) opens with all three unshared tokens
+    and the three shared prefix tokens sit at ranks 4..6. The aggregate
+    bound folds cnt = 3 prefix-prefix matches with last-match positions
+    max(pa) = max(pb) = 6, so 17·(cnt + min(na−mpa, nb−mpb)) =
+    17·(3 + 11) = 238 = 7·(na+nb) — ZERO slack: one integer off in
+    either direction and the filter would wrongly shed a true threshold
+    pair. The docstring's proof is exercised, not just stated."""
     from big_data_management_and_analytics_spark.functions import llm_dedup
 
     shared = [f"sh{i:02d}" for i in range(14)]
@@ -1540,8 +1540,8 @@ def test_ssjoin_ppjoin_bound_zero_slack_first_match(spark, tmp_path):
     na = nb = 17
     plen = na - (7 * na + 9) // 10 + 1
     assert plen == 6  # 3 unshared + 3 shared tokens in each prefix
-    pa = pb = 4  # first shared token's rank in the (df, tok) order
-    assert 17 * (1 + min(na - pa, nb - pb)) == 7 * (na + nb)  # zero slack
+    cnt, mpa, mpb = 3, 6, 6  # shared prefix tokens at ranks 4..6
+    assert 17 * (cnt + min(na - mpa, nb - mpb)) == 7 * (na + nb)  # zero slack
     df = spark.createDataFrame(
         [(i, t, "en", "web", len(t)) for i, t in docs],
         schema="doc_id long, text string, lang string, source string, n_chars long",
