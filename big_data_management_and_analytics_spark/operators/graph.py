@@ -1046,6 +1046,20 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col(col), 9).cast("decimal(38,9)")
                 ).alias("r")
             )
+            # r7 sweep fix: raw feeds BOTH the L1 total and the
+            # normalized result, and each half-step nests on the last —
+            # without truncation the un-materialized plan re-evaluates
+            # the whole prior chain per reference (the query's cost was
+            # nearly scale-INVARIANT: ~14 s at sf0.01 vs ~12 s at
+            # sf0.1 — planning/re-evaluation, not data). Checkpointing
+            # the node-sized aggregate (≤ |customers|+|suppliers| rows,
+            # bounded) each half-step measured 9.9 → 5.3 s at sf0.1
+            # with identical output. The Observation-literal variant
+            # (fusing the total into the checkpoint job, as
+            # llm_dedup_components does) measured a WASH here — the
+            # total agg is a cheap read of the checkpoint — so the
+            # simpler scalar-subquery crossJoin stays.
+            .localCheckpoint(eager=True)
         )
         tot = raw.agg(F.sum("r").alias("t"))
         return raw.crossJoin(F.broadcast(tot)).select(
