@@ -136,6 +136,19 @@ def main() -> int:
         "session-construction conf). Nonzero exit on any miss. "
         "Required before REGISTERING any new oracle-tier id.",
     )
+    ap.add_argument(
+        "--driver-surface",
+        action="store_true",
+        help="Rehearse the EXACT per-round driver contract instead of the "
+        "engine registry: a hostile-config vanilla SparkSession (non-UTC "
+        "timezone, inferTimestampNTZ on, default 200 shuffle partitions, "
+        "zero engine confs) runs the callables from "
+        "__spark_entry__.queries() and compares them against "
+        "__spark_entry__.oracle_sql() on DuckDB — the surface "
+        "CORRECTNESS_r{N}.json is produced from. Previous rounds ran this "
+        "ad-hoc on the 50-id queue prefix; as a flag it can certify the "
+        "full registry ahead of driver rotation.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -162,6 +175,64 @@ def main() -> int:
 
     engine.load_all()
     qs = engine.all_queries()
+
+    if args.driver_surface:
+        # The driver imports __spark_entry__ and iterates queries() in its
+        # own (queue) order with its own session; mirror that exactly.
+        import __spark_entry__ as entry_mod
+
+        fns = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
+        names = args.names or list(fns)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+            )
+            .appName("driver_surface_rehearsal")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        con = duck_con(args.sf)
+        passed = failed = rows_only = 0
+        for name in names:
+            t0 = time.time()
+            try:
+                sdf = fns[name](spark, args.sf).toPandas()
+            except Exception:
+                print(f"FAIL  {name}: spark raised")
+                traceback.print_exc(limit=4)
+                failed += 1
+                continue
+            if name not in oracles:
+                print(f"ROWS  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+                rows_only += 1
+                continue
+            try:
+                ddf = con.execute(oracles[name]).df()
+            except Exception:
+                print(f"FAIL  {name}: duckdb raised")
+                traceback.print_exc(limit=4)
+                failed += 1
+                continue
+            issues = compare(name, sdf, ddf)
+            if issues:
+                print(f"FAIL  {name}  ({time.time()-t0:.1f}s)")
+                for i in issues[:10]:
+                    print(f"      {i}")
+                failed += 1
+            else:
+                print(f"PASS  {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+                passed += 1
+        print(
+            f"\ndriver-surface: {passed} passed, {failed} failed, "
+            f"{rows_only} rows-only"
+        )
+        return 1 if failed else 0
+
     if args.list:
         for n, q in sorted(qs.items()):
             print(f"{q.category}  {'oracle' if q.oracle else 'rows  '}  {n}")
