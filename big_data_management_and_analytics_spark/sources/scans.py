@@ -362,18 +362,23 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     """,
     doc=(
-        "Hidden file metadata (_metadata.file_name / file_size): per-file "
-        "row counts — the scan-level provenance a 100 TB lakehouse audit "
-        "relies on. The oracle states the fixture invariant (each table "
-        "is exactly one parquet file named <table>.parquet — TESTDATA.md "
-        "layout), so the metadata column's reported name and the per-file "
-        "count are both hash-checked."
+        "Hidden file metadata (_metadata.file_path): scan-level provenance "
+        "a 100 TB lakehouse audit relies on. Rows group by the TABLE-level "
+        "path segment (the first segment ending in .parquet), so the check "
+        "is layout-independent: a single-file fixture and a multi-file "
+        "directory (tools/make_multifile.py) both roll up to "
+        "('lineitem.parquet', 60000) while the per-file metadata column is "
+        "still what feeds the aggregation."
     ),
 )
 def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.select(F.col("_metadata.file_name").alias("file_name"))
+        li.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"([^/]+\.parquet)", 1
+            ).alias("file_name")
+        )
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )

@@ -52,14 +52,23 @@ def _with_event_ts(df: DataFrame) -> DataFrame:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    # FileStreamSource needs a directory; glob-filter to the events file.
-    raw = (
-        spark.readStream.schema(
-            _batch_schema(spark, os.path.join(sf_dir, "events.parquet"))
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(ev_path):
+        # Multi-file fixture (production layout): events.parquet is a
+        # DIRECTORY of part files — point the stream at it directly.
+        raw = (
+            spark.readStream.schema(_batch_schema(spark, ev_path))
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(ev_path)
         )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    else:
+        # Single-file fixture: FileStreamSource needs a directory;
+        # glob-filter to the events file inside sf_dir.
+        raw = (
+            spark.readStream.schema(_batch_schema(spark, ev_path))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return _with_event_ts(raw)
 
 
@@ -610,9 +619,23 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError("checkpoint-resume run did not finish")
 
-    shutil.copy(events_file, os.path.join(src, "batch_a.parquet"))
+    def stage_batch(tag: str) -> None:
+        # Single-file fixture: one copy. Multi-file fixture (a directory
+        # of part files): copy each part under a batch-tagged name so
+        # both batches' files coexist in the flat stream source dir.
+        if os.path.isdir(events_file):
+            for f in sorted(os.listdir(events_file)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(events_file, f),
+                        os.path.join(src, f"{tag}_{f}"),
+                    )
+        else:
+            shutil.copy(events_file, os.path.join(src, f"{tag}.parquet"))
+
+    stage_batch("batch_a")
     run_once()
-    shutil.copy(events_file, os.path.join(src, "batch_b.parquet"))
+    stage_batch("batch_b")
     run_once()
     # Materialize the counts BEFORE cleanup so no temp dir has to outlive
     # the lazy return (same discipline as stream_watermark_late).

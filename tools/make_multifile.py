@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Materialize a multi-file copy of a fixture directory.
+
+The driver fixtures are one parquet FILE per table; at production scale
+every table is thousands of files. This tool splits each table into a
+DIRECTORY named ``{table}.parquet/`` holding several part files — the
+layout ``spark.read.parquet`` and DuckDB's glob both accept — so the
+differential sweep can certify file-layout invariance: same values no
+matter how rows are sliced across files or which file lists first.
+
+Two deliberate stressors:
+
+- Part file NAMES reverse the row order: part-00 holds the LAST row
+  slice. Spark lists files lexicographically, so rows arrive in a
+  different global order than the single-file fixture — any operator
+  whose result depends on arrival order (unseeded rand, first() without
+  a window, monotonically_increasing_id leakage) diverges here.
+- Slices are unequal (the first file is ~half the table, the rest split
+  the remainder) so per-file row counts differ from any uniform
+  repartition assumption.
+
+pyarrow read/write preserves the physical schema (including the
+timestamp unit the events table was generated with), so the engine's
+unit-dispatch load path sees exactly what the original file had.
+
+Usage: python tools/make_multifile.py [--src /root/testdata/sf0.01]
+                                      [--dst /tmp/mf_sf0.01] [--files 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def split_table(src_file: str, dst_dir: str, n_files: int) -> int:
+    t = pq.read_table(src_file)
+    rows = t.num_rows
+    n = max(1, min(n_files, rows))
+    os.makedirs(dst_dir, exist_ok=True)
+    # Unequal slices: first slice ~half, remainder split evenly.
+    bounds = [0, max(1, rows // 2)] if n > 1 else [0]
+    rest = rows - bounds[-1]
+    for i in range(1, n):
+        bounds.append(bounds[-1] + rest // (n - 1) + (1 if i <= rest % (n - 1) else 0))
+    bounds.append(rows) if n == 1 else None
+    if bounds[-1] != rows:
+        bounds[-1] = rows
+    slices = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+    # Reverse: lexicographically-first file name gets the LAST slice.
+    for name_idx, (lo, hi) in enumerate(reversed(slices)):
+        pq.write_table(
+            t.slice(lo, hi - lo),
+            os.path.join(dst_dir, f"part-{name_idx:02d}.parquet"),
+        )
+    return len(slices)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.01")
+    ap.add_argument("--dst", default="/tmp/mf_sf0.01")
+    ap.add_argument("--files", type=int, default=8)
+    args = ap.parse_args()
+
+    for t in TABLES:
+        src = os.path.join(args.src, f"{t}.parquet")
+        dst = os.path.join(args.dst, f"{t}.parquet")
+        n = split_table(src, dst, args.files)
+        print(f"{t}: {n} part files -> {dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
