@@ -76,6 +76,59 @@ def test_metadata_rollup_is_layout_independent(spark, registry, mf_dir):
     assert set(single) == {"lineitem.parquet"}
 
 
+@pytest.fixture(scope="module")
+def hive_dir(tmp_path_factory):
+    """Hive-partitioned copy of sf0.001: orders by o_orderstatus,
+    lineitem by l_returnflag, documents by lang; other tables flat."""
+    tool = _load_tool()
+    dst = str(tmp_path_factory.mktemp("hv_sf0001"))
+    for t in tool.TABLES:
+        src = os.path.join(SF_SMALL, f"{t}.parquet")
+        out = os.path.join(dst, f"{t}.parquet")
+        if t in tool.HIVE_COLS:
+            tool.split_table_hive(src, out, tool.HIVE_COLS[t], 4)
+        else:
+            tool.split_table(src, out, 4)
+    return dst
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "agg_pricing_summary",  # lineitem grouped BY the partition column
+        "tpch_q4_priority",     # orders filtered across partition values
+        "llm_text_stats",       # documents with lang in the output
+    ],
+)
+def test_hive_layout_invariance(spark, registry, hive_dir, qid):
+    single = _rows(registry[qid].fn(spark, SF_SMALL))
+    hive = _rows(registry[qid].fn(spark, hive_dir))
+    assert single == hive
+
+
+def test_hive_partition_pruning_engages(spark, hive_dir):
+    """A partition-column filter must become a PartitionFilter (static
+    pruning), and at runtime the scan must touch ONLY that partition's
+    files — the mechanism that turns a 100 TB table into a 30 TB read
+    when a query names the partition key."""
+    from pyspark.sql import functions as F
+
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    li = load(spark, hive_dir, "lineitem")
+    flt = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_returnflag")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    touched = {
+        r[0]
+        for r in flt.select(F.col("_metadata.file_path")).distinct().collect()
+    }
+    assert touched, "filter should match at least one partition"
+    assert all("l_returnflag=R" in p for p in touched), touched
+
+
 def test_multifile_scan_has_multiple_input_files(spark, mf_dir):
     """The stressor is real: the multi-file lineitem scan reads >1 file
     (distinct _metadata.file_path), so the invariance tests above are

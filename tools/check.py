@@ -43,11 +43,18 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
+        opts = ""
         if os.path.isdir(path):
             # Multi-file fixture (tools/make_multifile.py): {t}.parquet is
-            # a directory of part files, the production layout.
-            path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+            # a directory of part files (the production layout), possibly
+            # hive-partitioned ({col}={val}/ subdirs).
+            if any("=" in d for d in os.listdir(path)):
+                path, opts = f"{path}/**/*.parquet", ", hive_partitioning=1"
+            else:
+                path = f"{path}/*.parquet"
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}'{opts})"
+        )
     return con
 
 

@@ -23,24 +23,70 @@ pyarrow read/write preserves the physical schema (including the
 timestamp unit the events table was generated with), so the engine's
 unit-dispatch load path sees exactly what the original file had.
 
+With ``--hive``, three tables additionally use the hive-partitioned
+layout (``{table}.parquet/{col}={val}/part-*.parquet``), the layout
+real lakehouses prune on: orders by o_orderstatus, lineitem by
+l_returnflag, documents by lang. Partition VALUES must be hive-safe
+(no URL-escaping needed): pyarrow percent-encodes special characters
+in directory names, Spark decodes them back but DuckDB's
+hive_partitioning does NOT — a cross-engine trap this tool refuses to
+write rather than paper over. Within each partition the same
+reversed/unequal file split applies.
+
 Usage: python tools/make_multifile.py [--src /root/testdata/sf0.01]
                                       [--dst /tmp/mf_sf0.01] [--files 8]
+                                      [--hive]
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import re
 
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Hive-partition columns per table (--hive): low-cardinality string
+# columns whose values are hive-safe. events stays flat — the streaming
+# FileStreamSource reads it as a flat directory.
+HIVE_COLS = {
+    "orders": "o_orderstatus",
+    "lineitem": "l_returnflag",
+    "documents": "lang",
+}
+
+_HIVE_SAFE = re.compile(r"^[A-Za-z0-9._-]+$")
+
 
 def split_table(src_file: str, dst_dir: str, n_files: int) -> int:
+    return _split(pq.read_table(src_file), dst_dir, n_files)
+
+
+def split_table_hive(src_file: str, dst_dir: str, col: str, n_files: int) -> int:
+    """Hive-partitioned split: one {col}={val}/ subdir per distinct value,
+    the partition column dropped from the data files (hive convention),
+    the same reversed/unequal split applied inside each partition."""
     t = pq.read_table(src_file)
+    vals = sorted(set(t.column(col).to_pylist()))
+    total = 0
+    for v in vals:
+        assert isinstance(v, str) and _HIVE_SAFE.match(v), (
+            f"{col}={v!r} is not hive-safe: pyarrow would percent-encode it, "
+            "Spark would decode it back, DuckDB would NOT — pick another column"
+        )
+        part = t.filter(pc.equal(t.column(col), v)).drop_columns([col])
+        total += _split(
+            part, os.path.join(dst_dir, f"{col}={v}"), max(1, n_files // 2)
+        )
+    return total
+
+
+def _split(t, dst_dir: str, n_files: int) -> int:
     rows = t.num_rows
     n = max(1, min(n_files, rows))
     os.makedirs(dst_dir, exist_ok=True)
@@ -67,13 +113,18 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.01")
     ap.add_argument("--dst", default="/tmp/mf_sf0.01")
     ap.add_argument("--files", type=int, default=8)
+    ap.add_argument("--hive", action="store_true")
     args = ap.parse_args()
 
     for t in TABLES:
         src = os.path.join(args.src, f"{t}.parquet")
         dst = os.path.join(args.dst, f"{t}.parquet")
-        n = split_table(src, dst, args.files)
-        print(f"{t}: {n} part files -> {dst}")
+        if args.hive and t in HIVE_COLS:
+            n = split_table_hive(src, dst, HIVE_COLS[t], args.files)
+            print(f"{t}: {n} part files (hive by {HIVE_COLS[t]}) -> {dst}")
+        else:
+            n = split_table(src, dst, args.files)
+            print(f"{t}: {n} part files -> {dst}")
     return 0
 
 
