@@ -129,6 +129,39 @@ def test_hive_partition_pruning_engages(spark, hive_dir):
     assert all("l_returnflag=R" in p for p in touched), touched
 
 
+def test_hive_dynamic_partition_pruning_engages(spark, hive_dir):
+    """Dynamic partition pruning on the REAL hive layout (previously only
+    exercised via join_dpp_prune's self-materialized dim): a join whose
+    key is the fact's partition column and whose dim side is selective
+    must inject a dynamicpruning subquery into the fact scan, and at
+    runtime the fact side must read only the surviving partition's
+    files. The dim maps 'F'→'R' so the pruning value is NOT statically
+    derivable from the dim filter — only the runtime subquery result."""
+    from pyspark.sql import functions as F
+
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    li = load(spark, hive_dir, "lineitem")
+    dim = (
+        load(spark, hive_dir, "orders")
+        .select(F.col("o_orderstatus").alias("flag"))
+        .distinct()
+        .filter(F.col("flag") == "F")
+        .withColumn("flag", F.expr("CASE WHEN flag = 'F' THEN 'R' END"))
+    )
+    j = li.join(dim, li.l_returnflag == dim.flag).select("l_orderkey")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
+    jp = (
+        li.select("l_returnflag", F.col("_metadata.file_path").alias("fp"))
+        .join(dim, F.col("l_returnflag") == dim.flag)
+        .select("fp")
+        .distinct()
+    )
+    touched = {r["fp"] for r in jp.collect()}
+    assert touched and all("l_returnflag=R" in p for p in touched), touched
+
+
 def test_multifile_scan_has_multiple_input_files(spark, mf_dir):
     """The stressor is real: the multi-file lineitem scan reads >1 file
     (distinct _metadata.file_path), so the invariance tests above are
