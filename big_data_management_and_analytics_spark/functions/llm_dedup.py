@@ -223,8 +223,17 @@ def _minhash_sigs(
     window-form _bucket_group_assign) pass checkpoint=False: a
     materialization pass for a single read is pure overhead."""
     d = load(spark, sf_dir, "documents")
+    # skip_when_split ONLY on the checkpoint=False (single-read) path:
+    # there the words chain feeds exactly one consumer, so on a ≥width
+    # multi-file input the exchange is pure cost (A/B at a 64-file sf0.1
+    # copy via llm_dedup_minhash: 2.6 → 1.2 s engine-only, r7). On the
+    # checkpoint=True path the LAZY checkpoint does NOT dedupe same-job
+    # reads — in-job sharing rides on ReuseExchange, i.e. on this very
+    # exchange — so skipping it re-runs tokenize+md5 once per sig
+    # consumer (llm_minhash_accuracy measured 5 → 13 s at the 64-file
+    # copy before this guard).
     words = (
-        spread(d, "doc_id")
+        spread(d, "doc_id", skip_when_split=not checkpoint)
         .select(
             "doc_id",
             F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),

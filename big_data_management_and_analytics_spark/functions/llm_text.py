@@ -76,8 +76,11 @@ def llm_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # skip_when_split: words feeds ONE chain (tf; df derives from tf), so
+    # on a ≥width multi-file input the exchange is pure cost (A/B at a
+    # 64-file sf0.1 copy: 5.0 → 2.3 s engine-only, r7).
     words = (
-        spread(d, "doc_id")
+        spread(d, "doc_id", skip_when_split=True)
         .select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term").isNotNull())
     )

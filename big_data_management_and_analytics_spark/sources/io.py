@@ -184,7 +184,7 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-def spread(df: DataFrame, *keys: str) -> DataFrame:
+def spread(df: DataFrame, *keys: str, skip_when_split: bool = False) -> DataFrame:
     """Explicit-count keyed repartition ahead of CPU-heavy row expressions.
 
     A single-file fixture scan is one input partition, so tokenize/
@@ -192,7 +192,30 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     of cluster width. The count is explicit because AQE's size-based
     coalescing folds a few MB of text right back to one partition —
     correct for shuffle bytes, wrong when the cost is downstream CPU per
-    row. At production scale the file count already provides parallelism
-    and this becomes a cheap row-spread of raw columns."""
+    row.
+
+    ``skip_when_split``: when the input ALREADY has at least that many
+    files (the production layout — at 100 TB every table is thousands of
+    files), the exchange is pure cost for a SINGLE-consumer chain: the
+    scan's splits provide the parallelism, and repartitioning raw
+    text/binary is the pipeline's largest shuffle. But the exchange is
+    ALSO the sharing anchor Spark's ReuseExchange keys on — in a
+    multi-consumer pipeline (llm_dedup_ssjoin reads its token relation
+    from ~5 subplans) skipping it re-runs scan+tokenize once PER
+    consumer (measured 9 → 111 s at a 64-file sf0.1 copy). So the skip
+    is strictly OPT-IN for call sites whose spread output feeds one
+    linear chain (or is immediately re-anchored by a checkpoint), each
+    A/B-measured on a ≥shuffle-width multi-file fixture. Values are
+    partitioning-independent by the engine's determinism rules
+    (certified across widths 32/7 and file layouts — SCALE.md), so the
+    skip can only change the plan, never the result. inputFiles() reads
+    the already-built file index (no job); non-file inputs (streaming,
+    local relations) fall through to the repartition."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if skip_when_split:
+        try:
+            if len(df.inputFiles()) >= n:
+                return df
+        except Exception:
+            pass
     return df.repartition(n, *keys)

@@ -162,6 +162,30 @@ def test_hive_dynamic_partition_pruning_engages(spark, hive_dir):
     assert touched and all("l_returnflag=R" in p for p in touched), touched
 
 
+def test_spread_skip_when_split_semantics(spark, mf_dir):
+    """spread(skip_when_split=True) must return the input UNCHANGED when
+    the scan already has >= shuffle-width files (production layout: the
+    raw-column exchange is the pipeline's largest shuffle, and the file
+    splits already provide the parallelism), must still repartition when
+    files < width, and must NEVER skip by default — the exchange is the
+    ReuseExchange sharing anchor for multi-consumer pipelines (skipping
+    it in llm_dedup_ssjoin re-ran tokenize once per consumer: 9 -> 111 s
+    measured at a 64-file sf0.1 copy, r7)."""
+    from big_data_management_and_analytics_spark.sources.io import load, spread
+
+    df = load(spark, mf_dir, "lineitem")  # 4 part files (module fixture)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        assert spread(df, "l_orderkey", skip_when_split=True) is df
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        assert spread(df, "l_orderkey", skip_when_split=True) is not df
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        assert spread(df, "l_orderkey") is not df  # default: never skip
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_multifile_scan_has_multiple_input_files(spark, mf_dir):
     """The stressor is real: the multi-file lineitem scan reads >1 file
     (distinct _metadata.file_path), so the invariance tests above are
