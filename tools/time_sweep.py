@@ -40,6 +40,16 @@ def main() -> int:
     spark = get_spark("time_sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Absorb session cold-start (JIT, codegen, first-scan file listing)
+    # BEFORE the loop: without this the alphabetically-first id eats it
+    # and tops every sweep (agg_abc_analysis read 15.1 s cold vs 0.70 s
+    # in-session, r7 — pure startup, rediscovered each round).
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    load(spark, args.sf, "lineitem").groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     rows: list[tuple[float, str]] = []
     errors = 0
     for name in sorted(reg):
