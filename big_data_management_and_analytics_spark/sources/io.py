@@ -212,7 +212,12 @@ def spread(df: DataFrame, *keys: str, skip_when_split: bool = False) -> DataFram
     the already-built file index (no job); non-file inputs (streaming,
     local relations) fall through to the repartition."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if skip_when_split:
+    # Diagnostic override for A/B-measuring candidate sites against a
+    # multi-file fixture (SPARK_GRAFT_SPREAD_SKIP=force treats every
+    # site as skip_when_split=True). NOT a production setting: the
+    # measured multi-consumer regressions above are why per-site opt-in
+    # is the shipped behavior.
+    if skip_when_split or os.environ.get("SPARK_GRAFT_SPREAD_SKIP") == "force":
         try:
             if len(df.inputFiles()) >= n:
                 return df
