@@ -2375,25 +2375,28 @@ def win_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY user_id
         )
         SELECT user_id,
-               list_value(CAST(n_clicks AS DOUBLE), CAST(n_views AS DOUBLE),
-                          CAST(n_purch AS DOUBLE),
-                          CAST(spend_c AS DOUBLE) / 100.0,
-                          CAST(days_active AS DOUBLE)) AS features,
+               CAST(n_clicks AS DOUBLE) AS f_clicks,
+               CAST(n_views AS DOUBLE) AS f_views,
+               CAST(n_purch AS DOUBLE) AS f_purch,
+               CAST(spend_c AS DOUBLE) / 100.0 AS f_spend,
+               CAST(days_active AS DOUBLE) AS f_days_active,
                (n_purch > 0) AS label
         FROM f
     """,
     doc=(
-        "Feature-store export: per-user model features assembled into a "
-        "FIXED-ORDER array<double> plus a binary label — the terminal "
-        "shape a training pipeline hands to the trainer (one row per "
-        "entity, one dense vector column). All five features derive "
-        "from exact integer accumulators (conditional counts, cents "
-        "sum, distinct active days); the only doubles are final casts, "
-        "so the vector is hash-exact. The array is built column-wise "
-        "AFTER aggregation — never collect_list of raw events — so "
-        "per-user state is O(1) and the plan is one hash aggregate. "
-        "Swap in more features by widening the aggregate, not the "
-        "shuffle."
+        "Feature-store export: per-user model features in a FIXED "
+        "column order plus a binary label — the terminal shape a "
+        "training pipeline hands to the trainer (one row per entity; "
+        "the trainer assembles the dense vector from the ordered "
+        "scalar columns, which keeps the output driver-hashable per "
+        "SURVEY §2.0 amendment 11 — no complex-typed output columns). "
+        "All five features derive from exact integer accumulators "
+        "(conditional counts, cents sum, distinct active days); the "
+        "only doubles are final casts, so every cell is hash-exact. "
+        "Features are built column-wise AFTER aggregation — never "
+        "collect_list of raw events — so per-user state is O(1) and "
+        "the plan is one hash aggregate. Swap in more features by "
+        "widening the aggregate, not the shuffle."
     ),
 )
 def events_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2416,13 +2419,11 @@ def events_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return f.select(
         "user_id",
-        F.array(
-            F.col("n_clicks").cast("double"),
-            F.col("n_views").cast("double"),
-            F.col("n_purch").cast("double"),
-            F.col("spend_c").cast("double") / 100.0,
-            F.col("days_active").cast("double"),
-        ).alias("features"),
+        F.col("n_clicks").cast("double").alias("f_clicks"),
+        F.col("n_views").cast("double").alias("f_views"),
+        F.col("n_purch").cast("double").alias("f_purch"),
+        (F.col("spend_c").cast("double") / 100.0).alias("f_spend"),
+        F.col("days_active").cast("double").alias("f_days_active"),
         (F.col("n_purch") > 0).alias("label"),
     )
 

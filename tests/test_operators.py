@@ -2809,9 +2809,11 @@ def test_feature_vector_fixed_order(spark, tmp_path):
     ev.write.parquet(d + "/events.parquet")
     out = {r["user_id"]: r for r in
            timeseries.events_feature_vector(spark, d).collect()}
-    assert out[1]["features"] == [2.0, 1.0, 1.0, 9.99, 2.0]
+    feat = lambda r: [r["f_clicks"], r["f_views"], r["f_purch"],
+                      r["f_spend"], r["f_days_active"]]
+    assert feat(out[1]) == [2.0, 1.0, 1.0, 9.99, 2.0]
     assert out[1]["label"] is True
-    assert out[2]["features"] == [0.0, 1.0, 0.0, 0.0, 1.0]
+    assert feat(out[2]) == [0.0, 1.0, 0.0, 0.0, 1.0]
     assert out[2]["label"] is False
 
 

@@ -126,6 +126,36 @@ def test_all_queries_run_smoke(spark, registry):
         assert df.count() >= 0, name
 
 
+def test_oracle_tier_outputs_are_driver_hashable(spark, registry):
+    """No oracle-tier query may emit an array/map/struct output column.
+
+    The driver's canonicalizer sorts raw pandas columns and crashes on
+    unhashable cells (CORRECTNESS_r07: ``events_feature_vector``,
+    ``TypeError: unhashable type: 'numpy.ndarray'`` — the first driver
+    failure since r1, and the local harness serialized the array so
+    428/428 passed locally). SURVEY §2.0 amendment 11 already mandates
+    concat_ws serialization for collected lists; this pins it registry-
+    wide at the schema level. Plan-build only — no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, q in sorted(registry.items()):
+        if q.oracle is None:
+            continue  # rows-tier: driver only counts rows, never hashes
+        schema = q.fn(spark, SF_SMALL).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, (
+        "oracle-tier queries with driver-undeliverable complex-typed "
+        f"output columns: {offenders}"
+    )
+
+
 def test_hostile_session_confs_are_overridden(spark, registry):
     """The driver contract hands us a session we don't build: even if it
     arrives with inferTimestampNTZ on and a non-UTC timezone, tune()

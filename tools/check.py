@@ -47,13 +47,26 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         if os.path.isdir(path):
             # Multi-file fixture (tools/make_multifile.py): {t}.parquet is
             # a directory of part files (the production layout), possibly
-            # hive-partitioned ({col}={val}/ subdirs).
-            if any("=" in d for d in os.listdir(path)):
-                path, opts = f"{path}/**/*.parquet", ", hive_partitioning=1"
+            # hive-partitioned ({col}={val}/ subdirs). Hive detection
+            # requires an actual {col}={val} DIRECTORY (a stray file with
+            # '=' in its name must not misroute a flat layout), and
+            # hive_types=0-style autocasting is disabled so a digit-only
+            # partition value keeps the string type Spark's load() check
+            # enforces.
+            if any(
+                "=" in d and not d.startswith("=")
+                and os.path.isdir(os.path.join(path, d))
+                for d in os.listdir(path)
+            ):
+                path, opts = (
+                    f"{path}/**/*.parquet",
+                    ", hive_partitioning=1, hive_types_autocast=0",
+                )
             else:
                 path = f"{path}/*.parquet"
+        safe = path.replace("'", "''")
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}'{opts})"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{safe}'{opts})"
         )
     return con
 
@@ -95,8 +108,42 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def _complex_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding driver-UNDELIVERABLE cells (ndarray/list/dict/...).
+
+    The driver's canonicalizer sorts raw pandas columns and crashes on
+    unhashable cells (``TypeError: unhashable type: 'numpy.ndarray'`` —
+    CORRECTNESS_r07 ``events_feature_vector``). This harness used to
+    serialize such cells in ``_fmt`` and so could pass a query the driver
+    would record as an error; now any oracle-tier output carrying a
+    complex-typed cell is an outright FAIL, keeping the rehearsal
+    bit-faithful to the driver (VERDICT r7 item 2).
+    """
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind != "O":
+            continue
+        for v in col:
+            if isinstance(v, (np.ndarray, list, tuple, dict, set)):
+                bad.append(str(c))
+                break
+    return bad
+
+
 def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
     issues: list[str] = []
+    for side, df in (("spark", spark_pd), ("duck", duck_pd)):
+        bad = _complex_cols(df)
+        if bad:
+            issues.append(
+                f"driver-undeliverable complex-typed {side} columns {bad}: "
+                "the driver's canonicalizer crashes sorting unhashable "
+                "cells — serialize via concat_ws or split into scalar "
+                "columns (SURVEY §2.0 amendment 11)"
+            )
+    if issues:
+        return issues
     if sorted(spark_pd.columns) != sorted(duck_pd.columns):
         issues.append(
             f"columns differ: spark={sorted(spark_pd.columns)} duck={sorted(duck_pd.columns)}"
