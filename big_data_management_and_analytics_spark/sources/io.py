@@ -19,6 +19,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 from big_data_management_and_analytics_spark.sources.session import tune
 
+# Diagnostic override for A/B-measuring candidate spread() sites against
+# a multi-file fixture (SPARK_GRAFT_SPREAD_SKIP=force treats every site
+# as skip_when_split=True). NOT a production setting: skipping the
+# exchange at a multi-consumer site re-runs scan+tokenize once per
+# consumer (llm_dedup_ssjoin measured 9 -> 111 s, r7), which is why
+# per-site opt-in is the shipped behavior. Read ONCE at import and
+# warned about loudly, so a setting leaked into a bench/CI environment
+# is visible instead of silently re-shaping every plan (ADVICE r7).
+_SPREAD_SKIP_FORCE = os.environ.get("SPARK_GRAFT_SPREAD_SKIP") == "force"
+if _SPREAD_SKIP_FORCE:
+    import warnings
+
+    warnings.warn(
+        "SPARK_GRAFT_SPREAD_SKIP=force is active: every spread() site "
+        "behaves as skip_when_split=True. Diagnostic A/B mode only — "
+        "multi-consumer pipelines will re-run their upstream per "
+        "consumer.",
+        stacklevel=2,
+    )
+
 TABLES = (
     "region",
     "nation",
@@ -212,12 +232,7 @@ def spread(df: DataFrame, *keys: str, skip_when_split: bool = False) -> DataFram
     the already-built file index (no job); non-file inputs (streaming,
     local relations) fall through to the repartition."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # Diagnostic override for A/B-measuring candidate sites against a
-    # multi-file fixture (SPARK_GRAFT_SPREAD_SKIP=force treats every
-    # site as skip_when_split=True). NOT a production setting: the
-    # measured multi-consumer regressions above are why per-site opt-in
-    # is the shipped behavior.
-    if skip_when_split or os.environ.get("SPARK_GRAFT_SPREAD_SKIP") == "force":
+    if skip_when_split or _SPREAD_SKIP_FORCE:
         try:
             if len(df.inputFiles()) >= n:
                 return df

@@ -364,7 +364,9 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Hidden file metadata (_metadata.file_path): scan-level provenance "
         "a 100 TB lakehouse audit relies on. Rows group by the TABLE-level "
-        "path segment (the first segment ending in .parquet), so the check "
+        "path segment (the first segment UNDER sf_dir ending in .parquet — "
+        "anchored so an ancestor directory of sf_dir that itself ends in "
+        ".parquet can never hijack the rollup, ADVICE r7), so the check "
         "is layout-independent: a single-file fixture and a multi-file "
         "directory (tools/make_multifile.py) both roll up to "
         "('lineitem.parquet', 60000) while the per-file metadata column is "
@@ -372,11 +374,19 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
     li = load(spark, sf_dir, "lineitem")
+    # _metadata.file_path is an absolute URI (file:/...); anchor the
+    # table-segment extraction at sf_dir's basename followed by the
+    # table entry, not at the leftmost *.parquet in the whole path.
+    anchor = _re.escape(os.path.basename(os.path.abspath(sf_dir)))
     return (
         li.select(
             F.regexp_extract(
-                F.col("_metadata.file_path"), r"([^/]+\.parquet)", 1
+                F.col("_metadata.file_path"),
+                rf"/{anchor}/([^/]+\.parquet)(?:/|$)",
+                1,
             ).alias("file_name")
         )
         .groupBy("file_name")

@@ -162,7 +162,7 @@ def test_hive_dynamic_partition_pruning_engages(spark, hive_dir):
     assert touched and all("l_returnflag=R" in p for p in touched), touched
 
 
-def test_spread_skip_when_split_semantics(spark, mf_dir):
+def test_spread_skip_when_split_semantics(spark, mf_dir, monkeypatch):
     """spread(skip_when_split=True) must return the input UNCHANGED when
     the scan already has >= shuffle-width files (production layout: the
     raw-column exchange is the pipeline's largest shuffle, and the file
@@ -171,7 +171,14 @@ def test_spread_skip_when_split_semantics(spark, mf_dir):
     ReuseExchange sharing anchor for multi-consumer pipelines (skipping
     it in llm_dedup_ssjoin re-ran tokenize once per consumer: 9 -> 111 s
     measured at a 64-file sf0.1 copy, r7)."""
+    from big_data_management_and_analytics_spark.sources import io
     from big_data_management_and_analytics_spark.sources.io import load, spread
+
+    # Isolate from a leaked diagnostic env setting: the force knob is
+    # read once at import into this module flag (ADVICE r7), so pin the
+    # flag itself — the default-never-skip assertion below is exactly
+    # what a leaked SPARK_GRAFT_SPREAD_SKIP=force would break.
+    monkeypatch.setattr(io, "_SPREAD_SKIP_FORCE", False)
 
     df = load(spark, mf_dir, "lineitem")  # 4 part files (module fixture)
     old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -201,3 +208,15 @@ def test_multifile_scan_has_multiple_input_files(spark, mf_dir):
         .count()
     )
     assert n >= 2
+
+
+def test_hive_safe_rejects_numeric_partition_values():
+    """Digit-only hive partition values (lang=001) must be rejected at
+    fixture-creation time: Spark's partition-type inference and DuckDB's
+    hive autocast would both type the column numeric, so the layouts
+    would silently diverge from the declared string schema (ADVICE r7)."""
+    tool = _load_tool()
+    for ok in ("R", "en-US", "v1.2", "A_b"):
+        assert tool._HIVE_SAFE.match(ok), ok
+    for bad in ("001", "1.5", "12", ".", "a b", "a/b", ""):
+        assert not tool._HIVE_SAFE.match(bad), bad

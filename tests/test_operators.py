@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import numpy as np
+import pytest
 import pyspark.sql.functions as F
 
 
@@ -5446,13 +5447,20 @@ def test_stream_output_modes_ordering_invariants(spark):
     assert out["append"] <= out["complete"]
 
 
-def test_components_oracle_converges_inside_unroll_bound():
+@pytest.mark.parametrize("sf", ["sf0.01", "sf0.1"])
+def test_components_oracle_converges_inside_unroll_bound(sf):
     """The llm_dedup_components oracle (round 6: bounded unrolled
     MATERIALIZED-CTE label propagation replacing the sf0.1-prohibitive
     recursive closure) must reach its fixpoint INSIDE the unroll bound:
     rounds-1 and rounds emit identical labels, so Spark's early-exit
     loop and the fixed unroll agree (the graph_kcore argument).
-    Measured fixpoint is 4 rounds at sf0.01 and sf0.1; the bound is 8."""
+    Measured fixpoint is 4 rounds at sf0.01 and sf0.1; the bound is 8.
+    Runs at BOTH sweep scales (VERDICT r7 item 5): the engine loop and
+    the oracle share the bound, so differential testing is structurally
+    blind to a joint unconverged state — this test plus the engine's
+    loud not-converged RuntimeError are the only guards."""
+    import os
+
     import duckdb
 
     from big_data_management_and_analytics_spark.functions.llm_dedup import (
@@ -5460,10 +5468,12 @@ def test_components_oracle_converges_inside_unroll_bound():
         _components_oracle,
     )
 
+    path = f"/root/testdata/{sf}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{sf} fixtures absent")
     con = duckdb.connect()
     con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
     )
     last = con.execute(_components_oracle(COMPONENTS_ORACLE_ROUNDS)).fetchall()
     prev = con.execute(_components_oracle(COMPONENTS_ORACLE_ROUNDS - 1)).fetchall()

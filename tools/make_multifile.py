@@ -60,7 +60,13 @@ HIVE_COLS = {
     "documents": "lang",
 }
 
-_HIVE_SAFE = re.compile(r"^[A-Za-z0-9._-]+$")
+# Hive-safe partition values: printable path-safe chars, and NOT
+# purely numeric — Spark's partition-column type inference and DuckDB's
+# hive type autocast would both type e.g. lang=001 as a NUMBER (Spark
+# then fails loud in load()'s schema check; DuckDB's side of check.py
+# would silently change the column type even with autocast pinned off
+# elsewhere). Fail at fixture-creation time instead (ADVICE r7).
+_HIVE_SAFE = re.compile(r"^(?![0-9.]+$)[A-Za-z0-9._-]+$")
 
 
 def split_table(src_file: str, dst_dir: str, n_files: int) -> int:
