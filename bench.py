@@ -70,10 +70,14 @@ RUNS = 3
 # incident; r5 load 2.6->8.6 made two queries look regressed). Poll the
 # 1-minute load average until it drops below the threshold, bounded so a
 # permanently-busy host still produces an artifact (with the load recorded).
-# 1.0, not 2.0: a run started at load 1.93 still read llm_dedup_minhash
-# 35% above its quiet value (r6) — residual contention at the start
-# bleeds into the first-third queries.
-QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "1.0"))
+# Threshold history: 2.0 -> 1.0 (r6: a run started at load 1.93 still read
+# llm_dedup_minhash 35% above its quiet value) -> 0.3 (r8: the r7 driver
+# run started at 0.80 — UNDER the old gate — and still read minhash
+# 1.274 s vs the 0.984 s quiet floor, +29%; a start load well below one
+# busy core is required before per-query readings match the committed
+# quiet artifact). Worst-case extra wait stays bounded at
+# QUIET_RETRIES x QUIET_WAIT_S = 10 min.
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "0.3"))
 QUIET_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_RETRIES", "20"))
 QUIET_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "30"))
 
