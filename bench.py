@@ -78,33 +78,91 @@ RUNS = 3
 # quiet artifact). Worst-case extra wait stays bounded at
 # QUIET_RETRIES x QUIET_WAIT_S = 10 min.
 QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "0.3"))
+# The 1m average alone is NOT a sufficient quiet signal: an r8 run
+# started at 1m=0.08 immediately after a 3h sweep marathon (5m=2.7,
+# 15m=4.5 — runqueue drained, machine not settled) and read minhash
+# 1.258 s vs the 0.984 s quiet floor, the same +28% the loaded driver
+# runs show. Gate the 5m average too; it decays with a 5-minute time
+# constant, so the 10-min wait bound still clears a just-finished
+# burst (2.7 -> ~0.4).
+QUIET_LOAD_5M = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD_5M", "1.0"))
 QUIET_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUIET_RETRIES", "20"))
 QUIET_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "30"))
 
 
-def _load_avg() -> float | None:
+def _load_avg() -> tuple[float, float] | None:
     try:
-        return round(os.getloadavg()[0], 2)
+        l1, l5, _ = os.getloadavg()
+        return round(l1, 2), round(l5, 2)
     except OSError:
         return None
 
 
 def _wait_for_quiet() -> float | None:
-    """Block until 1m load < QUIET_LOAD or retries are exhausted; return
-    the final reading (recorded in the artifact either way)."""
+    """Block until 1m load < QUIET_LOAD AND 5m load < QUIET_LOAD_5M, or
+    retries are exhausted; return the final 1m reading (recorded in the
+    artifact either way)."""
     load = _load_avg()
     for _ in range(QUIET_RETRIES):
-        if load is None or load < QUIET_LOAD:
+        if load is None or (load[0] < QUIET_LOAD and load[1] < QUIET_LOAD_5M):
             break
         print(
-            f"bench: load_avg_1m={load} >= {QUIET_LOAD}, "
-            f"waiting {QUIET_WAIT_S:.0f}s for quiet machine",
+            f"bench: load_avg 1m={load[0]} 5m={load[1]} above quiet gate "
+            f"({QUIET_LOAD}/{QUIET_LOAD_5M}), waiting {QUIET_WAIT_S:.0f}s",
             file=sys.stderr,
             flush=True,
         )
         time.sleep(QUIET_WAIT_S)
         load = _load_avg()
-    return load
+    return None if load is None else load[0]
+
+
+def _calibrate() -> dict[str, float]:
+    """Fixed-work CPU spin, single-thread and all-cores, timed — a
+    machine-speed constant recorded in the artifact. Motivation (r8):
+    three same-tree runs at start load 0.03-0.08 read the suite 31.2,
+    32.5 and 45.5 s — the guest load average cannot see HOST-side
+    contention on a shared hypervisor, so a per-run calibration burst
+    is the only way to tell 'this run was slow' from 'this machine was
+    slow'. Compare suite readings across rounds only at comparable
+    calib values."""
+    import concurrent.futures as cf
+
+    def spin(n: int) -> int:
+        acc = 0
+        for i in range(n):
+            acc = (acc * 1103515245 + 12345 + i) % 2147483647
+        return acc
+
+    n = 20_000_000
+    t0 = time.perf_counter()
+    spin(n)
+    t1 = time.perf_counter()
+    ncpu = os.cpu_count() or 1
+    with cf.ThreadPoolExecutor(max_workers=ncpu) as ex:
+        # Threads contend on the GIL for pure-Python work; use processes?
+        # No: the goal is wall-clock of a fixed burst under whatever the
+        # host gives us, and a GIL-serialized N*spin is exactly N x the
+        # single-thread work pushed through one core while the OTHER
+        # cores stay idle — wrong shape. Use a C-level spin instead:
+        # hashlib releases the GIL for large buffers.
+        import hashlib
+
+        buf = b"\0" * (1 << 22)
+
+        def chew() -> bytes:
+            h = hashlib.sha256()
+            for _ in range(32):
+                h.update(buf)
+            return h.digest()
+
+        t2 = time.perf_counter()
+        list(ex.map(lambda _: chew(), range(ncpu)))
+        t3 = time.perf_counter()
+    return {
+        "calib_spin_1t_s": round(t1 - t0, 3),
+        "calib_sha_allcores_s": round(t3 - t2, 3),
+    }
 
 
 def _time_suite(registry, spark, names, sf_dir, runs=RUNS) -> dict[str, float]:
@@ -123,6 +181,7 @@ def _time_suite(registry, spark, names, sf_dir, runs=RUNS) -> dict[str, float]:
 
 def main() -> None:
     load_start = _wait_for_quiet()
+    calib = _calibrate()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     small_dir = os.environ.get(
@@ -157,7 +216,8 @@ def main() -> None:
     # contamination_bloom 6.0 s incident, triaged in SCALE.md). A
     # reading taken at load >> ncpu/4 is machine state, not a plan
     # regression.
-    load_end = _load_avg()
+    end = _load_avg()
+    load_end = None if end is None else end[0]
     result = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
@@ -169,6 +229,7 @@ def main() -> None:
         "queries_sf_small": small,
         "scaling_x": scaling,
         "load_avg_1m_start": load_start,
+        **calib,
         "load_avg_1m_end": load_end,
     }
     line = json.dumps(result)
@@ -203,6 +264,7 @@ def main() -> None:
         "sf_small": result["sf_small"],
         "scaling_x": scaling,
         "load_avg_1m_start": load_start,
+        **calib,
         "load_avg_1m_end": load_end,
     }
     spark.stop()
