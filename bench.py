@@ -98,10 +98,12 @@ def _load_avg() -> tuple[float, float] | None:
         return None
 
 
-def _wait_for_quiet() -> float | None:
+def _wait_for_quiet() -> tuple[float, float] | None:
     """Block until 1m load < QUIET_LOAD AND 5m load < QUIET_LOAD_5M, or
-    retries are exhausted; return the final 1m reading (recorded in the
-    artifact either way)."""
+    retries are exhausted; return the final (1m, 5m) readings (BOTH are
+    recorded in the artifact — a retries-exhausted run must be
+    triageable post-hoc for the 'runqueue drained, machine not settled'
+    state the 5m gate exists to catch)."""
     load = _load_avg()
     for _ in range(QUIET_RETRIES):
         if load is None or (load[0] < QUIET_LOAD and load[1] < QUIET_LOAD_5M):
@@ -114,7 +116,7 @@ def _wait_for_quiet() -> float | None:
         )
         time.sleep(QUIET_WAIT_S)
         load = _load_avg()
-    return None if load is None else load[0]
+    return load
 
 
 def _calibrate() -> dict[str, float]:
@@ -165,11 +167,59 @@ def _calibrate() -> dict[str, float]:
     }
 
 
+# Degraded-host gate on the calibration burst (r8 verdict item 3): the
+# guest load average CANNOT see host-side hypervisor contention — the
+# graded BENCH_r08 run started at loadavg 0.15, passed the quiet gate,
+# and still ran on a host ~4× degraded on all-core throughput
+# (calib_sha 0.657 vs the ~0.15-0.16 idle reference), recording the
+# first 2× baseline breach in the project's history. So gate on the
+# burst itself: retry while calib_sha_allcores_s exceeds the BASELINE.md
+# r8-addendum triage threshold (0.18 s), bounded like the quiet-load
+# gate; if the host never clears, publish anyway but stamp
+# `degraded_host: true` so the artifact self-declares instead of
+# silently grading a slow machine as a slow plan.
+CALIB_SHA_DEGRADED = float(
+    os.environ.get("SPARK_GRAFT_BENCH_CALIB_SHA_MAX", "0.18")
+)
+CALIB_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_CALIB_RETRIES", "20"))
+
+
+def _calibrate_gated() -> dict[str, float | bool]:
+    calib = _calibrate()
+    for _ in range(CALIB_RETRIES):
+        if calib["calib_sha_allcores_s"] <= CALIB_SHA_DEGRADED:
+            return calib
+        print(
+            f"bench: calib_sha_allcores_s={calib['calib_sha_allcores_s']} "
+            f"above degraded-host gate ({CALIB_SHA_DEGRADED}), waiting "
+            f"{QUIET_WAIT_S:.0f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(QUIET_WAIT_S)
+        calib = _calibrate()
+    if calib["calib_sha_allcores_s"] > CALIB_SHA_DEGRADED:
+        calib["degraded_host"] = True
+    return calib
+
+
+# Warm-up runs per query before the timed samples. History: 1 through
+# r8. Round 9 raised it to 2 per the r8 verdict's minhash plan audit:
+# single-warm-up readings of JIT-heavy plans sit in the half-warm state
+# (r7 measured minhash's C2-converged floor at 0.86 s vs the 0.98-1.24 s
+# the 1-warm-up protocol recorded — the first timed run still pays tier-2
+# compilation of the widest codegen stages). The second warm-up converges
+# the JIT for ~25 s of extra suite wall; BASELINE.md carries the protocol
+# note. Applied uniformly to every query — never per-plan special cases.
+WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+
+
 def _time_suite(registry, spark, names, sf_dir, runs=RUNS) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         fn = registry[name].fn
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        for _ in range(WARMUPS):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -180,8 +230,10 @@ def _time_suite(registry, spark, names, sf_dir, runs=RUNS) -> dict[str, float]:
 
 
 def main() -> None:
-    load_start = _wait_for_quiet()
-    calib = _calibrate()
+    start = _wait_for_quiet()
+    load_start = None if start is None else start[0]
+    load_start_5m = None if start is None else start[1]
+    calib = _calibrate_gated()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     small_dir = os.environ.get(
@@ -229,6 +281,7 @@ def main() -> None:
         "queries_sf_small": small,
         "scaling_x": scaling,
         "load_avg_1m_start": load_start,
+        "load_avg_5m_start": load_start_5m,
         **calib,
         "load_avg_1m_end": load_end,
     }
@@ -264,6 +317,7 @@ def main() -> None:
         "sf_small": result["sf_small"],
         "scaling_x": scaling,
         "load_avg_1m_start": load_start,
+        "load_avg_5m_start": load_start_5m,
         **calib,
         "load_avg_1m_end": load_end,
     }

@@ -380,15 +380,30 @@ def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _metadata.file_path is an absolute URI (file:/...); anchor the
     # table-segment extraction at sf_dir's basename followed by the
     # table entry, not at the leftmost *.parquet in the whole path.
-    anchor = _re.escape(os.path.basename(os.path.abspath(sf_dir)))
-    return (
-        li.select(
-            F.regexp_extract(
+    # realpath, not abspath: Spark records the RESOLVED path, so a
+    # symlinked sf_dir would otherwise never contain the anchor and the
+    # extraction would silently yield '' (ADVICE r8). The residual
+    # failure modes (URI percent-encoding, an unresolvable anchor) are
+    # made loud instead of silent by the assert_true guard below.
+    anchor = _re.escape(os.path.basename(os.path.realpath(sf_dir)))
+    fname = F.regexp_extract(
+        F.col("_metadata.file_path"),
+        rf"/{anchor}/([^/]+\.parquet)(?:/|$)",
+        1,
+    )
+    # The guard rides INSIDE the projected expression (when/raise_error),
+    # not as a separate dropped column — Catalyst would prune a dead
+    # assert_true column and the check would silently vanish.
+    guarded = F.when(fname != "", fname).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("scan_metadata_cols: anchor not found in "),
                 F.col("_metadata.file_path"),
-                rf"/{anchor}/([^/]+\.parquet)(?:/|$)",
-                1,
-            ).alias("file_name")
+            )
         )
+    )
+    return (
+        li.select(guarded.alias("file_name"))
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )

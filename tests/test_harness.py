@@ -46,6 +46,21 @@ def test_complex_cols_detects_every_unhashable_kind(check_mod):
     assert check_mod._complex_cols(df[["ok_int", "ok_str"]]) == []
 
 
+def test_complex_cols_skips_leading_nulls(check_mod):
+    """The first-non-null short-circuit (ADVICE r8: don't scan millions
+    of clean string cells) must still look PAST leading nulls — a
+    nullable array column whose first row is None is still complex."""
+    df = pd.DataFrame(
+        {
+            "lead_null_arr": [None, np.array([1.0])],
+            "lead_nan_lst": [float("nan"), [1]],
+            "all_null": [None, None],
+            "lead_null_str": [None, "x"],
+        }
+    )
+    assert check_mod._complex_cols(df) == ["lead_null_arr", "lead_nan_lst"]
+
+
 def test_compare_rejects_driver_undeliverable_output(check_mod):
     """An array-typed spark-side cell is an outright FAIL even when the
     serialized values would match — bit-faithful to the driver, which

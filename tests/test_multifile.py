@@ -220,3 +220,8 @@ def test_hive_safe_rejects_numeric_partition_values():
         assert tool._HIVE_SAFE.match(ok), ok
     for bad in ("001", "1.5", "12", ".", "a b", "a/b", ""):
         assert not tool._HIVE_SAFE.match(bad), bad
+    # ADVICE r8: type inference also coerces signed numerics, scientific
+    # notation, and date/timestamp shapes — all must be rejected too.
+    for bad in ("-12", "+7", "1e5", "1.5E-3", "-2.5e+10", "2024-01-01",
+                "2024-01-01T00", ".5"):
+        assert not tool._HIVE_SAFE.match(bad), bad

@@ -124,10 +124,19 @@ def _complex_cols(df: pd.DataFrame) -> list[str]:
         col = df[c]
         if col.dtype.kind != "O":
             continue
+        # Short-circuit on the first non-null cell: a column is either
+        # uniformly scalar (str/int/None) or uniformly complex — both
+        # sides here come out of Arrow/DuckDB typed columns, so the cell
+        # type cannot vary row-to-row. Scanning every cell of every
+        # string column cost seconds per sweep on multi-million-row
+        # outputs (the ~5.1M-row ssjoin relation; ADVICE r8).
         for v in col:
             if isinstance(v, (np.ndarray, list, tuple, dict, set)):
                 bad.append(str(c))
                 break
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue  # nulls are typeless — keep looking
+            break  # first non-null cell is scalar → column is scalar
     return bad
 
 

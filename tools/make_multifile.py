@@ -61,12 +61,22 @@ HIVE_COLS = {
 }
 
 # Hive-safe partition values: printable path-safe chars, and NOT
-# purely numeric — Spark's partition-column type inference and DuckDB's
-# hive type autocast would both type e.g. lang=001 as a NUMBER (Spark
-# then fails loud in load()'s schema check; DuckDB's side of check.py
+# shaped like anything Spark's partition-column type inference (or
+# DuckDB's hive type autocast) would coerce away from STRING — Spark
+# then fails loud in load()'s schema check, DuckDB's side of check.py
 # would silently change the column type even with autocast pinned off
-# elsewhere). Fail at fixture-creation time instead (ADVICE r7).
-_HIVE_SAFE = re.compile(r"^(?![0-9.]+$)[A-Za-z0-9._-]+$")
+# elsewhere. Fail at fixture-creation time instead (ADVICE r7).
+# ADVICE r8 widened the rejection beyond purely-numeric: signed numerics
+# ('-12'), scientific notation ('1e5', '1.5E-3'), and date/timestamp
+# shapes ('2024-01-01') all coerce too. Rather than chase each lexical
+# family, reject any value the inference could read as a non-string:
+# an optional sign + digits/dots/exponent (covers int, double, sci),
+# and the ISO date prefix dddd-dd-dd.
+_HIVE_SAFE = re.compile(
+    r"^(?![+-]?[0-9.]+([eE][+-]?[0-9]+)?$)"  # int / double / scientific
+    r"(?![0-9]{4}-[0-9]{2}-[0-9]{2})"  # ISO date(/timestamp) prefix
+    r"[A-Za-z0-9._-]+$"
+)
 
 
 def split_table(src_file: str, dst_dir: str, n_files: int) -> int:
