@@ -181,24 +181,40 @@ def _calibrate() -> dict[str, float]:
 CALIB_SHA_DEGRADED = float(
     os.environ.get("SPARK_GRAFT_BENCH_CALIB_SHA_MAX", "0.18")
 )
+# Single-thread degradation is a SEPARATE host mode from all-core
+# contention (measured r9: a day with calib_sha inside the idle band
+# read calib_spin 3.3-3.8 vs the 2.9-3.1 idle reference — ~12% slow on
+# every JIT/driver-side serial phase while parallel throughput looked
+# clean). The r8 breach run read spin 3.828; gate both modes.
+CALIB_SPIN_DEGRADED = float(
+    os.environ.get("SPARK_GRAFT_BENCH_CALIB_SPIN_MAX", "3.5")
+)
 CALIB_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_CALIB_RETRIES", "20"))
+
+
+def _calib_clean(calib: dict[str, float]) -> bool:
+    return (
+        calib["calib_sha_allcores_s"] <= CALIB_SHA_DEGRADED
+        and calib["calib_spin_1t_s"] <= CALIB_SPIN_DEGRADED
+    )
 
 
 def _calibrate_gated() -> dict[str, float | bool]:
     calib = _calibrate()
     for _ in range(CALIB_RETRIES):
-        if calib["calib_sha_allcores_s"] <= CALIB_SHA_DEGRADED:
+        if _calib_clean(calib):
             return calib
         print(
-            f"bench: calib_sha_allcores_s={calib['calib_sha_allcores_s']} "
-            f"above degraded-host gate ({CALIB_SHA_DEGRADED}), waiting "
+            f"bench: calib sha={calib['calib_sha_allcores_s']} "
+            f"spin={calib['calib_spin_1t_s']} above degraded-host gate "
+            f"({CALIB_SHA_DEGRADED}/{CALIB_SPIN_DEGRADED}), waiting "
             f"{QUIET_WAIT_S:.0f}s",
             file=sys.stderr,
             flush=True,
         )
         time.sleep(QUIET_WAIT_S)
         calib = _calibrate()
-    if calib["calib_sha_allcores_s"] > CALIB_SHA_DEGRADED:
+    if not _calib_clean(calib):
         calib["degraded_host"] = True
     return calib
 
