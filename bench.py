@@ -189,7 +189,12 @@ CALIB_SHA_DEGRADED = float(
 CALIB_SPIN_DEGRADED = float(
     os.environ.get("SPARK_GRAFT_BENCH_CALIB_SPIN_MAX", "3.5")
 )
-CALIB_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_CALIB_RETRIES", "20"))
+# 10 × 30 s = 5 min bound (vs the quiet gate's 10): the measured host
+# degradation states are day-scale (BASELINE.md r8 addendum), so a
+# longer poll rarely clears — stamping degraded_host sooner keeps the
+# worst-case pre-run delay (quiet gate + calib gate) at 15 min, safely
+# inside any reasonable caller timeout.
+CALIB_RETRIES = int(os.environ.get("SPARK_GRAFT_BENCH_CALIB_RETRIES", "10"))
 
 
 def _calib_clean(calib: dict[str, float]) -> bool:
