@@ -179,3 +179,30 @@ def test_hostile_session_confs_are_overridden(spark, registry):
         map(tuple, registry["ts_ohlc_resample"].fn(spark, "/root/testdata/sf0.001").collect())
     )
     assert a == b
+
+
+def test_minhash_geometry_invariants():
+    """The constants every hash-verified LSH consumer leans on:
+
+    - N_HASHES divides evenly into BAND_SIZE-row bands (a ragged tail
+      band would silently band fewer rows than declared);
+    - the universal-hash prime P stays below 2^31, which is what makes
+      the packed-long band keys (s_hi * 2^31 + s_lo) BIJECTIVE — the
+      whole oracle-tier claim that Spark's long-tuple buckets group the
+      same docs as DuckDB's string-tuple buckets rests on this;
+    - the tuning audit sweeps only exact factorizations of N_HASHES and
+      includes the production geometry, so llm_lsh_tuning always reports
+      the config llm_dedup_minhash actually ships.
+    """
+    from big_data_management_and_analytics_spark.functions.llm_dedup import (
+        BAND_SIZE,
+        N_HASHES,
+        TUNING_BANDS,
+    )
+    from big_data_management_and_analytics_spark.functions.portable_hash import P
+
+    assert N_HASHES % BAND_SIZE == 0
+    assert 0 < P < (1 << 31)
+    for bands in TUNING_BANDS:
+        assert N_HASHES % bands == 0, bands
+    assert (N_HASHES // BAND_SIZE) in TUNING_BANDS
