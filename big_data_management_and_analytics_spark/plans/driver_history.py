@@ -30,6 +30,7 @@ would go stale):
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
 # Fallback snapshot: keys of CORRECTNESS_r01.json (driver round 1).
@@ -93,19 +94,23 @@ VERIFIED_R01: frozenset[str] = frozenset(
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
 
-def driver_history(
+_ROUND_RE = re.compile(r"CORRECTNESS_r0*(\d+)\.json$")
+
+
+def driver_rounds(
     repo_root: Path | None = None,
-) -> tuple[frozenset[str], frozenset[str]]:
+) -> tuple[dict[str, int], dict[str, int]]:
     """Scan every readable CORRECTNESS_r*.json in the repo root (where the
     driver writes them, next to ``__spark_entry__.py``) and return
-    ``(hash_green, any_green)``: ids whose recorded check hash-matched the
-    oracle, and ids with any green record (including rows-only checks).
-    Falls back to the round-1 snapshot (as any_green) if none are
-    readable so the queue still de-prioritizes the known-verified block."""
+    ``(latest_hash, latest_any)``: per-id latest round number with a
+    hash-matched record, and with any record at all (rows-only included).
+    The round number comes from the file name (``CORRECTNESS_r09`` → 9);
+    a file whose name doesn't parse contributes round 0, which only makes
+    its ids maximally stale — never lost. Empty dicts if no file is
+    readable (callers fall back to the round-1 snapshot)."""
     root = repo_root if repo_root is not None else _REPO_ROOT
-    hash_green: set[str] = set()
-    any_green: set[str] = set()
-    found = False
+    latest_hash: dict[str, int] = {}
+    latest_any: dict[str, int] = {}
     try:
         paths = sorted(root.glob("CORRECTNESS_r*.json"))
     except OSError:
@@ -117,16 +122,44 @@ def driver_history(
             continue
         if not isinstance(data, dict):
             continue
-        found = True
+        m = _ROUND_RE.search(p.name)
+        rnd = int(m.group(1)) if m else 0
         for k, rec in data.items():
             if not isinstance(k, str):
                 continue
-            any_green.add(k)
+            latest_any[k] = max(latest_any.get(k, 0), rnd)
             if isinstance(rec, dict) and rec.get("hash_match") is True:
-                hash_green.add(k)
-    if not found:
-        return frozenset(), VERIFIED_R01
-    return frozenset(hash_green), frozenset(any_green)
+                latest_hash[k] = max(latest_hash.get(k, 0), rnd)
+    return latest_hash, latest_any
+
+
+def driver_history(
+    repo_root: Path | None = None,
+) -> tuple[frozenset[str], frozenset[str]]:
+    """``(hash_green, any_green)``: ids whose recorded driver check
+    hash-matched the oracle, and ids with any green record (including
+    rows-only checks) — the key sets of :func:`driver_rounds`. Falls back
+    to the round-1 snapshot (as any_green) if no CORRECTNESS file is
+    readable so the queue still de-prioritizes the known-verified block.
+    (An all-empty-but-readable set of files yields empty sets, not the
+    fallback — same as before the round-10 staleness refactor.)"""
+    root = repo_root if repo_root is not None else _REPO_ROOT
+    latest_hash, latest_any = driver_rounds(repo_root)
+    if not latest_any:
+        found = False
+        try:
+            for p in root.glob("CORRECTNESS_r*.json"):
+                try:
+                    if isinstance(json.loads(p.read_text()), dict):
+                        found = True
+                        break
+                except (OSError, ValueError):
+                    continue
+        except OSError:
+            pass
+        if not found:
+            return frozenset(), VERIFIED_R01
+    return frozenset(latest_hash), frozenset(latest_any)
 
 
 def driver_verified(repo_root: Path | None = None) -> frozenset[str]:
@@ -143,17 +176,28 @@ def queue_order(
     first-class training-data-pipeline operators, prioritized per the
     round-5 verdict item 1 so the driver verifies them before generic
     extras), then the remaining never-verified extras (oracle before rows
-    within each block), then everything already verified (original
-    registration order within each block). ALL §2 ids outrank extras so
-    the full §2 contract reaches driver-green in the fewest rounds.
+    within each block), then everything already verified — STALENESS-
+    FIRST: ordered by the latest driver round that recorded the id green
+    at its tier, oldest first, registration position as the tie-break
+    (VERDICT r9 item 2: once the never-verified drain completes, every
+    rotation slot goes to re-verification, and registration order would
+    waste the round on whatever registered first — r3-fresh scan ids —
+    while r1-verified ids sit 9 rounds stale; staleness ordering bounds
+    every id's verification age at ~ceil(registry/cap) rounds). ALL §2
+    ids outrank extras so the full §2 contract reaches driver-green in
+    the fewest rounds.
 
     Tier-aware: an id "counts as verified" only at its CURRENT tier — an
     oracle-tier id needs a hash-green record; a rows-only record from a
-    round before its oracle existed re-queues it for the hash check."""
+    round before its oracle existed re-queues it for the hash check.
+    Staleness reads the same tier's latest round."""
     if verified is not None:
         hash_green = any_green = verified
+        latest_hash: dict[str, int] = {}
+        latest_any: dict[str, int] = {}
     else:
         hash_green, any_green = driver_history()
+        latest_hash, latest_any = driver_rounds()
 
     def is_done(name: str) -> bool:
         q = registry[name]
@@ -169,5 +213,12 @@ def queue_order(
             return 2 if q.oracle else 3
         return 4 if q.oracle else 5
 
+    def staleness(name: str) -> int:
+        if not is_done(name):
+            return 0  # unverified blocks keep pure registration order
+        q = registry[name]
+        m = latest_hash if q.oracle else latest_any
+        return m.get(name, 0)
+
     reg_pos = {n: i for i, n in enumerate(registry)}
-    return sorted(registry, key=lambda n: (prio(n), reg_pos[n]))
+    return sorted(registry, key=lambda n: (prio(n), staleness(n), reg_pos[n]))

@@ -26,6 +26,7 @@ def main() -> int:
     import big_data_management_and_analytics_spark as engine
     from big_data_management_and_analytics_spark.plans.driver_history import (
         driver_history,
+        driver_rounds,
         queue_order,
     )
 
@@ -33,10 +34,14 @@ def main() -> int:
     reg = engine.all_queries()
     sids = entry._survey_ids()
     hash_green, any_green = driver_history()
+    latest_hash, latest_any = driver_rounds()
     order = queue_order(reg, sids)
 
     def tier_done(n: str) -> bool:
         return n in (hash_green if reg[n].oracle else any_green)
+
+    def tier_round(n: str) -> int:
+        return (latest_hash if reg[n].oracle else latest_any).get(n, 0)
 
     prefix = order[: args.cap]
     wasted = [n for n in prefix if tier_done(n)]
@@ -47,10 +52,23 @@ def main() -> int:
     print(f"tier-unverified remaining: {len(remaining)}")
     rounds = -(-len(remaining) // args.cap)
     print(f"projected rounds to full green at cap {args.cap}: {rounds}")
-    print(f"next-round prefix ({args.cap} slots, {len(wasted)} wasted):")
+    if remaining:
+        print(f"next-round prefix ({args.cap} slots, {len(wasted)} wasted):")
+    else:
+        # Post-drain: every slot re-verifies; the prefix refreshes the
+        # stalest driver rows (oldest latest-green round first), so a
+        # full staleness cycle takes ceil(registry/cap) rounds.
+        ages = sorted(tier_round(n) for n in prefix)
+        print(
+            f"post-drain staleness rotation: prefix refreshes rounds "
+            f"r{ages[0]:02d}..r{ages[-1]:02d}; full cycle = "
+            f"{-(-len(reg) // args.cap)} rounds"
+        )
+        print(f"next-round prefix ({args.cap} slots, all re-verification):")
     for n in prefix:
         tag = "§2" if n in sids else "  "
-        print(f"  {tag} {'oracle' if reg[n].oracle else 'rows  '} {n}")
+        print(f"  {tag} {'oracle' if reg[n].oracle else 'rows  '} "
+              f"r{tier_round(n):02d} {n}")
     return 0
 
 
