@@ -380,15 +380,23 @@ def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _metadata.file_path is an absolute URI (file:/...); anchor the
     # table-segment extraction at sf_dir's basename followed by the
     # table entry, not at the leftmost *.parquet in the whole path.
-    # realpath, not abspath: Spark records the RESOLVED path, so a
-    # symlinked sf_dir would otherwise never contain the anchor and the
-    # extraction would silently yield '' (ADVICE r8). The residual
-    # failure modes (URI percent-encoding, an unresolvable anchor) are
-    # made loud instead of silent by the assert_true guard below.
-    anchor = _re.escape(os.path.basename(os.path.realpath(sf_dir)))
+    # Anchor on EITHER the as-given (abspath) or the resolved (realpath)
+    # basename: Spark 4.1.2 records the AS-GIVEN path (ADVICE r9 —
+    # reading via a symlinked dir yields the symlink's name, so a pure
+    # realpath anchor never matches there), while an sf_dir handed to us
+    # already-resolved still matches via the realpath alternative. The
+    # residual failure modes (URI percent-encoding, an unresolvable
+    # anchor) are made loud instead of silent by the raise_error guard
+    # below.
+    anchors = sorted(
+        {
+            _re.escape(os.path.basename(os.path.abspath(sf_dir))),
+            _re.escape(os.path.basename(os.path.realpath(sf_dir))),
+        }
+    )
     fname = F.regexp_extract(
         F.col("_metadata.file_path"),
-        rf"/{anchor}/([^/]+\.parquet)(?:/|$)",
+        rf"/(?:{'|'.join(anchors)})/([^/]+\.parquet)(?:/|$)",
         1,
     )
     # The guard rides INSIDE the projected expression (when/raise_error),

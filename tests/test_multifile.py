@@ -76,6 +76,20 @@ def test_metadata_rollup_is_layout_independent(spark, registry, mf_dir):
     assert set(single) == {"lineitem.parquet"}
 
 
+def test_metadata_rollup_via_symlinked_sf_dir(spark, registry, tmp_path):
+    """ADVICE r9: Spark records the AS-GIVEN path in _metadata.file_path,
+    not the resolved one — reading via a symlinked sf_dir whose basename
+    differs from its target yields file:/.../<symlink-name>/... . The
+    anchor therefore matches EITHER the abspath or the realpath basename;
+    a pure-realpath anchor never matches here and the in-expression
+    raise_error guard fires instead of silently yielding ''."""
+    link = str(tmp_path / "linked_fixtures")
+    os.symlink(os.path.realpath(SF_SMALL), link)
+    out = {r["file_name"]: r["n_rows"]
+           for r in registry["scan_metadata_cols"].fn(spark, link).collect()}
+    assert set(out) == {"lineitem.parquet"}
+
+
 @pytest.fixture(scope="module")
 def hive_dir(tmp_path_factory):
     """Hive-partitioned copy of sf0.001: orders by o_orderstatus,
@@ -225,3 +239,13 @@ def test_hive_safe_rejects_numeric_partition_values():
     for bad in ("-12", "+7", "1e5", "1.5E-3", "-2.5e+10", "2024-01-01",
                 "2024-01-01T00", ".5"):
         assert not tool._HIVE_SAFE.match(bad), bad
+    # ADVICE r9: Java Double.parseDouble also accepts the special
+    # doubles (NaN/Infinity, signed, any case), the [fFdD] float
+    # suffixes, and hex-float literals — all lexically inside the
+    # allowed character class, all must be rejected.
+    for bad in ("NaN", "nan", "-NaN", "Infinity", "-Infinity", "INF",
+                "inf", "1f", "2d", "3.5F", "1e3d", "0x1p3", "0X1.8p1"):
+        assert not tool._HIVE_SAFE.match(bad), bad
+    # ...but lexical near-misses Java cannot parse stay accepted.
+    for ok in ("nanx", "info", "Infantry", "f1", "d2", "x0x1", "NaNo"):
+        assert tool._HIVE_SAFE.match(ok), ok

@@ -134,8 +134,15 @@ def _complex_cols(df: pd.DataFrame) -> list[str]:
             if isinstance(v, (np.ndarray, list, tuple, dict, set)):
                 bad.append(str(c))
                 break
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                continue  # nulls are typeless — keep looking
+            if (
+                v is None
+                or v is pd.NaT
+                or v is pd.NA
+                or (isinstance(v, float) and np.isnan(v))
+            ):
+                continue  # nulls are typeless (incl. pandas sentinels,
+                # ADVICE r9: a leading NaT/NA must not end the scan and
+                # misclassify a complex column as scalar) — keep looking
             break  # first non-null cell is scalar → column is scalar
     return bad
 

@@ -73,8 +73,15 @@ HIVE_COLS = {
 # an optional sign + digits/dots/exponent (covers int, double, sci),
 # and the ISO date prefix dddd-dd-dd.
 _HIVE_SAFE = re.compile(
-    r"^(?![+-]?[0-9.]+([eE][+-]?[0-9]+)?$)"  # int / double / scientific
+    # int / double / scientific, with Java's optional [fFdD] suffix —
+    # Double.parseDouble accepts '1f'/'2d' (ADVICE r9)
+    r"^(?![+-]?[0-9.]+([eE][+-]?[0-9]+)?[fFdD]?$)"
     r"(?![0-9]{4}-[0-9]{2}-[0-9]{2})"  # ISO date(/timestamp) prefix
+    # Java's special doubles: NaN / Inf(inity), optional sign, any case
+    r"(?![+-]?(?i:nan|inf(?:inity)?)$)"
+    # hex-float prefix ('0x1p3' parses as DoubleType); reject any 0x/0X
+    # lead rather than modeling the full hex-significand grammar
+    r"(?![+-]?0[xX])"
     r"[A-Za-z0-9._-]+$"
 )
 
