@@ -146,6 +146,22 @@ def test_driver_queue_rotates(registry, tmp_path):
     )
     assert driver_verified(repo_root=tmp_path) == frozenset({"some_id"})
 
+    # Staleness bookkeeping: latest round per id comes from the FILE
+    # NAME (r0*N), tracked separately per tier — a hash-green record
+    # advances latest_hash, a rows-only record only latest_any, and the
+    # max round wins when an id appears in several files.
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps(
+            {
+                "some_id": {"rows_match": True, "hash_match": True},
+                "other_id": {"rows_match": True},
+            }
+        )
+    )
+    lh, la = driver_rounds(repo_root=tmp_path)
+    assert la == {"some_id": 10, "other_id": 10}
+    assert lh == {"some_id": 10}  # r09's rows-only row never set a hash round
+
 
 def test_entry_runs(spark):
     import __spark_entry__ as entry_mod
