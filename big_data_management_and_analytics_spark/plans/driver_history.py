@@ -97,13 +97,48 @@ _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 _ROUND_RE = re.compile(r"CORRECTNESS_r0*(\d+)\.json$")
 
 
+def _green(rec) -> bool:
+    """Whether one CORRECTNESS record is genuinely GREEN (VERDICT r10
+    item 1: previously every key in a file counted as verified, so a red
+    row — non-null ``err``, like ``events_feature_vector``'s r07
+    canonicalizer crash — would both keep the id 'verified' and refresh
+    its staleness to the failing round, sinking the failure to the back
+    of the ~9-round rotation instead of re-fronting it). Green means:
+
+    - ``err`` null AND a positive comparison (``hash_match`` for
+      oracle-tier rows; ``rows_match`` covers synthetic rows-only
+      records with no err field), or
+    - ``err == 'no_oracle'`` AND ``spark_rows > 0`` — the driver's
+      declared weaker rows-tier check.
+
+    Anything else (hard errors, a 0-row rows-tier result, malformed
+    records) stays out of BOTH latest maps, so a red row never advances
+    an id's latest-green round: an id with no prior green re-queues as
+    unverified (prio 0-5, front of the queue), and one with an old green
+    keeps its old staleness and fronts the re-verification rotation."""
+    if not isinstance(rec, dict):
+        return False
+    err = rec.get("err")
+    if err is None:
+        return rec.get("hash_match") is True or rec.get("rows_match") is True
+    if err == "no_oracle":
+        spark_rows = rec.get("spark_rows")
+        return (
+            isinstance(spark_rows, (int, float))
+            and not isinstance(spark_rows, bool)
+            and spark_rows > 0
+        )
+    return False
+
+
 def driver_rounds(
     repo_root: Path | None = None,
 ) -> tuple[dict[str, int], dict[str, int]]:
     """Scan every readable CORRECTNESS_r*.json in the repo root (where the
     driver writes them, next to ``__spark_entry__.py``) and return
     ``(latest_hash, latest_any)``: per-id latest round number with a
-    hash-matched record, and with any record at all (rows-only included).
+    hash-matched green record, and with any GREEN record at all
+    (rows-only included; red rows never count — see :func:`_green`).
     The round number comes from the file name (``CORRECTNESS_r09`` → 9);
     a file whose name doesn't parse contributes round 0, which only makes
     its ids maximally stale — never lost. Empty dicts if no file is
@@ -125,26 +160,32 @@ def driver_rounds(
         m = _ROUND_RE.search(p.name)
         rnd = int(m.group(1)) if m else 0
         for k, rec in data.items():
-            if not isinstance(k, str):
+            if not isinstance(k, str) or not _green(rec):
                 continue
             latest_any[k] = max(latest_any.get(k, 0), rnd)
-            if isinstance(rec, dict) and rec.get("hash_match") is True:
+            if rec.get("hash_match") is True:
                 latest_hash[k] = max(latest_hash.get(k, 0), rnd)
     return latest_hash, latest_any
 
 
 def driver_history(
     repo_root: Path | None = None,
+    rounds: tuple[dict[str, int], dict[str, int]] | None = None,
 ) -> tuple[frozenset[str], frozenset[str]]:
     """``(hash_green, any_green)``: ids whose recorded driver check
     hash-matched the oracle, and ids with any green record (including
     rows-only checks) — the key sets of :func:`driver_rounds`. Falls back
     to the round-1 snapshot (as any_green) if no CORRECTNESS file is
     readable so the queue still de-prioritizes the known-verified block.
-    (An all-empty-but-readable set of files yields empty sets, not the
-    fallback — same as before the round-10 staleness refactor.)"""
+    (A readable set of files with no green rows yields empty sets, not
+    the fallback — same as before the round-10 staleness refactor.)
+    Pass precomputed ``rounds`` (from one :func:`driver_rounds` call) to
+    skip re-parsing every CORRECTNESS file (ADVICE r10: queue builds were
+    parsing each file 2-3 times)."""
     root = repo_root if repo_root is not None else _REPO_ROOT
-    latest_hash, latest_any = driver_rounds(repo_root)
+    latest_hash, latest_any = (
+        rounds if rounds is not None else driver_rounds(repo_root)
+    )
     if not latest_any:
         found = False
         try:
@@ -168,7 +209,10 @@ def driver_verified(repo_root: Path | None = None) -> frozenset[str]:
 
 
 def queue_order(
-    registry, survey_ids: set[str], verified: frozenset[str] | None = None
+    registry,
+    survey_ids: set[str],
+    verified: frozenset[str] | None = None,
+    repo_root: Path | None = None,
 ) -> list[str]:
     """Order query ids for the driver queue: never-verified SURVEY §2 ids
     first (oracle-tier before rows-tier), then the never-verified
@@ -196,8 +240,11 @@ def queue_order(
         latest_hash: dict[str, int] = {}
         latest_any: dict[str, int] = {}
     else:
-        hash_green, any_green = driver_history()
-        latest_hash, latest_any = driver_rounds()
+        # One parse of the CORRECTNESS files per queue build (ADVICE r10):
+        # derive the green sets from the same round maps.
+        rounds = driver_rounds(repo_root)
+        hash_green, any_green = driver_history(repo_root, rounds=rounds)
+        latest_hash, latest_any = rounds
 
     def is_done(name: str) -> bool:
         q = registry[name]

@@ -78,10 +78,15 @@ def test_driver_queue_rotates(registry, tmp_path):
         assert rounds_in_order == sorted(rounds_in_order), (
             "terminal-state queue must be ordered by driver-row staleness"
         )
+        # Multiset compare (ADVICE r10): a SET of rounds would let a
+        # prefix of 1 r02 + 49 r03 pass against a stalest block of
+        # 49 r02 + 1 r03 — per-round COUNTS must match too.
+        from collections import Counter
+
         stalest = sorted(registry, key=lambda n: tier_round(n))[:50]
-        assert {tier_round(n) for n in real_order[:50]} == {
+        assert Counter(tier_round(n) for n in real_order[:50]) == Counter(
             tier_round(n) for n in stalest
-        }, "prefix must hold the oldest latest-green rounds"
+        ), "prefix must hold the oldest latest-green rounds"
 
         # Keep the pre-drain no-overlap invariant itself under test on
         # terminal trees: with a synthetically reduced verified set the
@@ -161,6 +166,89 @@ def test_driver_queue_rotates(registry, tmp_path):
     lh, la = driver_rounds(repo_root=tmp_path)
     assert la == {"some_id": 10, "other_id": 10}
     assert lh == {"some_id": 10}  # r09's rows-only row never set a hash round
+
+
+def test_red_driver_rows_requeue(registry, tmp_path):
+    """VERDICT r10 item 1: a CORRECTNESS record with a non-null hard
+    ``err`` (or a 0-row rows-tier record) must count as verified for
+    NEITHER tier and must never advance the staleness maps. Two
+    consequences pinned here: an id whose only driver row is red
+    re-queues as unverified at the FRONT of the next prefix, and an id
+    with an older green keeps the OLD round (a red row refreshing
+    staleness to the failing round would sink the failure to the back
+    of the ~9-round rotation — the exact inversion the fix prevents)."""
+    import json
+
+    import __spark_entry__ as entry_mod
+    from big_data_management_and_analytics_spark.plans.driver_history import (
+        driver_rounds,
+        driver_verified,
+        queue_order,
+    )
+
+    survey = entry_mod._survey_ids()
+    oracle_victim = "tpch_q3_shipping"  # §2 oracle-tier
+    rows_victim = next(n for n in registry if registry[n].oracle is None)
+    victims = {oracle_victim, rows_victim}
+    assert registry[oracle_victim].oracle is not None
+
+    def green(n: str) -> dict:
+        if registry[n].oracle is not None:
+            return {
+                "rows_match": True, "schema_match": True,
+                "hash_match": True, "spark_rows": 3, "oracle_rows": 3,
+                "err": None,
+            }
+        return {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": 3, "oracle_rows": None, "err": "no_oracle",
+        }
+
+    red = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": None, "oracle_rows": None,
+        "err": "Traceback: synthetic driver crash",
+    }
+
+    # r01 greens everything except the victims; r02 records both victims
+    # RED (one per tier).
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: green(n) for n in registry if n not in victims})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: red for n in victims})
+    )
+
+    lh, la = driver_rounds(repo_root=tmp_path)
+    assert victims.isdisjoint(la) and victims.isdisjoint(lh), (
+        "red rows must not count toward either latest map"
+    )
+    assert victims.isdisjoint(driver_verified(repo_root=tmp_path))
+
+    # Both failed ids front the next prefix (the only unverified ids;
+    # the §2 oracle-tier victim outranks everything at prio 0).
+    order = queue_order(registry, survey, repo_root=tmp_path)
+    assert order[0] == oracle_victim
+    assert set(order[:2]) == victims, "red-rowed ids must front the prefix"
+
+    # Old green + newer red: the latest-green round stays at the green
+    # round — the red r04 must not refresh staleness to 4.
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({n: green(n) for n in victims})
+    )
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({n: red for n in victims})
+    )
+    lh, la = driver_rounds(repo_root=tmp_path)
+    assert la[oracle_victim] == 3 and la[rows_victim] == 3
+    assert lh[oracle_victim] == 3
+
+    # A rows-tier record that errored into 0 rows is not green either.
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"zz_empty": {"err": "no_oracle", "spark_rows": 0}})
+    )
+    _, la = driver_rounds(repo_root=tmp_path)
+    assert "zz_empty" not in la
 
 
 def test_entry_runs(spark):

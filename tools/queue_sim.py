@@ -33,8 +33,9 @@ def main() -> int:
     engine.load_all()
     reg = engine.all_queries()
     sids = entry._survey_ids()
-    hash_green, any_green = driver_history()
-    latest_hash, latest_any = driver_rounds()
+    rounds = driver_rounds()
+    hash_green, any_green = driver_history(rounds=rounds)
+    latest_hash, latest_any = rounds
     order = queue_order(reg, sids)
 
     def tier_done(n: str) -> bool:
@@ -50,11 +51,12 @@ def main() -> int:
           f"({sum(1 for q in reg.values() if q.oracle)} oracle-tier)")
     print(f"driver-green so far: {len(any_green)} ({len(hash_green)} hash)")
     print(f"tier-unverified remaining: {len(remaining)}")
-    rounds = -(-len(remaining) // args.cap)
-    print(f"projected rounds to full green at cap {args.cap}: {rounds}")
+    if args.cap > 0:
+        nrounds = -(-len(remaining) // args.cap)
+        print(f"projected rounds to full green at cap {args.cap}: {nrounds}")
     if remaining:
         print(f"next-round prefix ({args.cap} slots, {len(wasted)} wasted):")
-    else:
+    elif prefix:  # ADVICE r10: --cap 0 / empty registry must not IndexError
         # Post-drain: every slot re-verifies; the prefix refreshes the
         # stalest driver rows (oldest latest-green round first), so a
         # full staleness cycle takes ceil(registry/cap) rounds.
@@ -65,6 +67,8 @@ def main() -> int:
             f"{-(-len(reg) // args.cap)} rounds"
         )
         print(f"next-round prefix ({args.cap} slots, all re-verification):")
+    else:
+        print(f"next-round prefix ({args.cap} slots):")
     for n in prefix:
         tag = "§2" if n in sids else "  "
         print(f"  {tag} {'oracle' if reg[n].oracle else 'rows  '} "
