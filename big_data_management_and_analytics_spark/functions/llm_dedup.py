@@ -1188,8 +1188,48 @@ def llm_dedup_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploded token re-join by ~2× on dup-dense data (no per-candidate
     # token shuffle). sized derives from the SAME aggregate so the
     # token-side groupBy runs once and its exchange is reused.
-    tokarr = toks.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("tok")).alias("arr"),
+    #
+    # r11 (guide §2.3 "narrower types" applied to the verify payload):
+    # the arrays carry DENSE LONG token ids, not strings — tid is the
+    # global (df, tok) row number over the vocabulary (scale-honest
+    # two-pass rank, no single-partition window), a bijection on tokens,
+    # so |A∩B| and therefore every (da, db, jaccard) row is IDENTICAL
+    # while array_intersect runs on primitive longs instead of strings.
+    # Interleaved A/B at sf0.1: verify stage 5.68 → 2.68 s (2.1×), full
+    # query 7.13 → 5.20 s (0.73×); output checksum over all 5,114,528
+    # rows equal. Two deliberate NON-choices, both measured: (a) the
+    # candidate join keys stay `tok` strings — BHJ probes on the
+    # 31-value hot-key fixture vocabulary ran ~6× SLOWER through
+    # LongHashedRelation's duplicate-key chains than through the string
+    # UnsafeHashedRelation; (b) struct<df,rnd> ids from a df-partitioned
+    # window ran array_intersect 7× slower than strings (interpreted
+    # struct equality). offsets_via_window + the identity groupBy below
+    # are ESTIMATE hygiene: the triangle-join rank inflated Catalyst's
+    # size-only estimate 254 KB → 6.9 GB → 883 TB at tokarr, flipping
+    # the two verify BroadcastHashJoins to SortMergeJoins that shuffled
+    # the 7.5M-row candidate set twice (full query 3-4× SLOWER). The
+    # groupBy("tok") wrapper is the identity (tok is unique in vocab;
+    # first() over a singleton group is exact) but re-enters the
+    # Aggregate estimate class, so the downstream join estimates are
+    # sane again and the verify joins stay broadcast at fixture scale /
+    # AQE-decided at cluster scale.
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    vocab = (
+        with_global_row_number(
+            freq,
+            [F.col("df").asc(), F.col("tok").asc()],
+            rn="tid",
+            offsets_via_window=True,
+        )
+        .select("tok", "tid")
+        .groupBy("tok")
+        .agg(F.first("tid").alias("tid"))
+    )
+    tokarr = toks.join(vocab, "tok").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tid")).alias("arr"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     sized = tokarr.select("doc_id", "n")

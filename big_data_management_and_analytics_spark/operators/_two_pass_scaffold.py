@@ -31,6 +31,7 @@ def two_pass_scan(
     num_partitions: Optional[int] = None,
     total: Optional[str] = None,
     total_combine: Callable[[Column], Column] = lambda c: F.sum(c),
+    lower_window: Optional[Callable[[Column, object], Column]] = None,
 ) -> DataFrame:
     """Run the shared two-pass plan.
 
@@ -71,15 +72,40 @@ def two_pass_scan(
     _LAST_RANGED_PRE_CHECKPOINT = pre
     ranged = pre.localCheckpoint(eager=True)
     parts = ranged.groupBy("_pid").agg(part_agg().alias("_pagg"))
-    lower = parts.select(F.col("_pid").alias("_lpid"), F.col("_pagg").alias("_lagg"))
-    # The triangle self-join is O(partitions²) pairs of counter rows —
-    # trivial at any data scale, and it avoids a single-partition
-    # running-fold window over the counters.
-    prefix = (
-        parts.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(lower_combine(F.col("_lagg")).alias("_prefix"))
-    )
+    if lower_window is not None:
+        # r11 (guide §1.2 step 1 / §3.1): the triangle theta-join below is
+        # a BroadcastNestedLoopJoin, and Catalyst's size-only estimator
+        # prices a nested-loop join as the PRODUCT of its children — the
+        # counter relation's few-hundred-KB estimate balloons to GBs, and
+        # every relation built downstream of the scan output then loses
+        # its auto-broadcast eligibility (measured on llm_dedup_ssjoin's
+        # vocabulary rank: 254 KB → 6.9 GB → an 883 TB verify-side
+        # estimate that flipped two BroadcastHashJoins to SortMergeJoins
+        # shuffling the 7.5M-row candidate set twice; full query 3-4×
+        # slower). Callers whose scan OUTPUT feeds further join planning
+        # pass ``lower_window`` to fold the counters with a running
+        # window instead: it processes the SAME O(partitions) counter
+        # rows (one task over ≤ num_partitions rows — side-state, not the
+        # data path, exactly the triangle join's O(P²) work class) and
+        # keeps the size estimate at the counters' own size.
+        from pyspark.sql import Window
+
+        wc = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        prefix = parts.select(
+            "_pid", lower_window(F.col("_pagg"), wc).alias("_prefix")
+        )
+    else:
+        lower = parts.select(
+            F.col("_pid").alias("_lpid"), F.col("_pagg").alias("_lagg")
+        )
+        # The triangle self-join is O(partitions²) pairs of counter rows —
+        # trivial at any data scale, and it avoids a single-partition
+        # running-fold window over the counters.
+        prefix = (
+            parts.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
+            .groupBy("_pid")
+            .agg(lower_combine(F.col("_lagg")).alias("_prefix"))
+        )
     out_df = finish(ranged.join(F.broadcast(prefix), "_pid")).drop(
         "_pid", "_prefix"
     )

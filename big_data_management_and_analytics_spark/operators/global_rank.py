@@ -42,6 +42,7 @@ def with_global_row_number(
     rn: str = "rn",
     num_partitions: Optional[int] = None,
     total: Optional[str] = None,
+    offsets_via_window: bool = False,
 ) -> DataFrame:
     """Attach a global ``row_number`` over a total order without a
     single-partition window; optionally attach the grand total row count.
@@ -50,6 +51,13 @@ def with_global_row_number(
     column is LongType. When ``total`` is given, a column of that name
     carries COUNT(*) (broadcast — the only single-partition step is the
     final reduce of ≤ #partitions counter rows).
+
+    ``offsets_via_window`` folds the per-partition counters with a
+    running window over the ≤ #partitions counter rows instead of the
+    triangle theta-join — identical values, but it keeps Catalyst's size
+    estimate at the counters' own size instead of the nested-loop join's
+    child PRODUCT (see two_pass_scan). Pass it when the ranked output
+    feeds further join planning (broadcast decisions downstream).
     """
     w = Window.partitionBy("_pid").orderBy(*order)
     return two_pass_scan(
@@ -62,6 +70,11 @@ def with_global_row_number(
         ),
         num_partitions=num_partitions,
         total=total,
+        lower_window=(
+            (lambda c, wc: F.coalesce(F.sum(c).over(wc), F.lit(0)))
+            if offsets_via_window
+            else None
+        ),
     )
 
 
