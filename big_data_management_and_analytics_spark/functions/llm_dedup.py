@@ -104,7 +104,44 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok"))
+    # r11 (guide §2.3 narrower types, same move as llm_dedup_ssjoin's
+    # verify payload): the per-doc token-set arrays carry dense LONG ids
+    # (global (df, tok) row number — a bijection, so every intersection
+    # size and output row is identical) instead of strings, because the
+    # whole O(n²) pair scan is array_intersect cost and primitive-long
+    # intersects run ~2.3× faster than string intersects. Interleaved
+    # A/B at sf0.1: 10.15 → 4.42 s median, exceptAll both ways = 0.
+    # Docs whose token array is empty re-enter as an empty long array
+    # (explode_outer null branch), exactly the rows the string form
+    # carried as empty/null arrays — both fail jaccard ≥ 0.8 identically.
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    toks_e = d.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    nn = toks_e.filter(F.col("tok").isNotNull())
+    freq = nn.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    vocab = (
+        with_global_row_number(
+            freq,
+            [F.col("df").asc(), F.col("tok").asc()],
+            rn="tid",
+            offsets_via_window=True,
+        )
+        .select("tok", "tid")
+        .groupBy("tok")
+        .agg(F.first("tid").alias("tid"))
+    )
+    toks = nn.join(vocab, "tok").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tid")).alias("tok")
+    ).unionByName(
+        toks_e.filter(F.col("tok").isNull()).select(
+            "doc_id", F.array().cast("array<long>").alias("tok")
+        )
+    )
     # The theta join is a broadcast nested loop; the streamed side inherits
     # the scan's partitioning (ONE file partition at small sf), which would
     # serialize the O(n²) comparison onto a single task. Repartition the
