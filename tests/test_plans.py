@@ -865,3 +865,66 @@ def test_gram_expression_never_below_spread_exchange(spark, registry):
             f"{name}: gram expression evaluated below the spread exchange in "
             f"{offenders} (single-task trap — route through _explode_grams)"
         )
+
+
+def test_two_pass_window_offsets_match_triangle(spark):
+    """r11: `offsets_via_window` must be value-identical to the default
+    triangle-join counter fold — it exists purely for Catalyst estimate
+    hygiene (the BroadcastNestedLoopJoin triangle's size-only estimate is
+    the child PRODUCT, which poisons downstream broadcast decisions)."""
+    import pyspark.sql.functions as F
+
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    c = load(spark, SF_T2, "customer").select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    tri = {
+        r["c_custkey"]: r["rn"]
+        for r in with_global_row_number(c, order, rn="rn").collect()
+    }
+    win = {
+        r["c_custkey"]: r["rn"]
+        for r in with_global_row_number(
+            c, order, rn="rn", offsets_via_window=True
+        ).collect()
+    }
+    assert tri == win
+
+
+def test_two_pass_window_offsets_plan_has_no_nlj(spark):
+    """The window-offset fold must actually remove the nested-loop
+    triangle (its presence would mean the estimate poison is back)."""
+    import pyspark.sql.functions as F
+
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+    from big_data_management_and_analytics_spark.sources.io import load
+
+    c = load(spark, SF_T2, "customer").select("c_custkey", "c_acctbal")
+    plan = _plan(
+        with_global_row_number(
+            c,
+            [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+            rn="rn",
+            offsets_via_window=True,
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ssjoin_verify_joins_stay_broadcast(spark, registry):
+    """r11 estimate-regression tripwire: the dense-long-id vocabulary
+    behind the verify arrays must not poison Catalyst's size estimates —
+    if it does, the two verify joins flip to SortMergeJoins that shuffle
+    the multi-million-row candidate set twice (measured 3-4x slower).
+    The identity groupBy('tok') wrapper in llm_dedup_ssjoin is what keeps
+    the estimate in the Aggregate class; this pins it."""
+    plan = _plan(registry["llm_dedup_ssjoin"].fn(spark, SF_T2))
+    assert "SortMergeJoin" not in plan, (
+        "ssjoin verify joins lost their broadcast strategy - check the "
+        "vocabulary id pipeline's size-estimate hygiene"
+    )
