@@ -56,6 +56,39 @@ SIMHASH_BITS = 64
 SIMHASH_BAND_BITS = 16  # 4 bands × 16 bits → candidates at hamming ≤ 3·16
 
 
+def _dense_token_ids(freq: DataFrame, key: str = "tok") -> DataFrame:
+    """(key, tid) with tid = the global (df, key) row number — a dense,
+    deterministic BIJECTION on the vocabulary (r11, guide §2.3): verify
+    payloads carry these LONG ids instead of token strings so
+    array_intersect runs on primitive longs (~2.1-2.3× faster per pair).
+    Any bijection preserves every intersection size, so consumers'
+    outputs are bit-identical to the string form.
+
+    Two estimate-hygiene choices, both measured (full story at the
+    llm_dedup_ssjoin call site): ``offsets_via_window`` keeps the rank's
+    Catalyst size estimate at the counter rows' own size (the default
+    triangle BroadcastNestedLoopJoin estimates as the child PRODUCT —
+    254 KB ballooned to 6.9 GB and flipped downstream broadcasts to
+    SortMergeJoins), and the identity groupBy (key is unique in freq;
+    first() over a singleton group is exact) re-enters the Aggregate
+    estimate class so downstream join planning stays sane."""
+    from big_data_management_and_analytics_spark.operators.global_rank import (
+        with_global_row_number,
+    )
+
+    return (
+        with_global_row_number(
+            freq,
+            [F.col("df").asc(), F.col(key).asc()],
+            rn="tid",
+            offsets_via_window=True,
+        )
+        .select(key, "tid")
+        .groupBy(key)
+        .agg(F.first("tid").alias("tid"))
+    )
+
+
 @register(
     "llm_dedup_exact",
     "K",
@@ -114,27 +147,13 @@ def llm_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Docs whose token array is empty re-enter as an empty long array
     # (explode_outer null branch), exactly the rows the string form
     # carried as empty/null arrays — both fail jaccard ≥ 0.8 identically.
-    from big_data_management_and_analytics_spark.operators.global_rank import (
-        with_global_row_number,
-    )
-
     toks_e = d.select(
         "doc_id",
         F.explode_outer(F.array_distinct(tokens(F.col("text")))).alias("tok"),
     )
     nn = toks_e.filter(F.col("tok").isNotNull())
     freq = nn.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    vocab = (
-        with_global_row_number(
-            freq,
-            [F.col("df").asc(), F.col("tok").asc()],
-            rn="tid",
-            offsets_via_window=True,
-        )
-        .select("tok", "tid")
-        .groupBy("tok")
-        .agg(F.first("tid").alias("tid"))
-    )
+    vocab = _dense_token_ids(freq)
     toks = nn.join(vocab, "tok").groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tid")).alias("tok")
     ).unionByName(
@@ -1250,22 +1269,7 @@ def llm_dedup_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Aggregate estimate class, so the downstream join estimates are
     # sane again and the verify joins stay broadcast at fixture scale /
     # AQE-decided at cluster scale.
-    from big_data_management_and_analytics_spark.operators.global_rank import (
-        with_global_row_number,
-    )
-
-    vocab = (
-        with_global_row_number(
-            freq,
-            [F.col("df").asc(), F.col("tok").asc()],
-            rn="tid",
-            offsets_via_window=True,
-        )
-        .select("tok", "tid")
-        .groupBy("tok")
-        .agg(F.first("tid").alias("tid"))
-    )
-    tokarr = toks.join(vocab, "tok").groupBy("doc_id").agg(
+    tokarr = toks.join(_dense_token_ids(freq), "tok").groupBy("doc_id").agg(
         F.sort_array(F.collect_list("tid")).alias("arr"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
