@@ -493,12 +493,15 @@ def _components_oracle(rounds: int = COMPONENTS_ORACLE_ROUNDS) -> str:
     half-step the Spark loop runs (bucket label = min member label, doc
     label = min bucket label), idempotent at the fixpoint, so Spark's
     early exit and the fixed unroll agree whenever convergence lands
-    inside the bound. Measured convergence (tools: /tmp-style round
-    counter, r6): 4 effective rounds at BOTH sf0.01 and sf0.1, <1 s in
-    DuckDB at sf0.1 — the round-5 sweep exclusion was the RECURSIVE
-    closure's cost, not the propagation's. Bound 8 = 2x margin;
-    convergence inside the bound is asserted in tests (last two rounds
-    identical)."""
+    inside the bound. Measured convergence: 4 effective rounds at both
+    SFs when added (r6); 7 rounds at sf0.1 since the r9 minhash geometry
+    cut (4→3 bands) grew the bucket-graph diameter — the remaining
+    margin is ONE round (see the loop-bound warning in
+    llm_dedup_components; raising the bound and this constant together
+    is flagged to the next build round). Convergence inside the bound is
+    asserted in tests (last two rounds identical); <1 s in DuckDB at
+    sf0.1 — the round-5 sweep exclusion was the RECURSIVE closure's
+    cost, not the propagation's."""
     parts = [
         "m0 AS MATERIALIZED (SELECT doc_id, band, bucket FROM banded)",
         "l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS lbl FROM m0)",
@@ -585,7 +588,16 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels: DataFrame | None = None
     prev_sum = None
     converged = False
-    for _ in range(8):  # diameter bound; fixture clusters converge in ≤3
+    # Diameter bound. MARGIN WARNING (r11 measurement): the fixture now
+    # converges in 7 of the 8 bounded rounds — the r9 minhash geometry
+    # cut (4→3 bands) grew the bucket-graph diameter (per-round label
+    # sums: 280630, 91395, 77506, 76506, 74502, 72595, 72220, 72220).
+    # A slightly deeper corpus fires the loud non-convergence guard.
+    # Raising this bound requires raising COMPONENTS_ORACLE_ROUNDS with
+    # it (the declared oracle text) — a BUILD-round change, flagged in
+    # OPTIMIZATION_r11.md/r12.md; an optimization round must not edit
+    # the oracle.
+    for _ in range(8):
         if labels is None:
             # Iteration 1: every label IS its doc_id, so the bucket
             # minimum needs no label join at all — this also replaces

@@ -1190,6 +1190,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # groups are all singletons pre-shuffle. Interleaved A/B at
         # sf0.1: 3.23 → 2.72 s median, 5/5 pairwise wins, identical
         # output (exceptAll both ways = 0).
+        # Skew caveat (ADVICE r11): the singleton-groups argument holds
+        # only for the FIRST half-step. In later half-steps (node, lbl)
+        # groups can be large on skewed graphs, so forgoing map-side
+        # combine shuffles one row per edge occurrence; on a cluster
+        # with a power-law degree distribution, re-measure before
+        # relying on this fusion beyond sf0.1 — the revert is dropping
+        # the repartition() (two exchanges, map-side combine restored).
         w = Window.partitionBy(node).orderBy(
             F.col("_cnt").desc(), F.col(lbl).asc()
         )

@@ -93,6 +93,34 @@ VERIFIED_R01: frozenset[str] = frozenset(
 # Repo root = two levels above this package (…/plans/ -> package -> repo).
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
+# Ids whose implementation was re-engineered (plan changed, output proven
+# identical via the DuckDB differential + exceptAll identity) in a round
+# LATER than their newest driver-green CORRECTNESS record — VERDICT r11
+# item 6: the driver oracle should confirm the new code on its next
+# rotation rather than whenever plain staleness would get around to it.
+# Each entry maps id -> the round whose code change awaits driver
+# re-confirmation; :func:`reverify_staleness` fronts the id in the
+# verified block until a CORRECTNESS round at/after that round records
+# it green again, at which point the entry auto-expires (safe to prune).
+# Maintain by hand whenever a round changes a driver-verified query's
+# implementation.
+REVERIFY_FIRST: dict[str, int] = {
+    "llm_dedup_ssjoin": 11,
+    "graph_label_propagation": 11,
+    "llm_dedup_near_exact": 11,
+}
+
+
+def reverify_staleness(name: str, last: int) -> int:
+    """Effective staleness for a verified id: ids in REVERIFY_FIRST whose
+    latest green round predates their recorded code-change round sort
+    ahead of every ordinary verified id (the large negative offset
+    preserves their relative order by true last-green round)."""
+    changed = REVERIFY_FIRST.get(name)
+    if changed is not None and last < changed:
+        return last - 1_000_000
+    return last
+
 
 _ROUND_RE = re.compile(r"CORRECTNESS_r0*(\d+)\.json$")
 
@@ -265,7 +293,7 @@ def queue_order(
             return 0  # unverified blocks keep pure registration order
         q = registry[name]
         m = latest_hash if q.oracle else latest_any
-        return m.get(name, 0)
+        return reverify_staleness(name, m.get(name, 0))
 
     reg_pos = {n: i for i, n in enumerate(registry)}
     return sorted(registry, key=lambda n: (prio(n), staleness(n), reg_pos[n]))

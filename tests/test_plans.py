@@ -9,7 +9,14 @@ from tests.conftest import SF_T2
 # An unpartitioned window's spec leads straight into a sort order; a
 # partitioned one leads with plain partition columns. Shared by the fast
 # named check, the skyline/equidepth checks, and the exhaustive scan.
-GLOBAL_WINDOW_SPEC = r"windowspecdefinition\([^,()]+ (ASC|DESC)"
+# Declared side-state exception (r12, ADVICE r11): the two-pass
+# scaffold's `offsets_via_window` counter fold runs a running window
+# ordered by `_pid` over ≤ num_partitions counter rows — O(#partitions)
+# side-state, the same work class as the triangle join it replaces, and
+# never a data-path relation (_two_pass_scaffold.py documents the
+# contract). Specs ordered by `_pid` are therefore exempt from the
+# single-partition-window invariant.
+GLOBAL_WINDOW_SPEC = r"windowspecdefinition\((?!_pid#)[^,()]+ (ASC|DESC)"
 
 
 def _plan(df) -> str:
@@ -922,9 +929,19 @@ def test_ssjoin_verify_joins_stay_broadcast(spark, registry):
     if it does, the two verify joins flip to SortMergeJoins that shuffle
     the multi-million-row candidate set twice (measured 3-4x slower).
     The identity groupBy('tok') wrapper in llm_dedup_ssjoin is what keeps
-    the estimate in the Aggregate class; this pins it."""
+    the estimate in the Aggregate class; this pins it.
+
+    Deliberately BLANKET (ADVICE r11): it asserts no SortMergeJoin in the
+    ENTIRE plan, not just the two verify-join subtrees. Today the query
+    plans zero SMJs, so any SMJ is a regression signal; if a future
+    change legitimately plans an unrelated SMJ elsewhere in this query,
+    scope this assertion to the verify joins instead of deleting it."""
     plan = _plan(registry["llm_dedup_ssjoin"].fn(spark, SF_T2))
     assert "SortMergeJoin" not in plan, (
-        "ssjoin verify joins lost their broadcast strategy - check the "
-        "vocabulary id pipeline's size-estimate hygiene"
+        "a SortMergeJoin appeared somewhere in the llm_dedup_ssjoin plan "
+        "(this tripwire is deliberately blanket - the query plans zero "
+        "SMJs when healthy). Most likely cause: the verify joins lost "
+        "their broadcast strategy - check the vocabulary id pipeline's "
+        "size-estimate hygiene. If the SMJ is an unrelated, intended "
+        "join, scope this assertion to the verify-join subtrees."
     )

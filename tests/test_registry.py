@@ -70,9 +70,16 @@ def test_driver_queue_rotates(registry, tmp_path):
         latest_hash, latest_any = driver_rounds()
         real_order = queue_order(registry, survey)
 
+        from big_data_management_and_analytics_spark.plans.driver_history import (
+            reverify_staleness,
+        )
+
         def tier_round(n: str) -> int:
+            # Effective staleness: REVERIFY_FIRST ids whose code changed
+            # after their newest green round front the verified block
+            # (VERDICT r11 item 6) — same rule queue_order applies.
             m = latest_hash if registry[n].oracle else latest_any
-            return m.get(n, 0)
+            return reverify_staleness(n, m.get(n, 0))
 
         rounds_in_order = [tier_round(n) for n in real_order]
         assert rounds_in_order == sorted(rounds_in_order), (
@@ -166,6 +173,58 @@ def test_driver_queue_rotates(registry, tmp_path):
     lh, la = driver_rounds(repo_root=tmp_path)
     assert la == {"some_id": 10, "other_id": 10}
     assert lh == {"some_id": 10}  # r09's rows-only row never set a hash round
+
+
+def test_reverify_first_fronts_changed_ids(registry, tmp_path):
+    """VERDICT r11 item 6: ids whose implementation changed after their
+    newest driver-green round (REVERIFY_FIRST) must lead the verified
+    block so the driver oracle re-confirms the new code next rotation —
+    and the fronting must auto-expire once a CORRECTNESS round at/after
+    the change round records them green."""
+    import json
+
+    import __spark_entry__ as entry_mod
+    from big_data_management_and_analytics_spark.plans.driver_history import (
+        REVERIFY_FIRST,
+        driver_rounds,
+        queue_order,
+        reverify_staleness,
+    )
+
+    survey = entry_mod._survey_ids()
+    latest_hash, latest_any = driver_rounds()
+
+    def tier_round(n: str) -> int:
+        m = latest_hash if registry[n].oracle else latest_any
+        return m.get(n, 0)
+
+    pending = [
+        n
+        for n, changed in REVERIFY_FIRST.items()
+        if n in registry and tier_round(n) < changed
+    ]
+    if pending:
+        order = queue_order(registry, survey)
+        pos = {n: i for i, n in enumerate(order)}
+        # Every pending re-verify id must rank before every ordinary
+        # verified id (they may still trail never-verified ids, which
+        # outrank the whole verified block by prio).
+        ordinary = [
+            n
+            for n in order
+            if n not in REVERIFY_FIRST
+            and tier_round(n) > 0  # verified at its tier at least once
+        ]
+        first_ordinary = min(pos[n] for n in ordinary)
+        late = [n for n in pending if pos[n] > first_ordinary]
+        assert not late, f"re-verify ids rank behind verified ids: {late}"
+
+    # Auto-expiry: a green record at/after the change round restores
+    # plain staleness (no negative offset).
+    assert reverify_staleness("llm_dedup_ssjoin", 10) < 0
+    assert reverify_staleness("llm_dedup_ssjoin", 11) == 11
+    assert reverify_staleness("llm_dedup_ssjoin", 12) == 12
+    assert reverify_staleness("not_a_tracked_id", 3) == 3
 
 
 def test_red_driver_rows_requeue(registry, tmp_path):
