@@ -105,9 +105,10 @@ _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 # Maintain by hand whenever a round changes a driver-verified query's
 # implementation.
 REVERIFY_FIRST: dict[str, int] = {
-    "llm_dedup_ssjoin": 11,
+    "llm_dedup_ssjoin": 12,  # r11 dense ids; r12 prefix-side join cleanup
     "graph_label_propagation": 11,
     "llm_dedup_near_exact": 11,
+    "mkt_item_similarity": 12,  # r12 dual-direction fused pair aggregate
 }
 
 

@@ -923,6 +923,23 @@ def test_two_pass_window_offsets_plan_has_no_nlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_item_similarity_single_pair_pass(spark, registry):
+    """r12: the co-order pair relation must be built in ONE dual-direction
+    aggregate riding a repartition(item) that also serves the top-5
+    window — the former i<j + unionAll(swap) form ran the basket
+    self-join and pair aggregate twice (each union branch its own tower)
+    plus a third exchange for the window."""
+    import re
+
+    plan = _plan(registry["mkt_item_similarity"].fn(spark, SF_T2))
+    assert "Union" not in plan, "pair relation built as two union towers again"
+    plain_exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(plain_exchanges) <= 3, (
+        f"expected <=3 plain exchanges (distinct, repartition(i), window "
+        f"top-k), got {len(plain_exchanges)}"
+    )
+
+
 def test_ssjoin_verify_joins_stay_broadcast(spark, registry):
     """r11 estimate-regression tripwire: the dense-long-id vocabulary
     behind the verify arrays must not poison Catalyst's size estimates —

@@ -220,10 +220,12 @@ def test_reverify_first_fronts_changed_ids(registry, tmp_path):
         assert not late, f"re-verify ids rank behind verified ids: {late}"
 
     # Auto-expiry: a green record at/after the change round restores
-    # plain staleness (no negative offset).
-    assert reverify_staleness("llm_dedup_ssjoin", 10) < 0
-    assert reverify_staleness("llm_dedup_ssjoin", 11) == 11
-    assert reverify_staleness("llm_dedup_ssjoin", 12) == 12
+    # plain staleness (no negative offset). Derive from the live map so
+    # the test survives change-round bumps.
+    some_id, changed = next(iter(REVERIFY_FIRST.items()))
+    assert reverify_staleness(some_id, changed - 1) < 0
+    assert reverify_staleness(some_id, changed) == changed
+    assert reverify_staleness(some_id, changed + 1) == changed + 1
     assert reverify_staleness("not_a_tracked_id", 3) == 3
 
 
