@@ -1619,6 +1619,16 @@ def llm_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # r12 measured rejection (do not retry): replacing this posexplode +
+    # narrow 3-key aggregate with a column-form groupBy(s, cell) of 8
+    # positional decimal sums (8× fewer agg input rows, no Generate) ran
+    # 1.454 → 1.637 s median, 1/7 interleaved wins — the eight per-column
+    # sub[p]-extract+round+decimal-sum aggregates cost more than the
+    # generate + single-column sum they replace. The THREE passes over
+    # the checkpointed subv (2 Lloyd iterations + final assignment) are
+    # algorithm-inherent: iteration t+1's map-side assignment needs
+    # iteration t's collected means as literals — a strict driver-side
+    # dependency the declared 2-iteration oracle trace fixes.
     for _ in range(2):
         mean_rows = (
             assign()

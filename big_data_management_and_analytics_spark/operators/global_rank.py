@@ -106,7 +106,11 @@ def cume_dist_expr(rn: Column, total: Column) -> Column:
 
 
 def with_global_prefix_max(
-    df: DataFrame, order_col: str, value_col: str, out: str
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str,
+    offsets_via_window: bool = False,
 ) -> DataFrame:
     """Attach the STRICT prefix max of ``value_col`` over the total order
     ``order_col`` (max over all rows ordered strictly before; null for the
@@ -134,6 +138,9 @@ def with_global_prefix_max(
         finish=lambda j: j.withColumn(
             out, F.greatest(F.col("_prefix"), F.max(value_col).over(w))
         ),
+        lower_window=(
+            (lambda c, wc: F.max(c).over(wc)) if offsets_via_window else None
+        ),
     )
 
 
@@ -142,6 +149,7 @@ def with_global_prefix_sums(
     order: Sequence[Column],
     value_cols: Sequence[str],
     outs: Sequence[str],
+    offsets_via_window: bool = False,
 ) -> DataFrame:
     """Inclusive prefix sums of SEVERAL long columns over one total order
     in a single range shuffle (struct-aggregated two-pass scan).
@@ -180,6 +188,18 @@ def with_global_prefix_sums(
             ]
         ),
         finish=finish,
+        lower_window=(
+            (
+                lambda c, wc: F.struct(
+                    *[
+                        F.coalesce(F.sum(c.getField(f)).over(wc), F.lit(0)).alias(f)
+                        for f in fields
+                    ]
+                )
+            )
+            if offsets_via_window
+            else None
+        ),
     )
 
 
@@ -189,6 +209,7 @@ def with_global_prefix_sum(
     value_col: str,
     out: str,
     total: Optional[str] = None,
+    offsets_via_window: bool = False,
 ) -> DataFrame:
     """Attach the INCLUSIVE prefix sum of ``value_col`` (a long column —
     exact arithmetic only) over the total order ``order`` without a
@@ -213,4 +234,9 @@ def with_global_prefix_sum(
             out, F.sum(value_col).over(w) + F.col("_prefix")
         ),
         total=total,
+        lower_window=(
+            (lambda c, wc: F.coalesce(F.sum(c).over(wc), F.lit(0)))
+            if offsets_via_window
+            else None
+        ),
     )
